@@ -1,0 +1,44 @@
+"""cholesky-is-magic, TPU-native.
+
+A brand-new TPU-first (JAX / XLA / Pallas / pjit) linear-programming solver
+framework with the capabilities of pkhuong/cholesky-is-magic (a Common Lisp +
+CHOLMOD interior-point LP solver suite).  See SURVEY.md at the repo root for
+the layer map this package implements:
+
+- :mod:`cholesky_is_magic_tpu.ingest`   — MPS reader + standard-form converter
+  (reference: read-mps.lisp, standard-form.lisp)
+- :mod:`cholesky_is_magic_tpu.ops`      — dense/sparse linear algebra, Pallas
+  Cholesky kernels, double-word fp64 emulation
+  (reference: sparse-cholesky.lisp + CHOLMOD + wrapper.c)
+- :mod:`cholesky_is_magic_tpu.sparse`   — host symbolic analysis (AMD,
+  elimination tree, supernodes) + device numeric factorization
+  (reference: cholmod_analyze / cholmod_factorize)
+- :mod:`cholesky_is_magic_tpu.kkt`      — block-eliminated KKT Newton solve
+  (reference: newton-solve.lisp, sparse-newton-solve.lisp)
+- :mod:`cholesky_is_magic_tpu.solvers`  — affine scaling, primal-dual affine
+  scaling, APPROX coordinate descent + ALM outer loop
+  (reference: affine-scaling.lisp, primal-dual-affine-scaling.lisp,
+  approx.lisp, alm-approx.lisp)
+- :mod:`cholesky_is_magic_tpu.parallel` — vmapped LP batches and
+  mesh-sharded normal equations (ICI collectives; no analog in the
+  single-process reference)
+- :mod:`cholesky_is_magic_tpu.utils`    — configs, diagnostics, checked mode
+"""
+
+from cholesky_is_magic_tpu.ingest.mps import MPSData, read_mps, read_mps_file
+from cholesky_is_magic_tpu.ingest.standard_form import (
+    StandardForm,
+    to_standard_form,
+    rescale_sf,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "MPSData",
+    "read_mps",
+    "read_mps_file",
+    "StandardForm",
+    "to_standard_form",
+    "rescale_sf",
+]

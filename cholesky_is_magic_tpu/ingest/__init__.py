@@ -1,0 +1,28 @@
+"""Host-side problem ingest: MPS files -> standard form -> device operands.
+
+Reference parity: read-mps.lisp (full MPS dialect incl. OBJSENSE / RANGES /
+BOUNDS), standard-form.lisp (slack insertion + row equilibration).  Everything
+here is pure Python / NumPy; the output of :mod:`.device` is the static-shape,
+padded operand set consumed by the jitted solvers.
+"""
+
+from cholesky_is_magic_tpu.ingest.mps import MPSData, read_mps, read_mps_file
+from cholesky_is_magic_tpu.ingest.standard_form import (
+    StandardForm,
+    to_standard_form,
+    rescale_sf,
+    scale_constraints,
+)
+from cholesky_is_magic_tpu.ingest.device import DeviceLP, to_device_lp
+
+__all__ = [
+    "MPSData",
+    "read_mps",
+    "read_mps_file",
+    "StandardForm",
+    "to_standard_form",
+    "rescale_sf",
+    "scale_constraints",
+    "DeviceLP",
+    "to_device_lp",
+]

@@ -1,0 +1,113 @@
+"""Standard form -> static-shape, padded device operands.
+
+The reference marshals its problem into CHOLMOD CSC + Matlisp dense vectors
+(sparse-cholesky.lisp:346-459).  The TPU-native equivalent is a padded,
+static-shape operand set: XLA traces each solver once per shape, so every LP
+is embedded into a (M, N) box rounded up to hardware-friendly multiples, with
+boolean validity masks.  Padded entries are constructed to be *inert*:
+
+- padded columns: A[:, j] = 0, c[j] = 0, bounds [-1, 1], x = 0 — their
+  slacks are 1, their directions are masked to 0 in the solvers;
+- padded rows: A[i, :] = 0, b[i] = 0 — the normal matrix A·D·Aᵀ gets +1 on
+  those diagonal entries (see ops.dense.normal_matrix) so the Cholesky stays
+  positive definite, and the corresponding dy is exactly 0.
+
+This padding-with-masks scheme replaces the reference's dynamic problem sizes
+(plain Lisp vectors) with the static shapes XLA requires.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cholesky_is_magic_tpu.ingest.standard_form import StandardForm
+
+
+def round_up(x: int, multiple: int) -> int:
+    return ((x + multiple - 1) // multiple) * multiple
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["A", "c", "b", "l", "u", "row_mask", "col_mask", "row_type"],
+    meta_fields=["m", "n"],
+)
+@dataclasses.dataclass(frozen=True)
+class DeviceLP:
+    """Padded dense LP operands; a JAX pytree (m, n are static metadata).
+
+    ``m``/``n`` are the *true* constraint/variable counts; array shapes are
+    the padded (M, N).
+    """
+
+    A: jax.Array  # (M, N)
+    c: jax.Array  # (N,)
+    b: jax.Array  # (M,)
+    l: jax.Array  # (N,)
+    u: jax.Array  # (N,)
+    row_mask: jax.Array  # (M,) bool, True = real row
+    col_mask: jax.Array  # (N,) bool, True = real column
+    row_type: jax.Array  # (M,) int8, StandardForm.ROW_EQ/LE/GE (0 when padded)
+    m: int
+    n: int
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return self.A.shape[-2], self.A.shape[-1]
+
+
+def to_device_lp(
+    sf: StandardForm,
+    *,
+    pad_multiple: int = 128,
+    dtype=jnp.float32,
+    big: float = 1e30,
+) -> DeviceLP:
+    """Embed a StandardForm into a padded DeviceLP.
+
+    Infinite bounds are encoded as +/-``big`` (default 1e30, well above every
+    threshold the solvers use — the reference's clamps kick in at 1e8,
+    primal-dual-affine-scaling.lisp:37) so that f32/bf16 arrays never hold
+    actual infinities (inf - inf would poison masked arithmetic).
+    """
+    m, n = sf.ncons, sf.nvars
+    M = round_up(max(m, 1), pad_multiple)
+    N = round_up(max(n, 1), pad_multiple)
+
+    A = np.zeros((M, N), dtype=np.float64)
+    np.add.at(A, (sf.a_rows, sf.a_cols), sf.a_vals)
+
+    c = np.zeros(N)
+    c[:n] = sf.c
+    b = np.zeros(M)
+    b[:m] = sf.b
+
+    l = np.full(N, -1.0)
+    u = np.full(N, 1.0)
+    l[:n] = np.clip(sf.l, -big, big)
+    u[:n] = np.clip(sf.u, -big, big)
+
+    row_mask = np.zeros(M, dtype=bool)
+    row_mask[:m] = True
+    col_mask = np.zeros(N, dtype=bool)
+    col_mask[:n] = True
+    row_type = np.zeros(M, dtype=np.int8)
+    row_type[:m] = sf.row_type
+
+    return DeviceLP(
+        A=jnp.asarray(A, dtype=dtype),
+        c=jnp.asarray(c, dtype=dtype),
+        b=jnp.asarray(b, dtype=dtype),
+        l=jnp.asarray(l, dtype=dtype),
+        u=jnp.asarray(u, dtype=dtype),
+        row_mask=jnp.asarray(row_mask),
+        col_mask=jnp.asarray(col_mask),
+        row_type=jnp.asarray(row_type),
+        m=m,
+        n=n,
+    )

@@ -1,0 +1,177 @@
+r"""Primal-dual KKT Newton direction by block Gaussian elimination.
+
+The system (derivation in the reference's literate comments,
+newton-solve.lisp:1-26 / sparse-newton-solve.lisp:1-26):
+
+    KKT:            Newton block matrix (rows scaled so diagonals are U, Z):
+    Z S e = 0        Δw      Δx      Δy      Δz
+    W T e = 0         U      -W                     = e      (e = w∘su)
+    A x   = b                 Z               L     = f      (f = z∘sl)
+    yA + z - w = c            A                     = g      (g = Ax - b)
+                     -I              Aᵗ       I     = h      (h = Aᵗy+z-w-c)
+
+where U = diag(su) (slack to upper bound, su = u - x), L = diag(sl)
+(sl = x - l), W = diag(w), Z = diag(z).  Eliminating Δw, Δx, Δz reduces to
+
+    (A·diag(s))·(A·diag(s))ᵀ Δy = g'        s = sqrt(sl/z · d),
+
+one SPD normal-equations solve — "cholesky is magic".  Back-substitution
+recovers Δz, Δx, Δw.  This mirrors sparse-newton-solve.lisp:150-168 exactly,
+including the robustness filters for near-unbounded variables
+(filter-U/filter-Z, :30-45: a slack above 1e7 means that bound is
+effectively absent; the row degenerates to Δw = e or Δz = f).
+
+Everything is elementwise except two SpMVs and the normal solve, all
+provided by a :class:`KKTOperator` — the dense backend uses MXU matmuls;
+a block-sparse backend plugs in the same interface.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cholesky_is_magic_tpu.ops import dense as dense_ops
+
+# Slack threshold above which a bound is treated as absent
+# (sparse-newton-solve.lisp:34,43).
+FILTER_THRESHOLD = 1e7
+
+
+class KKTOperator(NamedTuple):
+    """The three products the elimination needs.
+
+    mv:  v -> A v          (cholmod_sdmult analogue)
+    rmv: v -> Aᵀ v
+    solve_scaled_normal: (s, g) -> (y, ok) solving (A diag s)(A diag s)ᵀ y = g
+        (the analogue of copy A; scale-sparse! by s; solve-sparse —
+        sparse-newton-solve.lisp:121-126)
+    """
+
+    mv: Callable[[jax.Array], jax.Array]
+    rmv: Callable[[jax.Array], jax.Array]
+    solve_scaled_normal: Callable[[jax.Array, jax.Array], tuple[jax.Array, jax.Array]]
+
+
+def dense_kkt_operator(
+    A: jax.Array,
+    row_boost: Optional[jax.Array] = None,
+    refine_steps: int = 1,
+) -> KKTOperator:
+    """Dense MXU-backed operator (newton-solve.lisp's backend, minus the
+    explicit diag matrix it builds at :112-116 — XLA fuses the column scale
+    into the matmul)."""
+
+    def solve_scaled_normal(s, g):
+        return dense_ops.solve_normal(
+            A, s, g, row_boost=row_boost, refine_steps=refine_steps
+        )
+
+    return KKTOperator(
+        mv=lambda v: A @ v,
+        rmv=lambda v: A.T @ v,
+        solve_scaled_normal=solve_scaled_normal,
+    )
+
+
+class KKTDeltas(NamedTuple):
+    dw: jax.Array
+    dx: jax.Array
+    dy: jax.Array
+    dz: jax.Array
+    ok: jax.Array  # False if the normal-equations factorization failed
+
+
+def solve_kkt_newton(
+    sl: jax.Array,
+    su: jax.Array,
+    w: jax.Array,
+    z: jax.Array,
+    op: KKTOperator,
+    e: jax.Array,
+    f: jax.Array,
+    g: jax.Array,
+    h: jax.Array,
+) -> KKTDeltas:
+    """The elimination chain of sparse-newton-solve.lisp:150-168.
+
+    Args are the *slacks* sl = x - l, su = u - x (both > 0), the bound duals
+    w, z (> 0), and the four RHS blocks.  Padded-variable entries must be
+    sanitized by the caller to sl = su = w = z = 1 and e = f = h = 0 (then
+    every delta is exactly 0 there); padded rows need g = 0.
+    """
+    # The reference scales rows by 1/U then 1/Z (scale-U/scale-Z, :47-53),
+    # which divides by the *duals* — its filter-Z path (:40-45) zeroes z and
+    # then divides by it, a latent division-by-zero that never fired in the
+    # reference's runs.  The TPU build eliminates per-variable in closed
+    # form instead, with every division by a slack (> 0 by construction):
+    #
+    #   row (1): su·dw - w·dx = e       row (2): z·dx + sl·dz = f
+    #   row (4): -dw + (Aᵀdy)_i + dz = h
+    #   => dx = (t - h - e/su + f/sl) · beta,  beta = su·sl/(w·sl + z·su)
+    #   => (A·diag(beta)·Aᵀ) dy = g - A·alpha,  alpha = (-h - e/su + f/sl)·beta
+    #   => dw = (e + w·dx)/su,  dz = (f - z·dx)/sl.
+    #
+    # The filters (:30-45, huge slack => bound absent) are the exact
+    # su -> inf / sl -> inf limits of these formulas with e = w·su, f = z·sl;
+    # for general rhs they are applied as where-branches: the filtered row
+    # degenerates to dw = w (resp. dz = z) and drops out of the coupling.
+    pu = su <= FILTER_THRESHOLD  # upper bound present
+    pl = sl <= FILTER_THRESHOLD  # lower bound present
+    both_absent = ~pu & ~pl  # fall back to the unfiltered (finite) formulas
+    use_u = pu | both_absent
+    use_l = pl | both_absent
+
+    a = jnp.where(use_u, w / su, 0.0)
+    term_w = jnp.where(use_u, e / su, w)
+    b = jnp.where(use_l, z / sl, 0.0)
+    term_z = jnp.where(use_l, f / sl, z)
+
+    beta = 1.0 / jnp.maximum(a + b, 1e-30)  # a+b > 0 whenever w, z > 0
+    alpha = (-h - term_w + term_z) * beta
+
+    s = jnp.sqrt(beta)
+    rhs = g - op.mv(alpha)
+    dy, ok = op.solve_scaled_normal(s, rhs)
+
+    t = op.rmv(dy)
+    dx = alpha + beta * t
+    dw = jnp.where(use_u, (e + w * dx) / su, w)
+    dz = jnp.where(use_l, (f - z * dx) / sl, z)
+    return KKTDeltas(dw=dw, dx=dx, dy=dy, dz=dz, ok=ok)
+
+
+def kkt_residuals(
+    sl: jax.Array,
+    su: jax.Array,
+    w: jax.Array,
+    z: jax.Array,
+    op: KKTOperator,
+    e: jax.Array,
+    f: jax.Array,
+    g: jax.Array,
+    h: jax.Array,
+    deltas: KKTDeltas,
+) -> jax.Array:
+    """Inf-norms of the four KKT block residuals (test-kkt-solve,
+    sparse-newton-solve.lisp:180-198).  The runtime-checked production mode
+    (solve-kkt-newton-check, :200-223) asserts these below 1e-4."""
+    dw, dx, dy, dz = deltas.dw, deltas.dx, deltas.dy, deltas.dz
+    r1 = su * dw - w * dx - e
+    r2 = z * dx + sl * dz - f
+    r3 = op.mv(dx) - g
+    r4 = (op.rmv(dy) + dz) - dw - h
+    inf = lambda v: jnp.max(jnp.abs(v))
+    return jnp.stack([inf(r1), inf(r2), inf(r3), inf(r4)])
+
+
+def solve_kkt_newton_checked(sl, su, w, z, op, e, f, g, h, tol: float = 1e-4):
+    """Checked drop-in (solve-kkt-newton-check): returns (deltas, residuals)
+    and flips ``deltas.ok`` to False if any block residual exceeds ``tol``
+    — the jit-compatible rendering of the reference's asserts."""
+    deltas = solve_kkt_newton(sl, su, w, z, op, e, f, g, h)
+    res = kkt_residuals(sl, su, w, z, op, e, f, g, h, deltas)
+    ok = deltas.ok & jnp.all(res < tol)
+    return deltas._replace(ok=ok), res

@@ -1,0 +1,147 @@
+"""Double-word ("double-double" style) arithmetic on the VPU.
+
+The reference runs fp64 end-to-end on the host CPU (every vector is a
+``double-float`` array).  The TPU's fast paths are f32/bf16, so to reach
+CHOLMOD-class accuracy we keep *data* in working precision and compute
+*residuals* in double-word precision: each value is an unevaluated sum
+``hi + lo`` of two working-precision floats, giving ~2x the mantissa bits.
+This is the classic Dekker/Knuth error-free-transformation toolkit
+(T.J. Dekker, "A floating-point technique for extending the available
+precision", 1971), vectorized over jnp arrays so it runs on the VPU.
+
+Used by :func:`cholesky_is_magic_tpu.ops.dense.solve_spd` for iterative
+refinement: factor in f32 on the MXU, compute b - N·x in double-word
+precision, re-solve the correction (SURVEY.md §7 "Precision").
+
+All functions are dtype-generic (f32 pairs on TPU, f64 pairs on CPU) and
+safe under jit: XLA does not contract a*b +/- c into FMA by default, which
+the Dekker split relies on.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class DD(NamedTuple):
+    """An unevaluated sum hi + lo with |lo| <= ulp(hi)/2."""
+
+    hi: jax.Array
+    lo: jax.Array
+
+    def to_working(self) -> jax.Array:
+        return self.hi + self.lo
+
+
+def _split_constant(dtype) -> float:
+    # 2^ceil(p/2) + 1 where p = mantissa bits: f32 -> 4097, f64 -> 2^27+1.
+    if dtype == jnp.float64:
+        return float(2**27 + 1)
+    if dtype == jnp.float32:
+        return float(2**12 + 1)
+    raise ValueError(f"unsupported double-word base dtype {dtype}")
+
+
+def two_sum(a: jax.Array, b: jax.Array) -> DD:
+    """Error-free a + b (Knuth two-sum, 6 flops, no branch)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return DD(s, err)
+
+
+def fast_two_sum(a: jax.Array, b: jax.Array) -> DD:
+    """Error-free a + b assuming |a| >= |b| (Dekker, 3 flops)."""
+    s = a + b
+    err = b - (s - a)
+    return DD(s, err)
+
+
+def _split(a: jax.Array) -> tuple[jax.Array, jax.Array]:
+    c = _split_constant(a.dtype) * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def two_prod(a: jax.Array, b: jax.Array) -> DD:
+    """Error-free a * b via Dekker splitting (no FMA needed)."""
+    p = a * b
+    a_hi, a_lo = _split(a)
+    b_hi, b_lo = _split(b)
+    err = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return DD(p, err)
+
+
+def dd_add(x: DD, y: DD) -> DD:
+    """Double-word + double-word (accurate variant, ~20 flops)."""
+    s = two_sum(x.hi, y.hi)
+    t = two_sum(x.lo, y.lo)
+    c = s.lo + t.hi
+    v = fast_two_sum(s.hi, c)
+    w = t.lo + v.lo
+    return fast_two_sum(v.hi, w)
+
+
+def dd_add_w(x: DD, y: jax.Array) -> DD:
+    """Double-word + working-precision scalar/array."""
+    s = two_sum(x.hi, y)
+    v = s.lo + x.lo
+    return fast_two_sum(s.hi, v)
+
+
+def dd_neg(x: DD) -> DD:
+    return DD(-x.hi, -x.lo)
+
+
+def dd_sum(x: DD, axis: int = -1) -> DD:
+    """Compensated reduction of a double-word array along ``axis``.
+
+    Binary-tree reduction with dd_add at each level: O(log n) sequential
+    depth, fully vectorized across the other axes.  Accuracy ~ eps^2 — the
+    axis-sum analogue of Ogita-Rump-Oishi "dot2".
+    """
+    hi = jnp.moveaxis(x.hi, axis, -1)
+    lo = jnp.moveaxis(x.lo, axis, -1)
+    n = hi.shape[-1]
+    while n > 1:
+        half = n // 2
+        even = DD(hi[..., : 2 * half : 2], lo[..., : 2 * half : 2])
+        odd = DD(hi[..., 1 : 2 * half : 2], lo[..., 1 : 2 * half : 2])
+        merged = dd_add(even, odd)
+        if n % 2:
+            hi = jnp.concatenate([merged.hi, hi[..., -1:]], axis=-1)
+            lo = jnp.concatenate([merged.lo, lo[..., -1:]], axis=-1)
+            n = half + 1
+        else:
+            hi, lo = merged.hi, merged.lo
+            n = half
+    return DD(hi[..., 0], lo[..., 0])
+
+
+def dd_dot(a: jax.Array, b: jax.Array) -> DD:
+    """Compensated dot product (Ogita-Rump dot2): exact products, dd sum."""
+    p = two_prod(a, b)
+    return dd_sum(p, axis=-1)
+
+
+def dd_matvec(A: jax.Array, x: jax.Array) -> DD:
+    """Compensated A @ x: error-free elementwise products + tree dd-sum.
+
+    O(m*n) VPU work and 2*m*n transient floats — memory-bound but tiny next
+    to the O(m^3) factorization it guards.  This is the fp64-emulation
+    replacement for computing the IPM residual in double precision on the
+    host (the reference gets this for free from fp64 CHOLMOD).
+    """
+    p = two_prod(A, x[None, :])
+    return dd_sum(p, axis=-1)
+
+
+def dd_residual(b: jax.Array, A: jax.Array, x: jax.Array) -> jax.Array:
+    """b - A @ x with the matvec in double-word precision, rounded back to
+    working precision (the standard iterative-refinement residual)."""
+    ax = dd_matvec(A, x)
+    r = dd_add_w(dd_neg(ax), b)
+    return r.to_working()

@@ -1,0 +1,139 @@
+"""Dense normal-equations Cholesky: factor, solve, refine, detect failure.
+
+This is the TPU analogue of the reference's CHOLMOD pipeline specialized to
+the dense path (solve-dense, sparse-cholesky.lisp:409-431; the recycled
+factor+solve of solve-sparse-recycle, :524-560):
+
+- :func:`normal_matrix` assembles N = (A·diag(d))·(A·diag(d))ᵀ on the MXU —
+  the analogue of cholmod_scale + cholmod_aat (sparse-cholesky.lisp:329,121).
+- :func:`factorize` computes L·Lᵀ = N and reports failure the way
+  cholmod_factorize's status does (sparse-cholesky.lisp:543-545): a
+  non-PD/singular N yields ``ok=False`` instead of NaNs silently flowing on.
+- :func:`solve_spd` adds double-word iterative refinement so an f32 MXU
+  factorization reaches fp64-CHOLMOD-class solve accuracy (SURVEY.md §7).
+
+Everything is jit-safe, shape-static, and mask-aware: padded (inert) rows
+are given a unit diagonal via ``row_boost`` so padding never makes N
+singular (see ingest.device).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cholesky_is_magic_tpu.ops import dd as ddm
+
+
+class CholFactors(NamedTuple):
+    L: jax.Array  # lower-triangular factor (garbage if ok=False)
+    ok: jax.Array  # scalar bool: factorization succeeded
+
+
+def normal_matrix(
+    A: jax.Array,
+    d: jax.Array,
+    row_boost: Optional[jax.Array] = None,
+) -> jax.Array:
+    """N = A·diag(d)²·Aᵀ (+ diag(row_boost)), the IPM normal matrix.
+
+    ``d`` is the *scale* (slack) vector, applied to columns of A exactly as
+    scale-sparse! right-multiplies by diag (sparse-cholesky.lisp:461-477);
+    the product is then N = (AD)(AD)ᵀ as in project (affine-scaling.lisp:98).
+    ``row_boost`` adds to the diagonal — used to keep padded rows
+    nonsingular (1.0 on padded rows, 0 elsewhere).
+    """
+    AD = A * d[None, :]
+    N = jnp.matmul(AD, AD.T, preferred_element_type=AD.dtype)
+    # Symmetrize: the MXU product is not exactly symmetric in f32.
+    N = 0.5 * (N + N.T)
+    if row_boost is not None:
+        N = N + jnp.diag(row_boost.astype(N.dtype))
+    return N
+
+
+def factorize(N: jax.Array, use_pallas: bool = False) -> CholFactors:
+    """L·Lᵀ = N with failure detection.
+
+    jnp.linalg.cholesky yields NaNs on a non-PD input; we map that to
+    ``ok=False``, mirroring the solve-sparse nil return the drivers branch
+    on (sparse-cholesky.lisp:512-514; affine-scaling.lisp:178-181).
+    """
+    if use_pallas:
+        from cholesky_is_magic_tpu.ops.pallas_chol import cholesky as pallas_cholesky
+
+        L = pallas_cholesky(N)
+    else:
+        L = jnp.linalg.cholesky(N)
+    diag = jnp.diagonal(L)
+    ok = jnp.all(jnp.isfinite(L)) & jnp.all(diag > 0)
+    return CholFactors(L=jnp.where(ok, L, jnp.eye(N.shape[0], dtype=N.dtype)), ok=ok)
+
+
+def chol_solve(L: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve (L·Lᵀ) x = b by two triangular solves (cholmod_solve2 analogue,
+    sparse-cholesky.lisp:276-288 — workspace recycling is XLA's job here:
+    under jit the buffers are reused across iterations automatically)."""
+    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+@partial(jax.jit, static_argnames=("refine_steps",))
+def solve_spd(
+    N: jax.Array,
+    b: jax.Array,
+    refine_steps: int = 1,
+    factors: Optional[CholFactors] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Solve N x = b, N SPD, with double-word iterative refinement.
+
+    Returns (x, ok).  refine_steps > 0 computes r = b - N·x in double-word
+    precision (ops.dd) and re-solves the correction — the fp64-emulation
+    that lets an f32 factorization match the reference's fp64 accuracy.
+    """
+    f = factorize(N) if factors is None else factors
+    x = chol_solve(f.L, b)
+    for _ in range(refine_steps):
+        r = ddm.dd_residual(b, N, x)
+        x = x + chol_solve(f.L, r)
+    return jnp.where(f.ok, x, jnp.zeros_like(x)), f.ok
+
+
+def solve_normal(
+    A: jax.Array,
+    d: jax.Array,
+    g: jax.Array,
+    row_boost: Optional[jax.Array] = None,
+    refine_steps: int = 1,
+    true_residual: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Solve (A·diag(d))·(A·diag(d))ᵀ y = g with refinement against the
+    *unassembled* operator.
+
+    With ``true_residual`` the refinement residual is computed as
+    g - AD·(ADᵀ·y) in double-word precision — this corrects both the solve
+    error *and* the f32 rounding of assembling N, which a residual against
+    the assembled N cannot see.  Returns (y, ok); ok=False on singular N
+    (the caller prints " singular " and stops, affine-scaling.lisp:178-181).
+    """
+    AD = A * d[None, :]
+    N = jnp.matmul(AD, AD.T, preferred_element_type=AD.dtype)
+    N = 0.5 * (N + N.T)
+    if row_boost is not None:
+        N = N + jnp.diag(row_boost.astype(N.dtype))
+    f = factorize(N)
+    y = chol_solve(f.L, g)
+    for _ in range(refine_steps):
+        if true_residual:
+            t = ddm.dd_matvec(AD.T, y)  # ADᵀ y in double-word
+            u = ddm.dd_add(ddm.dd_matvec(AD, t.hi), ddm.dd_matvec(AD, t.lo))
+            if row_boost is not None:
+                u = ddm.dd_add_w(u, row_boost.astype(y.dtype) * y)
+            r = ddm.dd_add_w(ddm.dd_neg(u), g).to_working()
+        else:
+            r = ddm.dd_residual(g, N, y)
+        y = y + chol_solve(f.L, r)
+    return jnp.where(f.ok, y, jnp.zeros_like(y)), f.ok

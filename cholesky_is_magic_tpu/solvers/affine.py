@@ -1,0 +1,342 @@
+"""Primal affine scaling (Dikin interior point) as one jitted while_loop.
+
+Reference: affine-scaling.lisp.  Every safeguard is preserved:
+
+- interior-point initialization heuristics, incl. widening degenerate
+  intervals by (-5e-7, +5e7) (make-affine-state, :52-90);
+- the Dikin projection min ||x + D c|| s.t. A D x = 0 via one normal-
+  equations Cholesky per iteration (project, :98-116);
+- gamma = 0.9 step damping and the masked ratio test (max-step, :120-133);
+- slack clamped at *max-slack* = 1e8 (:118,137-148);
+- centering fallback when the step stalls, and scheduled recentering every
+  16 iterations (one-affine-scaling-iteration :192-204, driver :283);
+- feasibility-repair least-squares iterations when ||Ax-b|| > 1e-6*m
+  (one-repair-iteration :226-243, dispatcher :245-263);
+- "singular" and "Unbounded problem" exits (:178-181, :187-188) as status
+  codes in the carry.
+
+TPU-first differences from the reference (not a translation):
+- the CHOLMOD analyze/factorize/solve pipeline is ops.dense.solve_normal —
+  an MXU matmul + Cholesky with double-word iterative refinement;
+- sequential ratio tests become masked min-reductions on the VPU;
+- the repair-vs-optimize-vs-recenter dispatch is lax.cond inside
+  lax.while_loop, so the whole solve is a single XLA computation with no
+  host round-trips (the reference crosses the FFI every call,
+  SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cholesky_is_magic_tpu.ingest.device import DeviceLP
+from cholesky_is_magic_tpu.ops import dense as dense_ops
+from cholesky_is_magic_tpu.solvers.result import SolveResult, Status
+
+BIG_BOUND = 1e10  # "effectively infinite" bound threshold (affine-scaling.lisp:67-75)
+
+
+@dataclasses.dataclass(frozen=True)
+class AffineConfig:
+    gamma: float = 0.9  # *gamma* (affine-scaling.lisp:135)
+    max_slack: float = 1e8  # *max-slack* (:118)
+    residual_tol: float = 1e-6  # repair/convergence threshold per row (:249,287)
+    direction_tol: float = 1e-6  # stop when ||dg|| below this (:193)
+    step_tol: float = 1e-6  # recenter when step*||g|| below this (:200)
+    unbounded_step: float = 1e10  # error threshold (:187)
+    recenter_every: int = 16  # driver recentering cadence (:283)
+    max_iters: int = 500
+    refine_steps: int = 1  # dd iterative-refinement steps per solve
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["x", "lp"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class AffineState:
+    x: jax.Array
+    lp: DeviceLP
+
+
+def make_affine_state(lp: DeviceLP) -> AffineState:
+    """Interior initialization (make-affine-state, affine-scaling.lisp:52-90).
+
+    Degenerate intervals (u - l < 1e-6) are widened to (l - 5e-7, u + 5e7)
+    — the reference's asymmetric widening at :61-62 — then x starts at the
+    center of finite boxes, or pulled inside one-sided boxes.  Operates on
+    the padded arrays; masked columns keep their inert (-1, 1, x=0) setup.
+    """
+    l, u, mask = lp.l, lp.u, lp.col_mask
+    degenerate = mask & ((u - l) < 1e-6)
+    l = jnp.where(degenerate, l - 5e-7, l)
+    u = jnp.where(degenerate, u + 5e7, u)
+    delta = u - l
+    both_free = (l < -BIG_BOUND) & (u > BIG_BOUND)
+    low_free = l < -BIG_BOUND
+    high_free = u > BIG_BOUND
+    x = jnp.where(
+        both_free,
+        0.0,
+        jnp.where(
+            low_free,
+            u - jnp.minimum(delta / 2, 1.0 + 0.1 * jnp.abs(u)),
+            jnp.where(
+                high_free,
+                l + jnp.minimum(delta / 2, 1.0 + 1.0 * jnp.abs(l)),  # :75 uses 1.0*|l|
+                (l + u) / 2,
+            ),
+        ),
+    )
+    x = jnp.where(mask, x, 0.0)
+    lp = dataclasses.replace(lp, l=jnp.where(mask, l, lp.l), u=jnp.where(mask, u, lp.u))
+    return AffineState(x=x, lp=lp)
+
+
+def _into_interior(x, l, u, mask):
+    """Pull x strictly inside [l, u] by a relative epsilon.
+
+    The reference maintains strict interiority by *assertion*
+    (affine-scaling.lisp:144; primal-dual-affine-scaling.lisp:323-324) —
+    in exact arithmetic the gamma-damped ratio tests guarantee it, but in
+    floating point an iterate can land exactly on (or epsilon past) a
+    bound, after which every ratio test returns 0 and the solver deadlocks.
+    Nudging back inside keeps the invariant the reference assumes.
+    """
+    eps = 1e-12 if x.dtype == jnp.float64 else 1e-6
+    margin = eps * jnp.minimum(1.0, u - l)
+    xi = jnp.clip(x, l + margin, u - margin)
+    xi = jnp.where(u - l < 2 * margin, 0.5 * (l + u), xi)
+    return jnp.where(mask, xi, x)
+
+
+def _slack(l, x, u, cap, mask):
+    """min(cap, x - l, u - x), 1 on masked entries (slack, :137-148)."""
+    cap = jnp.asarray(cap, dtype=x.dtype)  # keep f32 states f32 under x64
+    s = jnp.minimum(cap, jnp.minimum(x - l, u - x))
+    return jnp.where(mask, jnp.maximum(s, 1e-30), 1.0)
+
+
+def _centering_direction(l, x, u, mask):
+    """Pull toward the nearer bound's opposite (:150-163)."""
+    both_inf = (l <= -BIG_BOUND) & (u >= BIG_BOUND)
+    toward_upper = (x - l) < (u - x)
+    d = jnp.where(
+        both_inf,
+        0.0,
+        jnp.where(
+            toward_upper,
+            jnp.minimum(1.0, u - x),
+            jnp.maximum(-1.0, l - x),
+        ),
+    )
+    return jnp.where(mask, d, 0.0)
+
+
+def _max_step(l, x, u, g, mask):
+    """Masked ratio test (max-step, :120-133): largest t with l <= x+tg <= u.
+
+    Each ratio is clamped at >= 0: a negative ratio means x already sits
+    (microscopically) outside the box in that coordinate, and any positive
+    step would worsen it — the reference's sequential min never sees this
+    because it asserts slacks positive and dies instead.
+    """
+    inf = jnp.asarray(np.inf, dtype=x.dtype)
+    step = jnp.where(
+        g == 0,
+        inf,
+        jnp.maximum(jnp.where(g < 0, (l - x) / g, (u - x) / g), 0.0),
+    )
+    step = jnp.where(mask, step, inf)
+    return jnp.min(step)
+
+
+def _project(lp: DeviceLP, scale, c_dir, refine_steps):
+    """min ||x + [scale]c||  s.t. A[scale]x = 0  (project, :98-116).
+
+    Returns (dg, ok): dg = sc - (AD)ᵀ N⁻¹ (AD) sc with sc = -scale*c and
+    N = (AD)(AD)ᵀ, computed via ops.dense.solve_normal (one MXU Cholesky
+    + dd refinement — the cholmod-factorize/solve2 hot spot of §3.1).
+    """
+    sc = -(scale * c_dir)
+    AD = lp.A * scale[None, :]
+    v = AD @ sc
+    boost = (~lp.row_mask).astype(lp.A.dtype)
+    y, ok = dense_ops.solve_normal(lp.A, scale, v, row_boost=boost, refine_steps=refine_steps)
+    dg = sc - AD.T @ y
+    return jnp.where(lp.col_mask, dg, 0.0), ok
+
+
+def _residual(lp: DeviceLP, x):
+    return lp.b - lp.A @ x
+
+
+def _scaling_step(state: AffineState, centering, cfg: AffineConfig):
+    """one-affine-scaling-iteration (:165-207) minus the recursion; returns
+    (new_x, continue, status, step_norm_g, norm_dg, descent, ok)."""
+    lp = state.lp
+    x = state.x
+    slack = _slack(lp.l, x, lp.u, cfg.max_slack, lp.col_mask)
+    c_dir = jax.lax.cond(
+        centering,
+        lambda: _centering_direction(lp.l, x, lp.u, lp.col_mask),
+        lambda: lp.c,
+    )
+    dg, ok = _project(lp, slack, c_dir, cfg.refine_steps)
+    g = dg * slack
+    step = cfg.gamma * _max_step(lp.l, x, lp.u, g, lp.col_mask)
+    norm_g = jnp.linalg.norm(g)
+    norm_dg = jnp.linalg.norm(dg)
+    descent = jnp.dot(g, lp.c)
+    unbounded = step > cfg.unbounded_step
+    new_x = x + jnp.minimum(step, cfg.unbounded_step) * g
+    new_x = _into_interior(new_x, lp.l, lp.u, lp.col_mask)
+    return new_x, ok, unbounded, step, norm_g, norm_dg, descent
+
+
+def _optimize_iteration(state: AffineState, centering, cfg: AffineConfig):
+    """The optimize/recenter path with the stall-retry: when a non-centering
+    step stalls (step*||g|| < tol), retry once as a centering step (:200-204)."""
+    lp = state.lp
+    x0 = state.x
+    new_x, ok, unbounded, step, norm_g, norm_dg, descent = _scaling_step(
+        state, centering, cfg
+    )
+
+    n_rows = jnp.asarray(x0.shape[0], dtype=x0.dtype)
+    converged_dir = norm_dg < jnp.minimum(cfg.direction_tol, 1e-8 * n_rows)
+    not_descent = descent > 0
+    stalled = (step * norm_g) < cfg.step_tol
+
+    def handle_non_centering():
+        # Early exits only apply to optimize steps (:192-199).
+        stop = converged_dir | not_descent
+
+        def retry_centering():
+            # " ... " retry (:200-204): redo the iteration as centering.
+            rx, rok, runb, *_ = _scaling_step(state, jnp.asarray(True), cfg)
+            return rx, rok, runb, jnp.asarray(True)
+
+        def accept():
+            return new_x, ok, unbounded, jnp.asarray(True)
+
+        def stopped():
+            return x0, ok, unbounded, jnp.asarray(False)
+
+        return jax.lax.cond(
+            stop,
+            stopped,
+            lambda: jax.lax.cond(stalled, retry_centering, accept),
+        )
+
+    def handle_centering():
+        return new_x, ok, unbounded, jnp.asarray(True)
+
+    rx, rok, runb, cont = jax.lax.cond(
+        centering, handle_centering, handle_non_centering
+    )
+    # A singular projection aborts (:178-181).
+    cont = cont & rok
+    status = jnp.where(
+        ~rok,
+        Status.SINGULAR,
+        jnp.where(runb, Status.UNBOUNDED, Status.RUNNING),
+    ).astype(jnp.int32)
+    rx = jnp.where(rok & ~runb, rx, x0)
+    return rx, cont, status
+
+
+def _repair_iteration(state: AffineState, residual, cfg: AffineConfig):
+    """Least-squares step back toward Ax = b (one-repair-iteration, :226-243):
+    dg = (AD)ᵀ N⁻¹ r, step = gamma * min(max-step, 1/gamma)."""
+    lp = state.lp
+    x = state.x
+    slack = _slack(lp.l, x, lp.u, np.sqrt(cfg.max_slack), lp.col_mask)
+    AD = lp.A * slack[None, :]
+    boost = (~lp.row_mask).astype(lp.A.dtype)
+    y, ok = dense_ops.solve_normal(
+        lp.A, slack, residual, row_boost=boost, refine_steps=cfg.refine_steps
+    )
+    dg = jnp.where(lp.col_mask, AD.T @ y, 0.0)
+    g = dg * slack
+    step = cfg.gamma * jnp.minimum(
+        _max_step(lp.l, x, lp.u, g, lp.col_mask), 1.0 / cfg.gamma
+    )
+    new_x = jnp.where(ok, _into_interior(x + step * g, lp.l, lp.u, lp.col_mask), x)
+    status = jnp.where(ok, Status.RUNNING, Status.SINGULAR).astype(jnp.int32)
+    return new_x, jnp.asarray(True) & ok, status
+
+
+def affine_scaling(
+    state: AffineState,
+    config: Optional[AffineConfig] = None,
+) -> SolveResult:
+    """The driver loop (affine-scaling, :265-297) as lax.while_loop.
+
+    The symbolic-analysis-once / numeric-factor-per-iteration split
+    (cholmod-analyze at :271) is XLA's jit cache here: the factorization
+    graph is compiled once and re-executed with recycled buffers.
+    """
+    cfg = config or AffineConfig()
+    return _affine_scaling_jit(state, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _affine_scaling_jit(state: AffineState, cfg: AffineConfig) -> SolveResult:
+    lp = state.lp
+    m_real = jnp.asarray(lp.m, dtype=lp.A.dtype)
+
+    def body(carry):
+        x, i, _cont, _status = carry
+        st = AffineState(x=x, lp=lp)
+        residual = _residual(lp, x)
+        norm = jnp.linalg.norm(residual)
+        needs_repair = norm > cfg.residual_tol * m_real
+        centering = (i + 1) % cfg.recenter_every == 0  # driver :283
+
+        new_x, cont, status = jax.lax.cond(
+            needs_repair,
+            lambda: _repair_iteration(st, residual, cfg),
+            lambda: _optimize_iteration(st, centering, cfg),
+        )
+        return new_x, i + 1, cont, status
+
+    def cond(carry):
+        x, i, cont, status = carry
+        norm = jnp.linalg.norm(_residual(lp, x))
+        # Driver stop (:284-291): stop when the last iteration said stop AND
+        # the iterate is feasible; also stop on fatal status or max iters.
+        keep_going = cont | (norm > cfg.residual_tol * m_real)
+        fatal = (status != Status.RUNNING)
+        return keep_going & ~fatal & (i < cfg.max_iters)
+
+    x0 = state.x
+    x, iters, cont, status = jax.lax.while_loop(
+        cond, body, (x0, jnp.asarray(0, jnp.int32), jnp.asarray(True), jnp.asarray(Status.RUNNING, jnp.int32))
+    )
+    resid = jnp.linalg.norm(_residual(lp, x))
+    feasible = resid <= cfg.residual_tol * m_real
+    final_status = jnp.where(
+        status != Status.RUNNING,
+        status,
+        jnp.where(
+            feasible & ~cont,
+            Status.OPTIMAL,
+            jnp.where(iters >= cfg.max_iters, Status.MAX_ITERS, Status.OPTIMAL),
+        ),
+    ).astype(jnp.int32)
+    return SolveResult(
+        x=x,
+        objective=jnp.dot(x, lp.c),
+        status=final_status,
+        iterations=iters,
+        residual_norm=resid,
+        extra={},
+    )

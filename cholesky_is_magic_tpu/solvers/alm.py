@@ -1,0 +1,330 @@
+"""Augmented Lagrangian Method outer loops over the APPROX inner solver.
+
+Reference: alm-approx.lisp §2.10 — all four outer-loop variants:
+
+- :func:`alm`             — the production driver (alm, :539-561) over
+  :func:`alm_iteration2`  (adaptive mu from the violation-improvement
+  ratio, clamped multipliers, :493-537);
+- :func:`alm_iteration`   — the v1 LANCELOT-style minor/major schedule
+  (:451-491);
+- :func:`aalm`            — Nesterov-extrapolated multipliers (:563-610;
+  the reference notes it is "not very good" — kept for parity);
+- :func:`adcd`            — the experimental alternating direction variant
+  (:612-656) with its staged mu escalation.
+
+The whole ALM loop (outer multiplier updates + inner APPROX while_loop) is
+one jitted computation: the subproblem "rebuild" (fold lambdaᵀA into the
+linear term, sqrt(mu) into the quad scales — make-alm-subproblem
+:355-401) is plain array arithmetic, so no host round-trips are needed
+anywhere.  Multiplier sign bounds come from the row types
+(make-alm, :427-449).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cholesky_is_magic_tpu.ingest.device import DeviceLP
+from cholesky_is_magic_tpu.ingest.standard_form import StandardForm
+from cholesky_is_magic_tpu.solvers.approx import (
+    ApproxProblem,
+    approx,
+    _approx_jit,
+    dual_value,
+    make_alm_subproblem,
+    project_box,
+    quad_violations,
+)
+
+BIG = 1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class ALMConfig:
+    mu0: float = 10.0  # initial penalty (make-alm :427)
+    mu_max: float = 1e7  # cap (:529; v1 uses 1e6 at :485)
+    violation_tol: float = 1e-5  # outer stop (:556)
+    pg_tol: float = 1e-5  # outer stop (:557)
+    omega_floor: float = 1e-6  # inner-accuracy floor (:505,531)
+    inner_iters: int = 1_000_000  # approx budget per outer step (:503)
+    max_outer: int = 10_000  # (:546)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["lp", "mu", "omega", "nu", "multipliers", "mult_l", "mult_u"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class ALMState:
+    """alm-state (:411-419) + the multiplier clamp bounds."""
+
+    lp: DeviceLP
+    mu: jax.Array
+    omega: jax.Array
+    nu: jax.Array
+    multipliers: jax.Array  # (M,)
+    mult_l: jax.Array  # (M,) lower clamp (0 for '<=' rows)
+    mult_u: jax.Array  # (M,) upper clamp (0 for '>=' rows)
+
+
+def make_alm(
+    lp: DeviceLP,
+    mu: float = 10.0,
+    multipliers: Optional[jax.Array] = None,
+) -> ALMState:
+    """make-alm (:427-449): multiplier sign bounds from row types — lambda
+    >= 0 on '<=' rows, <= 0 on '>=' rows, free on equalities; padded rows
+    pinned at 0."""
+    dtype = lp.A.dtype
+    low = jnp.where(lp.row_type == StandardForm.ROW_LE, 0.0, -BIG)
+    high = jnp.where(lp.row_type == StandardForm.ROW_GE, 0.0, BIG)
+    low = jnp.where(lp.row_mask, low, 0.0).astype(dtype)
+    high = jnp.where(lp.row_mask, high, 0.0).astype(dtype)
+    mu = jnp.asarray(mu, dtype)
+    return ALMState(
+        lp=lp,
+        mu=mu,
+        omega=1.0 / mu,
+        nu=(1.0 / mu) ** 0.1,
+        multipliers=(
+            multipliers
+            if multipliers is not None
+            else jnp.zeros(lp.b.shape, dtype)
+        ),
+        mult_l=low,
+        mult_u=high,
+    )
+
+
+class ALMResult(NamedTuple):
+    x: jax.Array
+    multipliers: jax.Array
+    violation: jax.Array  # inf-norm of constraint violation
+    pg: jax.Array  # final inner projected-gradient norm
+    value: jax.Array  # dual value at the solution
+    outer_iterations: jax.Array
+    inner_iterations: jax.Array  # *approx-iterations* total (:540)
+
+
+def _iteration2(state: ALMState, x, precision, has_x, cfg: ALMConfig):
+    """alm-iteration2 (:493-537): solve the subproblem, update clamped
+    multipliers, adapt mu from the violation-improvement ratio."""
+    prob = make_alm_subproblem(state.lp, state.multipliers, state.mu)
+    viol0 = jnp.linalg.norm(quad_violations(prob, x))
+    res = _approx_jit(prob, project_box(prob, x), precision, cfg.inner_iters)
+    viol = quad_violations(prob, res.x)
+    viol2 = jnp.linalg.norm(viol)
+    value = dual_value(prob, res.x)
+    improvement = viol2 / jnp.maximum(viol0, 1e-300)
+    lam = jnp.clip(
+        state.multipliers + state.mu * viol, state.mult_l, state.mult_u
+    )
+    growth = jnp.where(
+        has_x, jnp.maximum(1.0, jnp.minimum(2.0 * improvement, 2.0)), 1.0
+    )
+    mu = jnp.minimum(state.mu * growth, cfg.mu_max)
+    new_state = dataclasses.replace(
+        state,
+        multipliers=lam,
+        mu=mu,
+        nu=mu ** -0.1,
+        omega=jnp.maximum(1.0 / mu, cfg.omega_floor),
+    )
+    return new_state, res, viol, value
+
+
+def alm(
+    state: ALMState,
+    x0: Optional[jax.Array] = None,
+    config: Optional[ALMConfig] = None,
+) -> ALMResult:
+    """The driver (alm, :539-561): outer stop at inf-norm violation and
+    projected gradient both below 1e-5, with the monotone accuracy
+    tightening schedule."""
+    cfg = config or ALMConfig()
+    n_cols = state.lp.c.shape[0]
+    dtype = state.lp.A.dtype
+    x_init = x0 if x0 is not None else jnp.zeros(n_cols, dtype)
+    return _alm_jit(state, x_init, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _alm_jit(state: ALMState, x_init, cfg: ALMConfig) -> ALMResult:
+    dtype = x_init.dtype
+    inf = jnp.asarray(np.inf, dtype)
+
+    def body(carry):
+        st, x, accuracy, i, _v, _pg, _val, inner = carry
+        precision = jnp.minimum(accuracy, st.omega)
+        st2, res, viol, value = _iteration2(st, x, precision, i > 0, cfg)
+        v = jnp.max(jnp.abs(viol))
+        accuracy = jnp.minimum(accuracy, jnp.maximum(cfg.violation_tol, v))
+        accuracy = jnp.where(v < cfg.violation_tol, cfg.violation_tol, accuracy)
+        return (st2, res.x, accuracy, i + 1, v, res.pg, value, inner + res.iterations)
+
+    def cond(carry):
+        _st, _x, _acc, i, v, pg, _val, _inner = carry
+        return ((v > cfg.violation_tol) | (pg > cfg.pg_tol)) & (i < cfg.max_outer)
+
+    st, x, _acc, iters, v, pg, value, inner = jax.lax.while_loop(
+        cond,
+        body,
+        (state, x_init, inf, jnp.asarray(0, jnp.int32), inf, inf, inf,
+         jnp.asarray(0, jnp.int32)),
+    )
+    return ALMResult(
+        x=x,
+        multipliers=st.multipliers,
+        violation=v,
+        pg=pg,
+        value=value,
+        outer_iterations=iters,
+        inner_iterations=inner,
+    )
+
+
+def alm_iteration(state: ALMState, x, precision=None, cfg: Optional[ALMConfig] = None):
+    """The v1 LANCELOT-style minor/major update (alm-iteration, :451-491):
+    minor step (multipliers only, tighter nu/omega) when ||viol|| < nu,
+    major step (mu *= 1.5) otherwise.  Host-callable single outer step."""
+    cfg = cfg or ALMConfig()
+    prob = make_alm_subproblem(state.lp, state.multipliers, state.mu)
+    prec = precision if precision is not None else jnp.maximum(state.omega, 1e-5)
+    res = approx(prob, cfg.inner_iters, x, prec)
+    viol = quad_violations(prob, res.x)
+    viol2 = jnp.linalg.norm(viol)
+    value = dual_value(prob, res.x)
+    lam = state.multipliers + state.mu * viol
+    minor = viol2 < state.nu
+
+    def minor_update():
+        return dataclasses.replace(
+            state,
+            multipliers=lam,
+            nu=state.nu / state.mu**0.9,
+            omega=jnp.maximum(state.omega / state.mu, 1e-5),
+        )
+
+    def major_update():
+        mu = jnp.minimum(1.5 * state.mu, 1e6)
+        return dataclasses.replace(
+            state,
+            multipliers=lam,
+            mu=mu,
+            nu=mu ** -0.1,
+            omega=jnp.maximum(1.0 / mu, 1e-5),
+        )
+
+    new_state = jax.lax.cond(minor, minor_update, major_update)
+    return new_state, res.x, viol, value
+
+
+def _next_extrapolation(weight):
+    # next-extrapolation (:563-564).
+    return 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * weight * weight))
+
+
+def aalm(
+    state: ALMState,
+    x0: Optional[jax.Array] = None,
+    config: Optional[ALMConfig] = None,
+) -> ALMResult:
+    """Accelerated ALM (aalm, :579-610): Nesterov extrapolation on the
+    multiplier sequence.  Kept for parity; the reference notes it under-
+    performs plain alm (:578)."""
+    cfg = config or ALMConfig()
+    dtype = state.lp.A.dtype
+    x_init = x0 if x0 is not None else jnp.zeros(state.lp.c.shape, dtype)
+    return _aalm_jit(state, x_init, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _aalm_jit(state: ALMState, x_init, cfg: ALMConfig) -> ALMResult:
+    dtype = x_init.dtype
+    inf = jnp.asarray(np.inf, dtype)
+
+    def extrapolate(weight, prev, accelerated, current):
+        nxt = _next_extrapolation(weight)
+        vanilla = (weight - 1.0) / nxt
+        accel = weight / nxt
+        return current + vanilla * (current - prev) + accel * (current - accelerated)
+
+    def body(carry):
+        st, x, accuracy, i, _v, _pg, _val, inner, prev_mult, weight = carry
+        prev_accel = st.multipliers
+        precision = jnp.minimum(accuracy, st.omega)
+        st2, res, viol, value = _iteration2(st, x, precision, i > 0, cfg)
+        v = jnp.max(jnp.abs(viol))
+        accuracy = jnp.minimum(accuracy, jnp.maximum(1e-6, v))
+        accuracy = jnp.where(v < cfg.violation_tol, 1e-6, accuracy)
+        new_mult = extrapolate(weight, prev_mult, prev_accel, st2.multipliers)
+        st3 = dataclasses.replace(st2, multipliers=new_mult)
+        return (
+            st3, res.x, accuracy, i + 1, v, res.pg, value,
+            inner + res.iterations, st2.multipliers, _next_extrapolation(weight),
+        )
+
+    def cond(carry):
+        _st, _x, _acc, i, v, pg, val, _inner, _pm, _w = carry
+        return (
+            (v > cfg.violation_tol)
+            | ((pg > cfg.pg_tol) & (pg > 2e-6 * (1.0 + jnp.abs(val))))
+        ) & (i < cfg.max_outer)
+
+    one = jnp.asarray(1.0, dtype)
+    st, x, _acc, iters, v, pg, value, inner, _pm, _w = jax.lax.while_loop(
+        cond,
+        body,
+        (state, x_init, inf, jnp.asarray(0, jnp.int32), inf, inf, inf,
+         jnp.asarray(0, jnp.int32), state.multipliers, one),
+    )
+    return ALMResult(
+        x=x, multipliers=st.multipliers, violation=v, pg=pg, value=value,
+        outer_iterations=iters, inner_iterations=inner,
+    )
+
+
+def adcd_iteration(state: ALMState, x, has_x, cfg: Optional[ALMConfig] = None):
+    """The experimental alternating-direction variant (adcd-iteration,
+    :612-656): short inner solves far from feasibility, staged mu
+    escalation, done when pg < 1e-2 and ||viol|| < 1e-2.
+
+    Returns (new_state, x, done).  The 10000-vs-100 inner budget switch is
+    data-dependent; both branches run under lax.cond."""
+    cfg = cfg or ALMConfig()
+    prob = make_alm_subproblem(state.lp, state.multipliers, state.mu)
+    viol_x = jnp.linalg.norm(quad_violations(prob, x))
+    close = has_x & (viol_x < 5e-2)
+    x0 = project_box(prob, x)
+    acc = jnp.asarray(1e-2, x0.dtype)
+    res = jax.lax.cond(
+        close,
+        lambda: _approx_jit(prob, x0, acc, 10_000),
+        lambda: _approx_jit(prob, x0, acc, 100),
+    )
+    viol = quad_violations(prob, res.x)
+    viol2 = jnp.linalg.norm(viol)
+    out_close = res.pg < 5e-2
+    almost = viol2 < 5e-2
+    done = (res.pg < 1e-2) & (viol2 < 1e-2)
+    weight = jnp.where(out_close, 1.0, 0.5) * state.mu
+    lam = state.multipliers + weight * viol
+    mu = jnp.minimum(
+        1e6,
+        state.mu * jnp.where(out_close & almost, 1.0, jnp.where(out_close, 10.0, 1.0)),
+    )
+    new_state = dataclasses.replace(
+        state,
+        multipliers=lam,
+        mu=mu,
+        nu=mu ** -0.1,
+        omega=1.0 / mu,
+    )
+    return new_state, res.x, done

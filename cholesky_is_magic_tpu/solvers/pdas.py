@@ -1,0 +1,345 @@
+"""Primal-dual affine scaling with the block-eliminated KKT Newton step.
+
+Reference: primal-dual-affine-scaling.lisp.  Preserved feature-for-feature:
+
+- bound clamping to +/-*clamp* = 1e8 (:37-45) and degenerate-interval
+  widening (make-pdas :89-94);
+- primal init from the *unclamped* bounds with the 1e6/1e10 thresholds
+  (:98-107), dual init z, w from sign(c) (:109-118);
+- row equilibration of (A, b) at construction (scale-constraints :50-73);
+- the violation vector (slacks, complementarities w∘su / z∘sl, primal and
+  dual residuals, :135-150);
+- repair iterations when primal infeasibility exceeds 1e-2, including the
+  x >= 1e-4 floor after the step (:268-288);
+- the stalled-step recenter + dual perturbation path (repair flag,
+  :348-366, driver :393);
+- separate primal/dual ratio tests box-step/pos-step (:166-198) and the
+  0.9-damped, capped-at-1 step (:375-379);
+- termination at relative duality gap < 1e-4 (:394).
+
+The KKT Newton direction is kkt.newton.solve_kkt_newton — one MXU
+normal-equations Cholesky per iteration (the reference re-analyzes CHOLMOD
+from scratch each call, sparse-cholesky.lisp:506-522; under jit the
+compiled factorization graph is reused, strictly better).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cholesky_is_magic_tpu.ingest.device import DeviceLP
+from cholesky_is_magic_tpu.kkt.newton import dense_kkt_operator, solve_kkt_newton
+from cholesky_is_magic_tpu.ops import dense as dense_ops
+from cholesky_is_magic_tpu.solvers.affine import (
+    _centering_direction,
+    _into_interior,
+    _max_step,
+    _slack,
+)
+from cholesky_is_magic_tpu.solvers.result import SolveResult, Status
+
+
+@dataclasses.dataclass(frozen=True)
+class PDASConfig:
+    clamp: float = 1e8  # *clamp* (:37)
+    gamma: float = 0.9  # step damping (:377)
+    gap_tol: float = 1e-4  # driver stop (:394)
+    primal_feasible_tol: float = 1e-2  # repair trigger (:333)
+    stall_step: float = 1e-6  # repair-flag trigger (:393)
+    repair_floor: float = 1e-4  # x floor after repair (:285-287)
+    repair_slack_cap: float = 1e4  # slack cap in repair/recenter (:273,354)
+    max_iters: int = 300
+    refine_steps: int = 1
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["x", "y", "w", "z", "lp"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class PDASState:
+    x: jax.Array  # primal
+    y: jax.Array  # equality duals
+    w: jax.Array  # upper-bound duals (> 0)
+    z: jax.Array  # lower-bound duals (> 0)
+    lp: DeviceLP  # with clamped/widened bounds and equilibrated (A, b)
+
+
+def make_pdas(lp: DeviceLP, config: Optional[PDASConfig] = None) -> PDASState:
+    """Construct the primal-dual state (make-pdas, :75-133)."""
+    cfg = config or PDASConfig()
+    mask = lp.col_mask
+
+    # Row equilibration (scale-constraints, :50-73) on the padded arrays:
+    # padded rows have max|a| = 0 < 1e-6 -> scale 1.
+    row_max = jnp.max(jnp.abs(lp.A), axis=1)
+    scale = jnp.where(row_max < 1e-6, 1.0, 1.0 / jnp.where(row_max == 0, 1.0, row_max))
+    A = lp.A * scale[:, None]
+    b = lp.b * scale
+
+    raw_l, raw_u = lp.l, lp.u  # +/-1e30-encoded "infinities"
+    l = jnp.clip(raw_l, -cfg.clamp, cfg.clamp)
+    u = jnp.clip(raw_u, -cfg.clamp, cfg.clamp)
+    degenerate = mask & ((u - l) < 1e-6)
+    l = jnp.where(degenerate, l - 5e-7, l)
+    u = jnp.where(degenerate, u + 5e7, u)
+    l = jnp.where(mask, l, lp.l)
+    u = jnp.where(mask, u, lp.u)
+
+    # Primal init from the raw bounds (:98-107; thresholds 1e10 then 1e6).
+    delta = raw_u - raw_l
+    x = jnp.where(
+        (raw_l < -1e10) & (raw_u > 1e10),
+        0.0,
+        jnp.where(
+            raw_l < -1e6,
+            raw_u - jnp.minimum(delta / 2, 1.0 + 0.1 * jnp.abs(raw_u)),
+            jnp.where(
+                raw_u > 1e6,
+                raw_l + jnp.minimum(delta / 2, 1.0 + 0.1 * jnp.abs(raw_l)),
+                (raw_l + raw_u) / 2,
+            ),
+        ),
+    )
+    x = jnp.where(mask, x, 0.0)
+
+    # Dual init from sign(c) (:109-118); padded cols have c = 0 -> (1, 1).
+    c = lp.c
+    z = jnp.where(c > 0, 1.0 + c, 1.0)
+    w = jnp.where(c < 0, 1.0 - c, 1.0)
+
+    new_lp = dataclasses.replace(lp, A=A, b=b, l=l, u=u)
+    return PDASState(x=x, y=jnp.zeros_like(b), w=w, z=z, lp=new_lp)
+
+
+def _slack_floor(dtype) -> float:
+    """Smallest slack the KKT scaling may see.  The reference *asserts*
+    slacks positive (:323-324) and dies when rounding drives one to zero;
+    flooring at ~eps^1.75 keeps the Newton system finite instead."""
+    return 1e-14 if dtype == jnp.float64 else 1e-7
+
+
+def _violation(state: PDASState):
+    """Slacks, complementarities, primal and dual residuals (:135-150),
+    masked so padded entries are inert (sl = su = 1, rest 0)."""
+    lp = state.lp
+    mask = lp.col_mask
+    floor = _slack_floor(state.x.dtype)
+    sl = jnp.where(mask, jnp.maximum(state.x - lp.l, floor), 1.0)
+    su = jnp.where(mask, jnp.maximum(lp.u - state.x, floor), 1.0)
+    wu = jnp.where(mask, state.w * su, 0.0)
+    zl = jnp.where(mask, state.z * sl, 0.0)
+    primal = lp.A @ state.x - lp.b
+    dual = jnp.where(mask, (lp.A.T @ state.y + state.z) - (state.w + lp.c), 0.0)
+    return sl, su, wu, zl, primal, dual
+
+
+def _objectives(state: PDASState, clamp: float = 1e8):
+    """pobj = c·x; dobj = b·y + l·z - u·w (:325-328).
+
+    Bounds at the +/-clamp encoding of infinity contribute nothing: the
+    true dual of an infinite bound has no such term (its multiplier must
+    be 0; the KKT filter already treats those bounds as absent).  The
+    reference includes them (with w, z held near 0 by filtering), which
+    pins the duality gap whenever a recenter perturbation re-inflates a
+    clamped bound's multiplier — this is the clear-step repair the
+    reference wrote but left disabled (:209-221, :374), done properly.
+    """
+    lp = state.lp
+    mask = lp.col_mask
+    pobj = jnp.dot(state.x, lp.c)
+    z_active = mask & (lp.l > -0.999 * clamp)
+    w_active = mask & (lp.u < 0.999 * clamp)
+    dobj = (
+        jnp.dot(lp.b, state.y)
+        + jnp.sum(jnp.where(z_active, lp.l * state.z, 0.0))
+        - jnp.sum(jnp.where(w_active, lp.u * state.w, 0.0))
+    )
+    return pobj, dobj
+
+
+def _box_step(sl, su, dx):
+    """Largest t with slacks staying positive under x -= t*dx (:166-180).
+    Ratios clamp at >= 0 (see affine._max_step for why)."""
+    inf = jnp.asarray(np.inf, dtype=dx.dtype)
+    lim = jnp.where(
+        dx > 0, sl / dx, jnp.where(dx < 0, su / (-dx), inf)
+    )
+    return jnp.min(jnp.maximum(lim, 0.0))
+
+
+def _pos_step(v, dv):
+    """Largest t with v - t*dv >= 0 (:182-192)."""
+    inf = jnp.asarray(np.inf, dtype=dv.dtype)
+    lim = jnp.where(dv > 0, v / dv, inf)
+    return jnp.min(jnp.maximum(lim, 0.0))
+
+
+def _repair(state: PDASState, cfg: PDASConfig):
+    """one-repair-iteration (:268-288): min-norm LS step toward Ax = b,
+    then nudge x into the interior.
+
+    The reference floors every component at literally 1e-4 (:285-287),
+    which assumes the x >= 0 standard forms it was run on; for variables
+    whose feasible box lies below 1e-4 that floor re-breaks Ax = b every
+    repair pass.  The TPU build keeps the intent (stay off the lower
+    boundary) but respects the box: x >= min(l + 1e-4, u), which reduces
+    to the reference's floor exactly when l = 0."""
+    lp = state.lp
+    x = state.x
+    slack = _slack(lp.l, x, lp.u, cfg.repair_slack_cap, lp.col_mask)
+    residual = lp.b - lp.A @ x
+    boost = (~lp.row_mask).astype(lp.A.dtype)
+    yv, ok = dense_ops.solve_normal(
+        lp.A, slack, residual, row_boost=boost, refine_steps=cfg.refine_steps
+    )
+    dg = jnp.where(lp.col_mask, (lp.A * slack[None, :]).T @ yv, 0.0)
+    g = dg * slack
+    step = cfg.gamma * jnp.minimum(
+        _max_step(lp.l, x, lp.u, g, lp.col_mask), 1.0 / cfg.gamma
+    )
+    floor = jnp.minimum(lp.l + cfg.repair_floor, lp.u)
+    new_x = jnp.where(
+        lp.col_mask, jnp.maximum(x + step * g, floor), x
+    )
+    new_x = _into_interior(new_x, lp.l, lp.u, lp.col_mask)
+    return jnp.where(ok, new_x, x), ok
+
+
+def _recenter(state: PDASState, cfg: PDASConfig):
+    """The repair-flag path (:348-366): perturb duals by 1e-4 and take a
+    damped centering step from primal-project."""
+    lp = state.lp
+    mask = lp.col_mask.astype(state.w.dtype)
+    w = state.w + 1e-4 * mask
+    z = state.z + 1e-4 * mask
+    x = state.x
+    slack = _slack(lp.l, x, lp.u, cfg.repair_slack_cap, lp.col_mask)
+    c_dir = _centering_direction(lp.l, x, lp.u, lp.col_mask)
+    sc = -(slack * c_dir)
+    AD = lp.A * slack[None, :]
+    boost = (~lp.row_mask).astype(lp.A.dtype)
+    proj, ok = dense_ops.solve_normal(
+        lp.A, slack, AD @ sc, row_boost=boost, refine_steps=cfg.refine_steps
+    )
+    dx = jnp.where(lp.col_mask, sc - AD.T @ proj, 0.0) * slack
+    step = 0.5 * _max_step(lp.l, x, lp.u, dx, lp.col_mask)
+    new_x = jnp.where(ok, _into_interior(x + step * dx, lp.l, lp.u, lp.col_mask), x)
+    return new_x, w, z, ok
+
+
+def pdas(state: PDASState, config: Optional[PDASConfig] = None) -> SolveResult:
+    """The driver (pdas, :385-396): iterate until relative duality gap
+    < 1e-4, arming the recenter path whenever the step stalls below 1e-6."""
+    cfg = config or PDASConfig()
+    return _pdas_jit(state, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _pdas_jit(state: PDASState, cfg: PDASConfig) -> SolveResult:
+    lp = state.lp
+
+    def one_iteration(st: PDASState, repair_flag):
+        """one-pdas-iteration (:319-383). Returns (new_st, gap, step, ok)."""
+        sl, su, wu, zl, primal, dual = _violation(st)
+        pobj, dobj = _objectives(st)
+        gap = jnp.abs(pobj - dobj) / jnp.maximum(
+            jnp.maximum(jnp.abs(pobj), jnp.abs(dobj)), 1.0
+        )
+        primal_infeasible = jnp.max(jnp.abs(primal)) >= cfg.primal_feasible_tol
+
+        def do_repair():
+            new_x, ok = _repair(st, cfg)
+            return (
+                dataclasses.replace(st, x=new_x),
+                gap,
+                jnp.asarray(np.inf, dtype=new_x.dtype),  # no Newton step taken
+                ok,
+            )
+
+        def do_recenter():
+            new_x, w, z, ok = _recenter(st, cfg)
+            return (
+                dataclasses.replace(st, x=new_x, w=w, z=z),
+                gap,
+                jnp.asarray(np.inf, dtype=new_x.dtype),
+                ok,
+            )
+
+        def do_newton():
+            boost = (~lp.row_mask).astype(lp.A.dtype)
+            op = dense_kkt_operator(lp.A, row_boost=boost, refine_steps=cfg.refine_steps)
+            d = solve_kkt_newton(sl, su, st.w, st.z, op, wu, zl, primal, dual)
+            # Ratio tests on the TRUE slacks (not the KKT-scaling floored
+            # ones): a floored slack would let x cross its bound.
+            sl_t = jnp.where(lp.col_mask, st.x - lp.l, 1.0)
+            su_t = jnp.where(lp.col_mask, lp.u - st.x, 1.0)
+            step = jnp.minimum(
+                _box_step(sl_t, su_t, d.dx),
+                jnp.minimum(_pos_step(st.w, d.dw), _pos_step(st.z, d.dz)),
+            )
+            t = jnp.minimum(1.0, cfg.gamma * step)
+            new = dataclasses.replace(
+                st,
+                w=st.w - t * d.dw,
+                x=_into_interior(st.x - t * d.dx, lp.l, lp.u, lp.col_mask),
+                y=st.y - t * d.dy,
+                z=st.z - t * d.dz,
+            )
+            return new, gap, step, d.ok
+
+        return jax.lax.cond(
+            primal_infeasible,
+            do_repair,
+            lambda: jax.lax.cond(repair_flag, do_recenter, do_newton),
+        )
+
+    def body(carry):
+        st, i, repair_flag, prev_gap, bad_count, _status = carry
+        new_st, gap, step, ok = one_iteration(st, repair_flag)
+        stalled = jnp.isfinite(step) & (step < cfg.stall_step)  # :393
+        # Divergence detector (TPU-build safeguard beyond the reference):
+        # pure affine primal-dual steps can oscillate with growing gap at
+        # degenerate vertices without ever stalling; after 4 consecutive
+        # gap increases, arm the same recenter + dual-perturbation path the
+        # reference uses for stalls.
+        grew = jnp.isfinite(step) & (gap > prev_gap)
+        bad_count = jnp.where(grew, bad_count + 1, 0)
+        new_repair = stalled | (bad_count >= 4)
+        bad_count = jnp.where(new_repair, 0, bad_count)
+        status = jnp.where(ok, Status.RUNNING, Status.SINGULAR).astype(jnp.int32)
+        return new_st, i + 1, new_repair, gap, bad_count, status
+
+    def cond(carry):
+        _st, i, _rflag, gap, _badc, status = carry
+        return (gap >= cfg.gap_tol) & (status == Status.RUNNING) & (i < cfg.max_iters)
+
+    init_gap = jnp.asarray(np.inf, dtype=state.x.dtype)
+    st, iters, _rflag2, gap, _badc2, status = jax.lax.while_loop(
+        cond,
+        body,
+        (state, jnp.asarray(0, jnp.int32), jnp.asarray(False), init_gap,
+         jnp.asarray(0, jnp.int32), jnp.asarray(Status.RUNNING, jnp.int32)),
+    )
+    pobj, dobj = _objectives(st)
+    resid = jnp.linalg.norm(lp.A @ st.x - lp.b)
+    final_status = jnp.where(
+        status != Status.RUNNING,
+        status,
+        jnp.where(gap < cfg.gap_tol, Status.OPTIMAL, Status.MAX_ITERS),
+    ).astype(jnp.int32)
+    return SolveResult(
+        x=st.x,
+        objective=pobj,
+        status=final_status,
+        iterations=iters,
+        residual_norm=resid,
+        extra={"gap": gap, "dual_objective": dobj, "y": st.y, "w": st.w, "z": st.z},
+    )

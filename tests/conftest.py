@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config update
+# below is what actually forces the CPU backend for tests.
+jax.config.update("jax_platforms", "cpu")
+
 # The reference is fp64 end-to-end (SURVEY.md §7 "Hard parts"); on CPU we test
 # the x64 path directly.  The TPU path uses f32 + double-word refinement and
 # is exercised by the dtype-parametrized tests.

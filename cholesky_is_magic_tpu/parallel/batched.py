@@ -1,0 +1,69 @@
+"""Batched LP solves: vmap over stacked problems, batch sharded over 'dp'.
+
+The reference solves one LP per Lisp image; the TPU-native batch mode maps
+the *entire jitted solver* (while_loop, lax.cond branches, Cholesky and
+all) over a stacked batch of equal-padded LPs, then shards the batch
+dimension across the mesh.  Since every LP in the batch is independent,
+there is zero cross-chip communication inside the solve — the ideal dp
+workload (BASELINE.json config 5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cholesky_is_magic_tpu.ingest.device import DeviceLP
+from cholesky_is_magic_tpu.solvers.affine import (
+    AffineConfig,
+    AffineState,
+    _affine_scaling_jit,
+)
+from cholesky_is_magic_tpu.solvers.pdas import PDASConfig, PDASState, _pdas_jit
+from cholesky_is_magic_tpu.solvers.result import SolveResult
+
+
+def stack_device_lps(lps: Sequence[DeviceLP]) -> DeviceLP:
+    """Stack equal-shaped padded LPs into one batched DeviceLP pytree."""
+    shapes = {lp.A.shape for lp in lps}
+    assert len(shapes) == 1, f"all LPs must share a padded shape, got {shapes}"
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *lps)
+    # m, n are metadata and must agree (they are the max over the batch in
+    # padded terms; keep per-LP masks for the true sizes).
+    return batched
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _batched_pdas_jit(states: PDASState, cfg: PDASConfig) -> SolveResult:
+    return jax.vmap(lambda s: _pdas_jit(s, cfg))(states)
+
+
+def batched_pdas(states: PDASState, config: Optional[PDASConfig] = None) -> SolveResult:
+    """vmap of the full PDAS while_loop over a batched PDASState."""
+    return _batched_pdas_jit(states, config or PDASConfig())
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _batched_affine_jit(states: AffineState, cfg: AffineConfig) -> SolveResult:
+    return jax.vmap(lambda s: _affine_scaling_jit(s, cfg))(states)
+
+
+def batched_affine(
+    states: AffineState, config: Optional[AffineConfig] = None
+) -> SolveResult:
+    return _batched_affine_jit(states, config or AffineConfig())
+
+
+def shard_batched_pdas(states: PDASState, mesh: Mesh) -> PDASState:
+    """Place a batched PDASState with its batch dimension sharded over the
+    mesh's 'dp' axis (everything else replicated within a dp group)."""
+
+    def shard(leaf):
+        spec = P("dp", *([None] * (leaf.ndim - 1)))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(shard, states)

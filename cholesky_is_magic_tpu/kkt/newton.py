@@ -76,6 +76,30 @@ def dense_kkt_operator(
     )
 
 
+def sparse_kkt_operator(
+    A: jax.Array,
+    engine,
+    row_boost: Optional[jax.Array] = None,
+) -> KKTOperator:
+    """Operator backed by a sparse.BlockSparseCholesky engine — the
+    sparse-newton-solve.lisp backend: same elimination, the normal solve
+    runs the planned block-sparse factorization instead of the dense one.
+
+    ``engine`` is a BlockSparseCholesky built from this A's pattern (the
+    analyze-once step); matvecs stay dense-MXU (A is padded-dense here —
+    an ELL variant plugs in the same way for very sparse A).
+    """
+
+    def solve_scaled_normal(s, g):
+        return engine.solve_normal(A, s, g, row_boost=row_boost)
+
+    return KKTOperator(
+        mv=lambda v: A @ v,
+        rmv=lambda v: A.T @ v,
+        solve_scaled_normal=solve_scaled_normal,
+    )
+
+
 class KKTDeltas(NamedTuple):
     dw: jax.Array
     dx: jax.Array

@@ -1,0 +1,149 @@
+"""Device blocked-sparse Cholesky driven by the symbolic FactorPlan.
+
+The `cholmod_factorize` replacement (SURVEY.md §3.1 INNER HOT SPOT): the
+host symbolic analysis fixed a permutation and the set of structurally
+nonzero 128x128 tiles of L; this module executes exactly that static tile
+schedule on device:
+
+    for each column panel k:             (python loop — static offsets)
+        L[k,k]   = chol(S[k,k])              VPU/MXU   (blocked_cholesky)
+        L[i,k]   = S[i,k] · L[k,k]^-T        MXU TRSM  (only nonzero tiles)
+        S[i,j]  -= L[i,k] · L[j,k]ᵀ          MXU       (only affected tiles)
+
+Tiles the symbolic phase proved zero are never touched — the flop count
+follows nnz(L), not n³, while every executed op is a full 128-wide MXU
+matmul.  Workspace recycling (solve-sparse-recycle,
+sparse-cholesky.lisp:524-560) falls out of jit: one compiled program per
+plan, buffers reused every iteration.
+
+Storage is the padded dense (n_pad, n_pad) square — simple and fast at the
+scales a single chip handles; compressed supernodal storage is the planned
+follow-up for very large factors.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cholesky_is_magic_tpu.ops.pallas_chol import blocked_cholesky, _rsolve_lower_T
+from cholesky_is_magic_tpu.sparse.symbolic import FactorPlan
+
+
+class BlockSparseCholesky:
+    """Reusable factor+solve engine for one sparsity pattern.
+
+    The analyze-once / factorize-per-iteration split of the reference
+    (cholmod-analyze at affine-scaling.lisp:271, cholmod-factorize each
+    iteration) maps to: build this object once per LP, call
+    :meth:`solve_normal` every IPM iteration.
+    """
+
+    def __init__(self, plan: FactorPlan):
+        self.plan = plan
+        B = plan.block_mask.shape[0]
+        self.n_tiles = B
+        mask = plan.block_mask | np.eye(B, dtype=bool)
+        # Panel schedule: for each column panel k, the nonzero sub-diagonal
+        # row tiles, and the (i, j) Schur-update pairs.
+        self.panel_rows = [
+            [i for i in range(k + 1, B) if mask[i, k]] for k in range(B)
+        ]
+        self.updates = []
+        for k in range(B):
+            rows = [k] + self.panel_rows[k]
+            pairs = [
+                (i, j)
+                for i in rows
+                for j in rows
+                if i >= j and i > k and j > k
+            ]
+            self.updates.append(pairs)
+        # Permutation gather indices (padded; padding maps to itself).
+        n_pad = plan.n_padded
+        pperm = np.arange(n_pad)
+        pperm[: plan.n] = plan.perm
+        self.pperm = jnp.asarray(pperm)
+
+    # ---- factorization -------------------------------------------------
+
+    def factorize(self, N_perm: jax.Array) -> jax.Array:
+        """LLᵀ of the (padded, permuted) normal matrix via the tile schedule."""
+        b = self.plan.block
+        B = self.n_tiles
+        S = N_perm
+        L = jnp.zeros_like(N_perm)
+        sl = lambda t: slice(t * b, (t + 1) * b)
+        for k in range(B):
+            Lkk = blocked_cholesky(S[sl(k), sl(k)])
+            L = L.at[sl(k), sl(k)].set(Lkk)
+            cols = {}
+            for i in self.panel_rows[k]:
+                Lik = _rsolve_lower_T(Lkk, S[sl(i), sl(k)])
+                L = L.at[sl(i), sl(k)].set(Lik)
+                cols[i] = Lik
+            cols[k] = None
+            for (i, j) in self.updates[k]:
+                S = S.at[sl(i), sl(j)].add(
+                    -jnp.matmul(
+                        cols[i], cols[j].T, preferred_element_type=S.dtype
+                    )
+                )
+        return L
+
+    def assemble_normal(
+        self,
+        A: jax.Array,
+        d: jax.Array,
+        row_boost: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Permuted N = P (A·D)(A·D)ᵀ Pᵀ (+ boost), padded to the plan size.
+
+        Permuting A's *rows* by plan.perm yields the permuted Gram matrix
+        directly from one MXU matmul (no post-hoc gather of N).
+        """
+        n_pad = self.plan.n_padded
+        m = A.shape[0]
+        if m < n_pad:
+            A = jnp.pad(A, ((0, n_pad - m), (0, 0)))
+            d_pad = d
+            if row_boost is None:
+                row_boost = jnp.zeros(m, A.dtype)
+            row_boost = jnp.pad(
+                row_boost, (0, n_pad - m), constant_values=1.0
+            )
+        Ap = A[self.pperm, :]
+        AD = Ap * d[None, :]
+        N = jnp.matmul(AD, AD.T, preferred_element_type=A.dtype)
+        N = 0.5 * (N + N.T)
+        if row_boost is not None:
+            N = N + jnp.diag(row_boost[self.pperm].astype(N.dtype))
+        return N
+
+    def solve_normal(
+        self,
+        A: jax.Array,
+        d: jax.Array,
+        g: jax.Array,
+        row_boost: Optional[jax.Array] = None,
+    ):
+        """Solve (A·D)(A·D)ᵀ y = g using the planned sparse factorization.
+
+        Returns (y, ok) in the ORIGINAL row order — a drop-in for
+        ops.dense.solve_normal (so it can back a KKTOperator).
+        """
+        n_pad = self.plan.n_padded
+        m = g.shape[0]
+        N = self.assemble_normal(A, d, row_boost)
+        L = self.factorize(N)
+        diag = jnp.diagonal(L)
+        ok = jnp.all(jnp.isfinite(L)) & jnp.all(diag > 0)
+        gp = jnp.pad(g, (0, n_pad - m))[self.pperm]
+        t = jax.scipy.linalg.solve_triangular(L, gp, lower=True)
+        yp = jax.scipy.linalg.solve_triangular(L.T, t, lower=False)
+        y = jnp.zeros_like(yp).at[self.pperm].set(yp)[:m]
+        return jnp.where(ok, y, jnp.zeros_like(y)), ok

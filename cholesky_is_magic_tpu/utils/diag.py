@@ -1,0 +1,101 @@
+"""Diagnostics: factorization reports, checked mode, resource accounting.
+
+The reference's observability is format-to-stdout traces plus CHOLMOD's
+counters (SURVEY.md §5): per-iteration objective/step lines, a one-time
+"AA' nnz/flops, Factor nnz/flops" report (affine-scaling.lisp:273-279),
+the solve-kkt-newton-check runtime verifier (sparse-newton-solve.lisp:
+200-223), and malloc-count/memory-inuse leak checks (:256-258).  The TPU
+equivalents:
+
+- :func:`factor_report` — the same cost report from a FactorPlan;
+- :func:`checked_solve_kkt_newton` — checkify-based runtime verifier that
+  *raises* when a KKT residual exceeds tolerance (the assert analogue);
+- :func:`device_memory_report` / :func:`live_buffer_report` — device-side
+  resource accounting (the CHOLMOD leak-counter analogue: XLA's allocator
+  can't leak per-op, but buffers held alive by Python references can);
+- :func:`nan_debug` — jax_debug_nans toggle, the "sanitizer mode"
+  (SURVEY.md §5 race-detection analog for a numerical code).
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import checkify
+
+from cholesky_is_magic_tpu.kkt import newton as kkt_newton
+
+
+def factor_report(plan) -> str:
+    """The reference's startup cost report (affine-scaling.lisp:273-279):
+
+        AA':    nnz: ...  flops: ...
+        Factor: nnz: ...  flops: ...
+    """
+    aat_flops = 2.0 * plan.nnz_N  # one multiply-add per stored entry per rhs
+    return (
+        f"AA':    nnz: {plan.nnz_N:12.5g} flops: {aat_flops:12.5g}\n"
+        f"Factor: nnz: {plan.nnz_L:12.5g} flops: {plan.flops:12.5g}\n"
+        f"Tiles:  {plan.stats()['nonzero_tiles']}/{plan.stats()['total_tiles']} "
+        f"({plan.block}x{plan.block}), supernodes: {len(plan.snodes)}"
+    )
+
+
+def checked_solve_kkt_newton(sl, su, w, z, op, e, f, g, h, tol: float = 1e-4):
+    """Runtime-verified KKT solve: raises on residual > tol.
+
+    The jit-compatible rendering of solve-kkt-newton-check's asserts
+    (sparse-newton-solve.lisp:200-223) via checkify: the check travels
+    through jit and is raised host-side on materialization.
+    """
+
+    def _solve(sl, su, w, z, e, f, g, h):
+        deltas = kkt_newton.solve_kkt_newton(sl, su, w, z, op, e, f, g, h)
+        res = kkt_newton.kkt_residuals(sl, su, w, z, op, e, f, g, h, deltas)
+        checkify.check(
+            jnp.all(res < tol), "KKT residuals {res} exceed tolerance", res=res
+        )
+        return deltas
+
+    checked = checkify.checkify(_solve)
+    err, deltas = checked(sl, su, w, z, e, f, g, h)
+    err.throw()
+    return deltas
+
+
+def device_memory_report(device=None) -> dict:
+    """Allocator statistics for one device (bytes in use / limits) — the
+    cholmod-get-memory-inuse analogue.  Empty dict when the backend does
+    not expose stats (CPU)."""
+    device = device or jax.devices()[0]
+    try:
+        stats = device.memory_stats()
+    except Exception:
+        stats = None
+    return dict(stats) if stats else {}
+
+
+def live_buffer_report() -> dict:
+    """Count/bytes of live jax arrays held from Python — the malloc-count
+    analogue (a solver that keeps growing this across solves is leaking
+    references)."""
+    arrays = jax.live_arrays()
+    return {
+        "count": len(arrays),
+        "bytes": int(sum(a.nbytes for a in arrays)),
+    }
+
+
+@contextlib.contextmanager
+def nan_debug(enable: bool = True):
+    """Context manager turning on jax_debug_nans (checkify-grade NaN
+    detection on every op — the numerical 'sanitizer' mode)."""
+    prev = jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", enable)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev)

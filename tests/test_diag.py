@@ -1,0 +1,62 @@
+"""Diagnostics subsystem tests (SURVEY.md §5 parity)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from cholesky_is_magic_tpu.kkt import dense_kkt_operator
+from cholesky_is_magic_tpu.sparse import analyze
+from cholesky_is_magic_tpu.utils import diag
+
+
+def test_factor_report_format():
+    rng = np.random.default_rng(0)
+    A = (rng.random((16, 24)) < 0.2) * 1.0
+    A[np.arange(16), np.arange(16)] = 1.0
+    plan = analyze(sp.csc_matrix(A), block=8, use_native=False)
+    report = diag.factor_report(plan)
+    assert "AA':" in report and "Factor:" in report and "nnz" in report
+
+
+def test_checked_kkt_passes_on_good_system():
+    rng = np.random.default_rng(1)
+    m, n = 6, 10
+    A = jnp.asarray(rng.normal(size=(m, n)), jnp.float64)
+    pos = lambda k: jnp.asarray(0.1 + rng.random(k), jnp.float64)
+    op = dense_kkt_operator(A)
+    deltas = diag.checked_solve_kkt_newton(
+        pos(n), pos(n), pos(n), pos(n), op,
+        pos(n), pos(n), jnp.asarray(rng.random(m), jnp.float64), pos(n),
+    )
+    assert bool(deltas.ok)
+
+
+def test_checked_kkt_raises_on_singular():
+    rng = np.random.default_rng(2)
+    m, n = 4, 6
+    A = jnp.zeros((m, n), jnp.float64)  # singular normal matrix
+    one = jnp.ones(n, jnp.float64)
+    op = dense_kkt_operator(A)
+    with pytest.raises(Exception):
+        diag.checked_solve_kkt_newton(
+            one, one, one, one, op, one, one, jnp.ones(m, jnp.float64), one
+        )
+
+
+def test_live_buffer_report():
+    rep = diag.live_buffer_report()
+    assert rep["count"] >= 0 and rep["bytes"] >= 0
+    x = jnp.ones((128, 128))
+    rep2 = diag.live_buffer_report()
+    assert rep2["bytes"] >= rep["bytes"]
+    del x
+
+
+def test_nan_debug_toggles():
+    import jax
+
+    before = jax.config.jax_debug_nans
+    with diag.nan_debug(True):
+        assert jax.config.jax_debug_nans is True
+    assert jax.config.jax_debug_nans == before

@@ -1,0 +1,116 @@
+"""Command-line driver: solve an MPS file with any of the solver families.
+
+The reference is driven from the Lisp REPL (load the files, call
+`affine-scaling` / `pdas` / `alm` by hand — SURVEY.md §1 "user REPL");
+this is the batch equivalent:
+
+    python -m cholesky_is_magic_tpu problem.mps --solver pdas
+    python -m cholesky_is_magic_tpu problem.mps --solver alm --f64 --rescale
+    python -m cholesky_is_magic_tpu problem.mps --report   # symbolic stats
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="cholesky_is_magic_tpu")
+    ap.add_argument("mps", help="path to an MPS file")
+    ap.add_argument(
+        "--solver",
+        choices=["affine", "pdas", "alm", "selfdual"],
+        default="pdas",
+    )
+    ap.add_argument("--f64", action="store_true", help="solve in float64")
+    ap.add_argument("--rescale", action="store_true", help="row-equilibrate (rescale-sf)")
+    ap.add_argument("--max-iters", type=int, default=500)
+    ap.add_argument("--refine-steps", type=int, default=1)
+    ap.add_argument("--pad", type=int, default=128, help="padding multiple")
+    ap.add_argument("--report", action="store_true", help="print the symbolic factorization report")
+    ap.add_argument("--json", action="store_true", help="machine-readable output")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    import cholesky_is_magic_tpu as cim
+    from cholesky_is_magic_tpu.ingest import to_device_lp
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    if args.f64:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    sf = cim.to_standard_form(cim.read_mps_file(args.mps))
+    if args.rescale:
+        cim.rescale_sf(sf)
+    lp = to_device_lp(sf, pad_multiple=args.pad, dtype=dtype)
+
+    if args.report:
+        import scipy.sparse as sp
+
+        from cholesky_is_magic_tpu.sparse import analyze
+        from cholesky_is_magic_tpu.utils import diag
+
+        A = sp.csc_matrix(
+            (sf.a_vals, (sf.a_rows, sf.a_cols)), shape=(sf.ncons, sf.nvars)
+        )
+        print(diag.factor_report(analyze(A, block=args.pad)))
+
+    t0 = time.time()
+    out: dict
+    if args.solver == "affine":
+        from cholesky_is_magic_tpu.solvers import AffineConfig, affine_scaling, make_affine_state
+
+        res = affine_scaling(
+            make_affine_state(lp),
+            AffineConfig(max_iters=args.max_iters, refine_steps=args.refine_steps),
+        )
+        out = dict(status=res.status_name, objective=float(res.objective),
+                   iterations=int(res.iterations), residual=float(res.residual_norm))
+    elif args.solver == "pdas":
+        from cholesky_is_magic_tpu.solvers import PDASConfig, make_pdas, pdas
+
+        res = pdas(
+            make_pdas(lp),
+            PDASConfig(max_iters=args.max_iters, refine_steps=args.refine_steps),
+        )
+        out = dict(status=res.status_name, objective=float(res.objective),
+                   dual_objective=float(res.extra["dual_objective"]),
+                   gap=float(res.extra["gap"]), iterations=int(res.iterations),
+                   residual=float(res.residual_norm))
+    elif args.solver == "alm":
+        from cholesky_is_magic_tpu.solvers import alm, make_alm
+        from cholesky_is_magic_tpu.solvers.alm import ALMConfig
+
+        res = alm(make_alm(lp), config=ALMConfig(max_outer=args.max_iters))
+        out = dict(value=float(res.value), violation=float(res.violation),
+                   pg=float(res.pg), outer_iterations=int(res.outer_iterations),
+                   inner_iterations=int(res.inner_iterations))
+    else:  # selfdual
+        import numpy as np
+
+        from cholesky_is_magic_tpu.solvers.approx import approx, make_approx_selfdual
+
+        prob = make_approx_selfdual(lp, complementarity=True, pad_multiple=args.pad)
+        res = approx(prob, 1_000_000, accuracy=1e-9)
+        x = np.asarray(res.x)[: lp.n]
+        out = dict(objective=float(x @ np.asarray(lp.c)[: lp.n]),
+                   pg=float(res.pg), iterations=int(res.iterations))
+    out["wall_seconds"] = round(time.time() - t0, 3)
+    out["solver"] = args.solver
+
+    if args.json:
+        print(json.dumps(out))
+    else:
+        for k, v in out.items():
+            print(f"{k:>16}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -61,6 +61,50 @@ class DeviceLP:
         return self.A.shape[-2], self.A.shape[-1]
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["E", "c", "b", "l", "u", "row_type"],
+    meta_fields=["m", "n"],
+)
+@dataclasses.dataclass(frozen=True)
+class SparseLP:
+    """Sparse (ELL) device operands for the matrix-free path.
+
+    Unlike DeviceLP there is no padding: the APPROX/ALM solvers are pure
+    gather/scatter + elementwise, so the only static-shape requirement is
+    the ELL slot count.  This is the at-scale operand set: memory follows
+    nnz(A), not m*n.
+    """
+
+    E: object  # ops.sparse_ops.ELLMatrix
+    c: jax.Array  # (n,)
+    b: jax.Array  # (m,)
+    l: jax.Array  # (n,)
+    u: jax.Array  # (n,)
+    row_type: jax.Array  # (m,) int8
+    m: int
+    n: int
+
+
+def to_sparse_lp(sf: StandardForm, *, dtype=jnp.float32, big: float = 1e30) -> SparseLP:
+    """StandardForm -> ELL-backed sparse operands (no padding)."""
+    from cholesky_is_magic_tpu.ops import sparse_ops
+
+    E = sparse_ops.from_coo(
+        sf.a_rows, sf.a_cols, sf.a_vals, (sf.ncons, sf.nvars), dtype=dtype
+    )
+    return SparseLP(
+        E=E,
+        c=jnp.asarray(sf.c, dtype=dtype),
+        b=jnp.asarray(sf.b, dtype=dtype),
+        l=jnp.asarray(np.clip(sf.l, -big, big), dtype=dtype),
+        u=jnp.asarray(np.clip(sf.u, -big, big), dtype=dtype),
+        row_type=jnp.asarray(sf.row_type),
+        m=sf.ncons,
+        n=sf.nvars,
+    )
+
+
 def to_device_lp(
     sf: StandardForm,
     *,

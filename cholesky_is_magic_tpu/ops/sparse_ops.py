@@ -19,16 +19,23 @@ density drops well below ~5-10%; see ops/__init__ notes).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-class ELLMatrix(NamedTuple):
-    """Row-padded sparse matrix (ELLPACK layout)."""
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["indices", "values"],
+    meta_fields=["n_cols"],
+)
+@dataclasses.dataclass(frozen=True)
+class ELLMatrix:
+    """Row-padded sparse matrix (ELLPACK layout); a pytree with the
+    logical column count as static metadata (jit-safe)."""
 
     indices: jax.Array  # (m, k) int32, 0 on padded slots
     values: jax.Array  # (m, k), 0.0 on padded slots
@@ -37,6 +44,9 @@ class ELLMatrix(NamedTuple):
     @property
     def shape(self):
         return (self.indices.shape[0], self.n_cols)
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
 
 
 def from_coo(

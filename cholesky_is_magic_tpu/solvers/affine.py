@@ -66,8 +66,10 @@ class AffineState:
     lp: DeviceLP
 
 
-def make_affine_state(lp: DeviceLP) -> AffineState:
+def make_affine_state(lp: DeviceLP, x0: Optional[jax.Array] = None) -> AffineState:
     """Interior initialization (make-affine-state, affine-scaling.lisp:52-90).
+
+    ``x0`` warm-starts from a prior iterate (nudged strictly interior).
 
     Degenerate intervals (u - l < 1e-6) are widened to (l - 5e-7, u + 5e7)
     — the reference's asymmetric widening at :61-62 — then x starts at the
@@ -97,6 +99,8 @@ def make_affine_state(lp: DeviceLP) -> AffineState:
     )
     x = jnp.where(mask, x, 0.0)
     lp = dataclasses.replace(lp, l=jnp.where(mask, l, lp.l), u=jnp.where(mask, u, lp.u))
+    if x0 is not None:
+        x = _into_interior(jnp.where(mask, x0, 0.0), lp.l, lp.u, mask)
     return AffineState(x=x, lp=lp)
 
 

@@ -75,18 +75,23 @@ class ALMState:
 
 
 def make_alm(
-    lp: DeviceLP,
+    lp,
     mu: float = 10.0,
     multipliers: Optional[jax.Array] = None,
 ) -> ALMState:
     """make-alm (:427-449): multiplier sign bounds from row types — lambda
     >= 0 on '<=' rows, <= 0 on '>=' rows, free on equalities; padded rows
-    pinned at 0."""
-    dtype = lp.A.dtype
+    pinned at 0.  Accepts a dense DeviceLP or an ELL SparseLP."""
+    from cholesky_is_magic_tpu.ingest.device import SparseLP
+
+    dtype = lp.E.values.dtype if isinstance(lp, SparseLP) else lp.A.dtype
     low = jnp.where(lp.row_type == StandardForm.ROW_LE, 0.0, -BIG)
     high = jnp.where(lp.row_type == StandardForm.ROW_GE, 0.0, BIG)
-    low = jnp.where(lp.row_mask, low, 0.0).astype(dtype)
-    high = jnp.where(lp.row_mask, high, 0.0).astype(dtype)
+    if not isinstance(lp, SparseLP):
+        low = jnp.where(lp.row_mask, low, 0.0)
+        high = jnp.where(lp.row_mask, high, 0.0)
+    low = low.astype(dtype)
+    high = high.astype(dtype)
     mu = jnp.asarray(mu, dtype)
     return ALMState(
         lp=lp,
@@ -150,7 +155,7 @@ def alm(
     tightening schedule."""
     cfg = config or ALMConfig()
     n_cols = state.lp.c.shape[0]
-    dtype = state.lp.A.dtype
+    dtype = state.multipliers.dtype
     x_init = x0 if x0 is not None else jnp.zeros(n_cols, dtype)
     return _alm_jit(state, x_init, cfg)
 
@@ -240,7 +245,7 @@ def aalm(
     multiplier sequence.  Kept for parity; the reference notes it under-
     performs plain alm (:578)."""
     cfg = config or ALMConfig()
-    dtype = state.lp.A.dtype
+    dtype = state.multipliers.dtype
     x_init = x0 if x0 is not None else jnp.zeros(state.lp.c.shape, dtype)
     return _aalm_jit(state, x_init, cfg)
 

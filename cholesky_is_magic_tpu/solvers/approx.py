@@ -36,9 +36,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cholesky_is_magic_tpu.ingest.device import DeviceLP, round_up
+from cholesky_is_magic_tpu.ingest.device import DeviceLP, SparseLP, round_up
+from cholesky_is_magic_tpu.ops import sparse_ops
+from cholesky_is_magic_tpu.ops.sparse_ops import ELLMatrix
 
 BIG = 1e30  # encoded infinity (see ingest.device)
+
+
+def _qmv(Q, v):
+    """Q @ v for a dense array or an ELLMatrix."""
+    if isinstance(Q, ELLMatrix):
+        return sparse_ops.matvec(Q, v)
+    return Q @ v
+
+
+def _qrmv(Q, y):
+    """Qᵀ @ y for a dense array or an ELLMatrix."""
+    if isinstance(Q, ELLMatrix):
+        return sparse_ops.rmatvec(Q, y)
+    return Q.T @ y
 
 
 @partial(
@@ -85,7 +101,7 @@ def _no_comp(dtype):
     )
 
 
-def make_alm_subproblem(lp: DeviceLP, lam: jax.Array, mu) -> ApproxProblem:
+def make_alm_subproblem(lp, lam: jax.Array, mu) -> ApproxProblem:
     """The ALM subproblem (make-alm-subproblem, alm-approx.lisp:355-401):
 
         min  (c + Aᵀλ)·x + mu/2 ||Ax - b||^2 + z0,   z0 = -λ·b,
@@ -93,7 +109,12 @@ def make_alm_subproblem(lp: DeviceLP, lam: jax.Array, mu) -> ApproxProblem:
     i.e. quads = rows of A with rhs b and scale sqrt(mu), linear term
     c + Aᵀλ.  jit-safe: all arithmetic is on padded arrays, so the outer
     ALM loop can rebuild the subproblem inside lax.while_loop.
+
+    Accepts a dense padded DeviceLP or an ELL-backed SparseLP — the latter
+    keeps everything at nnz(A) cost (the truly matrix-free at-scale path).
     """
+    if isinstance(lp, SparseLP):
+        return _make_alm_subproblem_ell(lp, lam, mu)
     dtype = lp.A.dtype
     mu = jnp.asarray(mu, dtype=dtype)
     s = jnp.where(lp.row_mask, jnp.sqrt(mu), 0.0).astype(dtype)
@@ -110,6 +131,32 @@ def make_alm_subproblem(lp: DeviceLP, lam: jax.Array, mu) -> ApproxProblem:
         nu=nu,
         l=jnp.where(lp.col_mask, lp.l, 0.0),
         u=jnp.where(lp.col_mask, lp.u, 0.0),
+        z0=z0,
+        n_quads=lp.m,
+        n_vars=lp.n,
+        **_no_comp(dtype),
+    )
+
+
+def _make_alm_subproblem_ell(lp: SparseLP, lam: jax.Array, mu) -> ApproxProblem:
+    E = lp.E
+    dtype = E.values.dtype
+    mu = jnp.asarray(mu, dtype=dtype)
+    s = jnp.full((lp.m,), jnp.sqrt(mu), dtype=dtype)
+    beta = jnp.sum(E.values != 0, axis=1).astype(dtype)
+    c_lin = lp.c + sparse_ops.rmatvec(E, lam)
+    E2 = E._replace(values=E.values * E.values)
+    nu = sparse_ops.rmatvec(E2, beta * s * s)
+    z0 = -jnp.dot(lam, lp.b)
+    return ApproxProblem(
+        Q=E,
+        q=lp.b,
+        s=s,
+        beta=beta,
+        c_lin=c_lin,
+        nu=nu,
+        l=lp.l,
+        u=lp.u,
         z0=z0,
         n_quads=lp.m,
         n_vars=lp.n,
@@ -255,9 +302,9 @@ def value_and_gradient(prob: ApproxProblem, v: jax.Array):
     """One pass over every term (value-&-gradient, alm-approx.lisp:177-194):
     value, gradient, and the max |term violation| — two matvecs + prox-free
     elementwise work.  Padded quad rows have s = 0 and vanish."""
-    r = prob.s * (prob.Q @ v - prob.q)
+    r = prob.s * (_qmv(prob.Q, v) - prob.q)
     value = 0.5 * jnp.sum(r * r) + jnp.dot(prob.c_lin, v)
-    g = prob.Q.T @ (prob.s * r) + prob.c_lin
+    g = _qrmv(prob.Q, prob.s * r) + prob.c_lin
     maxviol = jnp.max(jnp.abs(r)) if r.shape[0] else jnp.asarray(0.0, v.dtype)
     if prob.comp_a.shape[0]:
         va = v[prob.comp_a] - prob.comp_a0
@@ -278,7 +325,7 @@ def dual_value(prob: ApproxProblem, v: jax.Array):
 def quad_violations(prob: ApproxProblem, v: jax.Array):
     """Raw (unscaled) per-quad residuals Q v - q, zero on padded rows —
     `violation c x nil` as used by the ALM outer loop (alm-approx.lisp:507-511)."""
-    return jnp.where(prob.s != 0, prob.Q @ v - prob.q, 0.0)
+    return jnp.where(prob.s != 0, _qmv(prob.Q, v) - prob.q, 0.0)
 
 
 def _solve_coordinate(z, nu, theta, g, l, u):

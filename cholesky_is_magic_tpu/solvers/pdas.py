@@ -72,8 +72,17 @@ class PDASState:
     lp: DeviceLP  # with clamped/widened bounds and equilibrated (A, b)
 
 
-def make_pdas(lp: DeviceLP, config: Optional[PDASConfig] = None) -> PDASState:
-    """Construct the primal-dual state (make-pdas, :75-133)."""
+def make_pdas(
+    lp: DeviceLP,
+    config: Optional[PDASConfig] = None,
+    warm: Optional["PDASState"] = None,
+) -> PDASState:
+    """Construct the primal-dual state (make-pdas, :75-133).
+
+    ``warm`` restarts from a prior state's iterates (x, y, w, z) — e.g. a
+    checkpoint (utils.checkpoint) or the solution of a nearby LP — while
+    rebuilding the equilibrated problem data from ``lp``.
+    """
     cfg = config or PDASConfig()
     mask = lp.col_mask
 
@@ -116,6 +125,15 @@ def make_pdas(lp: DeviceLP, config: Optional[PDASConfig] = None) -> PDASState:
     w = jnp.where(c < 0, 1.0 - c, 1.0)
 
     new_lp = dataclasses.replace(lp, A=A, b=b, l=l, u=u)
+    if warm is not None:
+        x = _into_interior(warm.x, l, u, mask)
+        return PDASState(
+            x=x,
+            y=warm.y,
+            w=jnp.maximum(warm.w, 1e-8),
+            z=jnp.maximum(warm.z, 1e-8),
+            lp=new_lp,
+        )
     return PDASState(x=x, y=jnp.zeros_like(b), w=w, z=z, lp=new_lp)
 
 

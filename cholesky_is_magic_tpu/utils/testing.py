@@ -115,6 +115,57 @@ def write_mps(lp: InequalityLP, name: str = "RANDOM") -> str:
     return "\n".join(out) + "\n"
 
 
+NETLIB_SCALES = {
+    # name: (rows, cols) of the Netlib instance the synthetic LP mimics
+    # (BASELINE.json configs; the real files cannot be fetched offline).
+    "afiro": (27, 51),
+    "adlittle": (56, 97),
+    "sc205": (205, 203),
+    "25fv47": (821, 1571),
+    "pilot": (1441, 3652),
+}
+
+
+def netlib_like_lp(name: str, seed: int = 0) -> InequalityLP:
+    """A synthetic LP at the named Netlib instance's scale.
+
+    Staircase-structured constraint matrix (~6 nonzeros per row, stage
+    coupling like multi-period production models), mixed equality/
+    inequality rows, finite and one-sided bounds — the structural features
+    the ingest and solvers must handle, at the real instance's (m, n).
+    Guaranteed feasible by construction.
+    """
+    m, n = NETLIB_SCALES[name]
+    rng = np.random.default_rng(seed)
+    n_eq = m // 3
+    n_ub = m - n_eq
+
+    def staircase(rows):
+        A = np.zeros((rows, n))
+        width = max(6, n // max(rows, 1) + 4)
+        for i in range(rows):
+            start = int(i * max(n - width, 1) / max(rows, 1))
+            k = rng.integers(3, width)
+            cols = start + rng.choice(width, size=min(k, width), replace=False)
+            cols = np.clip(cols, 0, n - 1)
+            A[i, cols] = rng.normal(size=len(cols))
+            if not A[i].any():
+                A[i, start % n] = 1.0
+        return A
+
+    # All variables boxed: guarantees the LP is bounded regardless of c.
+    l = np.where(rng.random(n) < 0.7, 0.0, -1.0 - rng.random(n))
+    u = l + 1.0 + 4.0 * rng.random(n)
+    x0 = l + (u - l) * (0.2 + 0.6 * rng.random(n))
+
+    A_ub = staircase(n_ub)
+    b_ub = A_ub @ x0 + 0.05 + rng.random(n_ub)
+    A_eq = staircase(n_eq)
+    b_eq = A_eq @ x0
+    c = rng.normal(size=n)
+    return InequalityLP(c=c, A_ub=A_ub, b_ub=b_ub, A_eq=A_eq, b_eq=b_eq, l=l, u=u)
+
+
 def scipy_reference_solution(lp: InequalityLP):
     """Solve with scipy's HiGHS as the trusted oracle. Returns (status, fun, x)."""
     from scipy.optimize import linprog

@@ -338,6 +338,17 @@ def _solve_coordinate(z, nu, theta, g, l, u):
     return jnp.where(step == 0, degenerate, proxed)
 
 
+def complementarity_violation(prob: ApproxProblem, v: jax.Array):
+    """Total complementarity violation sum of sign·(v[a]-a0)(v[b]-b0) over
+    active terms (complementarity-violation, approx.lisp:154-170) — the v1
+    driver reports this alongside the projected gradient."""
+    if not prob.comp_a.shape[0]:
+        return jnp.asarray(0.0, v.dtype)
+    va = v[prob.comp_a] - prob.comp_a0
+    vb = v[prob.comp_b] - prob.comp_b0
+    return jnp.sum(jnp.abs(prob.comp_sign * va * vb))
+
+
 def project_box(prob: ApproxProblem, v):
     return jnp.clip(v, prob.l, prob.u)
 

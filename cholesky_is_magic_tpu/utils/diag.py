@@ -66,6 +66,27 @@ def checked_solve_kkt_newton(sl, su, w, z, op, e, f, g, h, tol: float = 1e-4):
     return deltas
 
 
+def condition_number(N: jax.Array) -> jax.Array:
+    """sigma_max / sigma_min of a (normal) matrix via SVD — the dense KKT
+    solver's conditioning probe (cond-number, newton-solve.lisp:100-110).
+    Expensive (full SVD); for monitoring, not the hot loop."""
+    s = jnp.linalg.svd(N, compute_uv=False)
+    return s[0] / s[-1]
+
+
+class WorstConditionTracker:
+    """Host-side running maximum — *worst-condition-number*
+    (newton-solve.lisp:100, reported by the test sweep at :202)."""
+
+    def __init__(self):
+        self.worst = 1.0
+
+    def update(self, N: jax.Array) -> float:
+        c = float(condition_number(N))
+        self.worst = max(self.worst, c)
+        return c
+
+
 def device_memory_report(device=None) -> dict:
     """Allocator statistics for one device (bytes in use / limits) — the
     cholmod-get-memory-inuse analogue.  Empty dict when the backend does

@@ -42,6 +42,8 @@ def tpu_iteration_ms() -> float:
 
     @jax.jit
     def loop(A, d0, g0):
+        # Full-f32 MXU passes: default bf16 matmuls are numerically unusable
+        # for the normal equations (see utils/precision.py).
         def body(i, carry):
             acc, g = carry
             # Data-dependent d so no two iterations can be CSE'd; mimics the
@@ -64,7 +66,8 @@ def tpu_iteration_ms() -> float:
         rtts.append(time.time() - t)
     rtt = min(rtts)
 
-    float(loop(A, d0, g0))  # compile
+    with jax.default_matmul_precision("highest"):
+        float(loop(A, d0, g0))  # compile
     ts = []
     for _ in range(REPS):
         t = time.time()

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from cholesky_is_magic_tpu.ops import dd as ddm
+from cholesky_is_magic_tpu.utils.precision import highest_precision
 
 
 class CholFactors(NamedTuple):
@@ -47,7 +48,8 @@ def normal_matrix(
     nonsingular (1.0 on padded rows, 0 elsewhere).
     """
     AD = A * d[None, :]
-    N = jnp.matmul(AD, AD.T, preferred_element_type=AD.dtype)
+    N = jnp.matmul(AD, AD.T, preferred_element_type=AD.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
     # Symmetrize: the MXU product is not exactly symmetric in f32.
     N = 0.5 * (N + N.T)
     if row_boost is not None:
@@ -81,6 +83,7 @@ def chol_solve(L: jax.Array, b: jax.Array) -> jax.Array:
     return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
 
+@highest_precision
 @partial(jax.jit, static_argnames=("refine_steps",))
 def solve_spd(
     N: jax.Array,
@@ -124,7 +127,8 @@ def solve_normal(
     caller prints " singular " and stops, affine-scaling.lisp:178-181).
     """
     AD = A * d[None, :]
-    N = jnp.matmul(AD, AD.T, preferred_element_type=AD.dtype)
+    N = jnp.matmul(AD, AD.T, preferred_element_type=AD.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
     N = 0.5 * (N + N.T)
     if row_boost is not None:
         N = N + jnp.diag(row_boost.astype(N.dtype))

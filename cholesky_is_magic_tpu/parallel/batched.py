@@ -25,6 +25,7 @@ from cholesky_is_magic_tpu.solvers.affine import (
 )
 from cholesky_is_magic_tpu.solvers.pdas import PDASConfig, PDASState, _pdas_jit
 from cholesky_is_magic_tpu.solvers.result import SolveResult
+from cholesky_is_magic_tpu.utils.precision import highest_precision
 
 
 def stack_device_lps(lps: Sequence[DeviceLP]) -> DeviceLP:
@@ -37,6 +38,7 @@ def stack_device_lps(lps: Sequence[DeviceLP]) -> DeviceLP:
     return batched
 
 
+@highest_precision
 @partial(jax.jit, static_argnames=("cfg",))
 def _batched_pdas_jit(states: PDASState, cfg: PDASConfig) -> SolveResult:
     return jax.vmap(lambda s: _pdas_jit(s, cfg))(states)
@@ -47,6 +49,7 @@ def batched_pdas(states: PDASState, config: Optional[PDASConfig] = None) -> Solv
     return _batched_pdas_jit(states, config or PDASConfig())
 
 
+@highest_precision
 @partial(jax.jit, static_argnames=("cfg",))
 def _batched_affine_jit(states: AffineState, cfg: AffineConfig) -> SolveResult:
     return jax.vmap(lambda s: _affine_scaling_jit(s, cfg))(states)

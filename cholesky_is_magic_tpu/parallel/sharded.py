@@ -96,4 +96,5 @@ def sharded_solve_normal(
             y = y + dense_ops.chol_solve(f.L, g_rep - u)
         return jnp.where(f.ok, y, jnp.zeros_like(y)), f.ok
 
-    return _solve(A, d, g, row_boost)
+    with jax.default_matmul_precision("highest"):
+        return _solve(A, d, g, row_boost)

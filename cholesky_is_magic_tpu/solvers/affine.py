@@ -38,6 +38,7 @@ import numpy as np
 from cholesky_is_magic_tpu.ingest.device import DeviceLP
 from cholesky_is_magic_tpu.ops import dense as dense_ops
 from cholesky_is_magic_tpu.solvers.result import SolveResult, Status
+from cholesky_is_magic_tpu.utils.precision import highest_precision
 
 BIG_BOUND = 1e10  # "effectively infinite" bound threshold (affine-scaling.lisp:67-75)
 
@@ -292,6 +293,7 @@ def affine_scaling(
     return _affine_scaling_jit(state, cfg)
 
 
+@highest_precision
 @partial(jax.jit, static_argnames=("cfg",))
 def _affine_scaling_jit(state: AffineState, cfg: AffineConfig) -> SolveResult:
     lp = state.lp

@@ -41,6 +41,7 @@ from cholesky_is_magic_tpu.solvers.approx import (
     project_box,
     quad_violations,
 )
+from cholesky_is_magic_tpu.utils.precision import highest_precision
 
 BIG = 1e30
 
@@ -160,6 +161,7 @@ def alm(
     return _alm_jit(state, x_init, cfg)
 
 
+@highest_precision
 @partial(jax.jit, static_argnames=("cfg",))
 def _alm_jit(state: ALMState, x_init, cfg: ALMConfig) -> ALMResult:
     dtype = x_init.dtype
@@ -250,6 +252,7 @@ def aalm(
     return _aalm_jit(state, x_init, cfg)
 
 
+@highest_precision
 @partial(jax.jit, static_argnames=("cfg",))
 def _aalm_jit(state: ALMState, x_init, cfg: ALMConfig) -> ALMResult:
     dtype = x_init.dtype

@@ -39,6 +39,7 @@ import numpy as np
 from cholesky_is_magic_tpu.ingest.device import DeviceLP, SparseLP, round_up
 from cholesky_is_magic_tpu.ops import sparse_ops
 from cholesky_is_magic_tpu.ops.sparse_ops import ELLMatrix
+from cholesky_is_magic_tpu.utils.precision import highest_precision
 
 BIG = 1e30  # encoded infinity (see ingest.device)
 
@@ -383,6 +384,7 @@ def approx(
     return _approx_jit(prob, x_init, jnp.asarray(accuracy, x_init.dtype), max_iters)
 
 
+@highest_precision
 @partial(jax.jit, static_argnames=("max_iters",))
 def _approx_jit(prob: ApproxProblem, x_init, accuracy, max_iters: int) -> ApproxResult:
     def body(carry):

@@ -43,6 +43,7 @@ from cholesky_is_magic_tpu.solvers.affine import (
     _slack,
 )
 from cholesky_is_magic_tpu.solvers.result import SolveResult, Status
+from cholesky_is_magic_tpu.utils.precision import highest_precision
 
 
 @dataclasses.dataclass(frozen=True)
@@ -260,6 +261,7 @@ def pdas(state: PDASState, config: Optional[PDASConfig] = None) -> SolveResult:
     return _pdas_jit(state, cfg)
 
 
+@highest_precision
 @partial(jax.jit, static_argnames=("cfg",))
 def _pdas_jit(state: PDASState, cfg: PDASConfig) -> SolveResult:
     lp = state.lp

@@ -90,7 +90,8 @@ class BlockSparseCholesky:
             for (i, j) in self.updates[k]:
                 S = S.at[sl(i), sl(j)].add(
                     -jnp.matmul(
-                        cols[i], cols[j].T, preferred_element_type=S.dtype
+                        cols[i], cols[j].T, preferred_element_type=S.dtype,
+                        precision=jax.lax.Precision.HIGHEST,
                     )
                 )
         return L
@@ -118,7 +119,8 @@ class BlockSparseCholesky:
             )
         Ap = A[self.pperm, :]
         AD = Ap * d[None, :]
-        N = jnp.matmul(AD, AD.T, preferred_element_type=A.dtype)
+        N = jnp.matmul(AD, AD.T, preferred_element_type=A.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
         N = 0.5 * (N + N.T)
         if row_boost is not None:
             N = N + jnp.diag(row_boost[self.pperm].astype(N.dtype))

@@ -1,0 +1,64 @@
+"""Mixed-precision fidelity: the f32+double-word path must track the f64
+trajectory (BASELINE.md: "iterate-trajectory match vs reference run").
+
+The f64 CPU run stands in for the reference's fp64 CHOLMOD trajectory (no
+CHOLMOD in this environment; same arithmetic class)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cholesky_is_magic_tpu as cim
+from cholesky_is_magic_tpu.ingest import to_device_lp
+from cholesky_is_magic_tpu.ingest.mps import read_mps_string
+from cholesky_is_magic_tpu.kkt import dense_kkt_operator, solve_kkt_newton
+from cholesky_is_magic_tpu.solvers import PDASConfig, make_pdas
+from cholesky_is_magic_tpu.solvers.pdas import _pdas_jit
+from cholesky_is_magic_tpu.utils.testing import random_lp, write_mps
+
+
+def both_dtypes_lp(seed=0):
+    ineq = random_lp(seed, n_ub=12, n_eq=4, n=16, bounded=True)
+    sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+    lp64 = to_device_lp(sf, pad_multiple=8, dtype=jnp.float64)
+    lp32 = to_device_lp(sf, pad_multiple=8, dtype=jnp.float32)
+    return lp64, lp32
+
+
+def test_newton_direction_f32_refined_matches_f64():
+    rng = np.random.default_rng(0)
+    m, n = 20, 36
+    A64 = rng.normal(size=(m, n)) * (rng.random((m, n)) < 0.3)
+    A64[np.arange(m), np.arange(m)] += 2.0
+    pos = lambda k: 0.1 + rng.random(k)
+    args64 = [jnp.asarray(v, jnp.float64) for v in
+              (pos(n), pos(n), pos(n), pos(n))]
+    rhs64 = [jnp.asarray(v, jnp.float64) for v in
+             (rng.random(n), rng.random(n), rng.random(m), rng.random(n))]
+    d64 = solve_kkt_newton(*args64, dense_kkt_operator(jnp.asarray(A64)), *rhs64)
+
+    to32 = lambda v: jnp.asarray(np.asarray(v), jnp.float32)
+    op32 = dense_kkt_operator(
+        to32(A64), refine_steps=2
+    )
+    d32 = solve_kkt_newton(*[to32(v) for v in args64], op32, *[to32(v) for v in rhs64])
+    for a, b in ((d64.dx, d32.dx), (d64.dy, d32.dy), (d64.dz, d32.dz), (d64.dw, d32.dw)):
+        scale = max(1.0, float(jnp.max(jnp.abs(a))))
+        err = float(jnp.max(jnp.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)))) / scale
+        assert err < 1e-4, err
+
+
+def test_pdas_trajectory_f32_tracks_f64():
+    lp64, lp32 = both_dtypes_lp()
+    K = 8
+    cfg = lambda: PDASConfig(max_iters=K, gap_tol=0.0, refine_steps=2)
+    r64 = _pdas_jit(make_pdas(lp64), cfg())
+    r32 = _pdas_jit(make_pdas(lp32), cfg())
+    x64 = np.asarray(r64.x, np.float64)
+    x32 = np.asarray(r32.x, np.float64)
+    scale = max(1.0, np.abs(x64).max())
+    assert np.abs(x64 - x32).max() / scale < 2e-3
+    # Objectives after K identical iterations agree tightly.
+    assert float(r32.objective) == pytest.approx(float(r64.objective), rel=2e-3, abs=2e-3)

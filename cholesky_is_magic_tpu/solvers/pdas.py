@@ -57,6 +57,15 @@ class PDASConfig:
     repair_slack_cap: float = 1e4  # slack cap in repair/recenter (:273,354)
     max_iters: int = 300
     refine_steps: int = 1
+    # Record per-iteration (gap, pobj, step) into result.extra["trace"] —
+    # the TPU rendering of the reference's per-iteration stdout lines
+    # (one-pdas-iteration :336-338, :376).
+    record_trace: bool = False
+    # Stop when the best-seen gap has not improved for this many iterations
+    # (the working-precision floor: f32+dd bottoms out near gap ~1e-6 and
+    # iterating further *damages* the iterate). The best-seen state is what
+    # the solver returns.
+    stall_exit_iters: int = 40
 
 
 @partial(
@@ -322,8 +331,20 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig) -> SolveResult:
         )
 
     def body(carry):
-        st, i, repair_flag, prev_gap, bad_count, _status = carry
+        (st, i, repair_flag, prev_gap, bad_count, _status, trace,
+         best_gap, best_st, since_best) = carry
         new_st, gap, step, ok = one_iteration(st, repair_flag)
+        if cfg.record_trace:
+            pobj_i = jnp.dot(st.x, lp.c)
+            trace = jax.tree.map(lambda a, v: a.at[i].set(v), trace,
+                                 (gap, pobj_i, step))
+        # Best-iterate tracking: the gap of state `st` (pre-step) is `gap`.
+        improved = gap < best_gap
+        best_st = jax.tree.map(
+            lambda b, c: jnp.where(improved, c, b), best_st, st
+        )
+        best_gap = jnp.where(improved, gap, best_gap)
+        since_best = jnp.where(improved, 0, since_best + 1)
         stalled = jnp.isfinite(step) & (step < cfg.stall_step)  # :393
         # Divergence detector (TPU-build safeguard beyond the reference):
         # pure affine primal-dual steps can oscillate with growing gap at
@@ -335,25 +356,52 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig) -> SolveResult:
         new_repair = stalled | (bad_count >= 4)
         bad_count = jnp.where(new_repair, 0, bad_count)
         status = jnp.where(ok, Status.RUNNING, Status.SINGULAR).astype(jnp.int32)
-        return new_st, i + 1, new_repair, gap, bad_count, status
+        return (new_st, i + 1, new_repair, gap, bad_count, status, trace,
+                best_gap, best_st, since_best)
 
     def cond(carry):
-        _st, i, _rflag, gap, _badc, status = carry
-        return (gap >= cfg.gap_tol) & (status == Status.RUNNING) & (i < cfg.max_iters)
+        _st, i, _rflag, gap, _badc, status, _trace, _bg, _bst, since_best = carry
+        return (
+            (gap >= cfg.gap_tol)
+            & (status == Status.RUNNING)
+            & (i < cfg.max_iters)
+            & (since_best < cfg.stall_exit_iters)
+        )
 
     init_gap = jnp.asarray(np.inf, dtype=state.x.dtype)
-    st, iters, _rflag2, gap, _badc2, status = jax.lax.while_loop(
+    dt = state.x.dtype
+    trace0 = (
+        (jnp.full(cfg.max_iters, np.nan, dt),) * 3
+        if cfg.record_trace
+        else (jnp.zeros(0, dt),) * 3
+    )
+    (st, iters, _rflag2, gap, _badc2, status, trace, best_gap, best_st,
+     since_best) = jax.lax.while_loop(
         cond,
         body,
         (state, jnp.asarray(0, jnp.int32), jnp.asarray(False), init_gap,
-         jnp.asarray(0, jnp.int32), jnp.asarray(Status.RUNNING, jnp.int32)),
+         jnp.asarray(0, jnp.int32), jnp.asarray(Status.RUNNING, jnp.int32),
+         trace0, init_gap, state, jnp.asarray(0, jnp.int32)),
     )
+    # Return the best-seen iterate: continuing past the working-precision
+    # floor makes the LAST iterate worse than the best one.
+    use_best = best_gap < gap
+    st = jax.tree.map(lambda b, c: jnp.where(use_best, b, c), best_st, st)
+    gap = jnp.minimum(best_gap, gap)
     pobj, dobj = _objectives(st)
     resid = jnp.linalg.norm(lp.A @ st.x - lp.b)
     final_status = jnp.where(
         status != Status.RUNNING,
         status,
-        jnp.where(gap < cfg.gap_tol, Status.OPTIMAL, Status.MAX_ITERS),
+        jnp.where(
+            gap < cfg.gap_tol,
+            Status.OPTIMAL,
+            jnp.where(
+                since_best >= cfg.stall_exit_iters,
+                Status.PRECISION_FLOOR,
+                Status.MAX_ITERS,
+            ),
+        ),
     ).astype(jnp.int32)
     return SolveResult(
         x=st.x,
@@ -361,5 +409,8 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig) -> SolveResult:
         status=final_status,
         iterations=iters,
         residual_norm=resid,
-        extra={"gap": gap, "dual_objective": dobj, "y": st.y, "w": st.w, "z": st.z},
+        extra={
+            "gap": gap, "dual_objective": dobj, "y": st.y, "w": st.w, "z": st.z,
+            "trace": {"gap": trace[0], "objective": trace[1], "step": trace[2]},
+        },
     )

@@ -19,8 +19,10 @@ class Status:
     SINGULAR = 2  # normal-equations factorization failed
     UNBOUNDED = 3  # ratio test exceeded the unbounded threshold
     MAX_ITERS = 4
+    PRECISION_FLOOR = 5  # gap stopped improving at working precision
 
-    NAMES = {0: "running", 1: "optimal", 2: "singular", 3: "unbounded", 4: "max_iters"}
+    NAMES = {0: "running", 1: "optimal", 2: "singular", 3: "unbounded",
+             4: "max_iters", 5: "precision_floor"}
 
 
 @partial(

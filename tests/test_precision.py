@@ -62,3 +62,20 @@ def test_pdas_trajectory_f32_tracks_f64():
     assert np.abs(x64 - x32).max() / scale < 2e-3
     # Objectives after K identical iterations agree tightly.
     assert float(r32.objective) == pytest.approx(float(r64.objective), rel=2e-3, abs=2e-3)
+
+
+def test_precision_floor_returns_best_iterate():
+    """Pushed past its precision floor, f32 PDAS must return the best-seen
+    iterate (not the drifted last one) and say so in the status."""
+    from cholesky_is_magic_tpu.solvers.result import Status
+
+    lp64, lp32 = both_dtypes_lp(seed=2)
+    cfg = PDASConfig(max_iters=200, gap_tol=1e-9, refine_steps=2)
+    r64 = _pdas_jit(make_pdas(lp64), cfg)
+    r32 = _pdas_jit(make_pdas(lp32), cfg)
+    # f64 reaches the 1e-9 gap; f32 exits at its floor with a good iterate.
+    assert int(r64.status) == Status.OPTIMAL
+    assert float(r64.extra["gap"]) < 1e-8
+    assert int(r32.status) in (Status.PRECISION_FLOOR, Status.OPTIMAL)
+    assert float(r32.extra["gap"]) < 1e-4
+    assert float(r32.objective) == pytest.approx(float(r64.objective), rel=1e-3, abs=1e-3)

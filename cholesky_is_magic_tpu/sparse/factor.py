@@ -101,17 +101,22 @@ class BlockSparseCholesky:
         A: jax.Array,
         d: jax.Array,
         row_boost: Optional[jax.Array] = None,
+        tile_sparse: Optional[bool] = None,
     ) -> jax.Array:
         """Permuted N = P (A·D)(A·D)ᵀ Pᵀ (+ boost), padded to the plan size.
 
         Permuting A's *rows* by plan.perm yields the permuted Gram matrix
-        directly from one MXU matmul (no post-hoc gather of N).
+        directly from MXU matmuls (no post-hoc gather of N).  With
+        ``tile_sparse`` (default: on when under 60% of tiles are nonzero),
+        only the structurally-nonzero tiles of N are computed — one
+        (block, n) x (n, block) matmul per tile — so assembly cost follows
+        the tile count, not m².  This is where sparsity actually pays at
+        scale: the dense m²n assembly dwarfs the factorization flops.
         """
         n_pad = self.plan.n_padded
         m = A.shape[0]
         if m < n_pad:
             A = jnp.pad(A, ((0, n_pad - m), (0, 0)))
-            d_pad = d
             if row_boost is None:
                 row_boost = jnp.zeros(m, A.dtype)
             row_boost = jnp.pad(
@@ -119,9 +124,31 @@ class BlockSparseCholesky:
             )
         Ap = A[self.pperm, :]
         AD = Ap * d[None, :]
-        N = jnp.matmul(AD, AD.T, preferred_element_type=A.dtype,
-                       precision=jax.lax.Precision.HIGHEST)
-        N = 0.5 * (N + N.T)
+        B = self.n_tiles
+        b = self.plan.block
+        mask = self.plan.block_mask | np.eye(B, dtype=bool)
+        density = mask.sum() / (B * (B + 1) / 2)
+        if tile_sparse is None:
+            tile_sparse = density < 0.6
+        if tile_sparse:
+            N = jnp.zeros((n_pad, n_pad), AD.dtype)
+            sl = lambda t: slice(t * b, (t + 1) * b)
+            for i in range(B):
+                for j in range(i + 1):
+                    if not mask[i, j]:
+                        continue
+                    T = jnp.matmul(
+                        AD[sl(i)], AD[sl(j)].T,
+                        preferred_element_type=AD.dtype,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    N = N.at[sl(i), sl(j)].set(T)
+                    if i != j:
+                        N = N.at[sl(j), sl(i)].set(T.T)
+        else:
+            N = jnp.matmul(AD, AD.T, preferred_element_type=A.dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+            N = 0.5 * (N + N.T)
         if row_boost is not None:
             N = N + jnp.diag(row_boost[self.pperm].astype(N.dtype))
         return N

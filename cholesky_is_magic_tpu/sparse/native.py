@@ -46,6 +46,7 @@ def _load() -> Optional[ctypes.CDLL]:
         _load_failed = True
         return None
     i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_ubyte)
     lib.cim_etree.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
     lib.cim_postorder.argtypes = [ctypes.c_int64, i64p, i64p]
     lib.cim_colcounts.argtypes = [
@@ -54,6 +55,9 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.cim_amd.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
     lib.cim_amd.restype = ctypes.c_int64
+    lib.cim_block_mask.argtypes = [
+        ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64, u8p,
+    ]
     _lib = lib
     return _lib
 
@@ -118,3 +122,18 @@ def column_counts(N: sp.spmatrix, parent: np.ndarray):
         ctypes.byref(nnz), ctypes.byref(flops),
     )
     return counts, int(nnz.value), float(flops.value)
+
+
+def block_mask(N: sp.spmatrix, parent: np.ndarray, block: int):
+    lib = _load()
+    if lib is None:
+        return None
+    n, indptr, indices = _csc_arrays(N)
+    parent = np.ascontiguousarray(parent, dtype=np.int64)
+    B = (n + block - 1) // block
+    mask = np.zeros((B, B), dtype=np.uint8)
+    lib.cim_block_mask(
+        n, _ptr(indptr), _ptr(indices), _ptr(parent), block,
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    return mask.astype(bool)

@@ -79,15 +79,21 @@ def amd_order(N: sp.spmatrix, use_native: bool = True) -> np.ndarray:
     return perm
 
 
-def elimination_tree(N: sp.spmatrix, perm: Optional[np.ndarray] = None) -> np.ndarray:
+def elimination_tree(
+    N: sp.spmatrix, perm: Optional[np.ndarray] = None, use_native: bool = True
+) -> np.ndarray:
     """Parent array of the elimination tree of P·N·Pᵀ (Liu 1986, with path
-    compression)."""
+    compression).  Uses the C++ kernel when available."""
     C = sp.csc_matrix(N)
     n = C.shape[0]
     if perm is not None:
-        iperm = np.empty(n, dtype=np.int64)
-        iperm[perm] = np.arange(n)
         C = C[perm][:, perm].tocsc()
+    if use_native:
+        from cholesky_is_magic_tpu.sparse import native
+
+        p = native.elimination_tree(C)
+        if p is not None:
+            return p
     parent = np.full(n, -1, dtype=np.int64)
     ancestor = np.full(n, -1, dtype=np.int64)
     for j in range(n):
@@ -156,15 +162,27 @@ def _row_structures(C: sp.csc_matrix, parent: np.ndarray):
         yield i, struct
 
 
-def column_counts(N: sp.spmatrix, perm: Optional[np.ndarray], parent: np.ndarray):
+def column_counts(
+    N: sp.spmatrix,
+    perm: Optional[np.ndarray],
+    parent: np.ndarray,
+    use_native: bool = True,
+):
     """Exact nnz per column of L (incl. diagonal) for chol(P·N·Pᵀ).
 
     Returns (counts, nnz_L, flops): the data behind the reference's
-    factorization cost report (lnz/fl; affine-scaling.lisp:273-279)."""
+    factorization cost report (lnz/fl; affine-scaling.lisp:273-279).
+    Uses the C++ kernel when available."""
     C = sp.csc_matrix(N)
     n = C.shape[0]
     if perm is not None:
         C = C[perm][:, perm].tocsc()
+    if use_native:
+        from cholesky_is_magic_tpu.sparse import native
+
+        out = native.column_counts(C, parent)
+        if out is not None:
+            return out
     counts = np.ones(n, dtype=np.int64)  # diagonal
     for _, struct in _row_structures(C, parent):
         for j in struct:
@@ -254,7 +272,7 @@ def analyze(
     Np = normal_pattern(A)
     m = Np.shape[0]
     perm0 = amd_order(Np, use_native=use_native) if order else np.arange(m)
-    parent0 = elimination_tree(Np, perm0)
+    parent0 = elimination_tree(Np, perm0, use_native=use_native)
     post = postorder(parent0)
     # Compose with the postorder: subtrees become contiguous index ranges,
     # which (a) makes fundamental-supernode detection valid (it assumes a
@@ -269,19 +287,25 @@ def analyze(
     )
     iperm = np.empty(m, dtype=np.int64)
     iperm[perm] = np.arange(m)
-    counts0, nnz_L, flops = column_counts(Np, perm0, parent0)
+    counts0, nnz_L, flops = column_counts(Np, perm0, parent0, use_native=use_native)
     counts = counts0[post]
     snodes = supernodes(parent, counts)
 
-    # Block-tile structure of L from the row structures.
+    # Block-tile structure of L from the row structures (C++ fast path).
     B = (m + block - 1) // block
-    block_mask = np.zeros((B, B), dtype=bool)
     C = Np[perm][:, perm].tocsc()
-    for i, struct in _row_structures(C, parent):
-        bi = i // block
-        block_mask[bi, bi] = True
-        for j in struct:
-            block_mask[bi, j // block] = True
+    block_mask = None
+    if use_native:
+        from cholesky_is_magic_tpu.sparse import native
+
+        block_mask = native.block_mask(C, parent, block)
+    if block_mask is None:
+        block_mask = np.zeros((B, B), dtype=bool)
+        for i, struct in _row_structures(C, parent):
+            bi = i // block
+            block_mask[bi, bi] = True
+            for j in struct:
+                block_mask[bi, j // block] = True
     return FactorPlan(
         n=m,
         perm=perm,

@@ -149,4 +149,27 @@ int64_t cim_amd(int64_t n, const int64_t* indptr, const int64_t* indices,
   return 0;
 }
 
+// Block-tile structure of L: for each row i, walk the etree from every
+// seed (pattern(i, j), j < i) and mark tile (i/block, j/block).  Also marks
+// the diagonal tiles.  out_mask is a row-major (B x B) byte matrix.
+void cim_block_mask(int64_t n, const int64_t* indptr, const int64_t* indices,
+                    const int64_t* parent, int64_t block, unsigned char* out_mask) {
+  int64_t B = (n + block - 1) / block;
+  std::vector<int64_t> marker(n, -1);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t bi = i / block;
+    out_mask[bi * B + bi] = 1;
+    marker[i] = i;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      int64_t j = indices[p];
+      if (j >= i) continue;
+      while (j != -1 && marker[j] != i) {
+        out_mask[bi * B + j / block] = 1;
+        marker[j] = i;
+        j = parent[j];
+      }
+    }
+  }
+}
+
 }  // extern "C"

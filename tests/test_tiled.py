@@ -1,0 +1,71 @@
+"""Panel-wave tiled sparse Cholesky (sparse/tiled.py) tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from cholesky_is_magic_tpu.ops import dense as dense_ops
+from cholesky_is_magic_tpu.sparse import analyze
+from cholesky_is_magic_tpu.sparse.tiled import TiledCholesky, _tri_inv
+
+
+def test_tri_inv_exact():
+    rng = np.random.default_rng(0)
+    for b in (8, 32, 64, 128):
+        L = np.tril(rng.normal(size=(b, b)))
+        np.fill_diagonal(L, 2.0 + rng.random(b))
+        Li = np.asarray(_tri_inv(jnp.asarray(L)))
+        # Error grows with the triangle's condition number (random tril
+        # matrices are ill-conditioned); 1e-9 at b=128, f64.
+        assert np.abs(Li @ L - np.eye(b)).max() < 1e-9
+
+
+@pytest.mark.parametrize("block,density", [(8, 0.10), (16, 0.20)])
+def test_solve_matches_dense(block, density):
+    rng = np.random.default_rng(1)
+    m, n = 72, 120
+    A = (rng.random((m, n)) < density) * rng.normal(size=(m, n))
+    A[np.arange(m), np.arange(m)] += 2.0
+    plan = analyze(sp.csc_matrix(A), block=block)
+    eng = TiledCholesky(plan)
+    d = jnp.asarray(rng.random(n) + 0.5)
+    g = jnp.asarray(rng.normal(size=m))
+    y, ok = eng.solve_normal(jnp.asarray(A), d, g)
+    y_ref, _ = dense_ops.solve_normal(jnp.asarray(A), d, g, refine_steps=0)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-9, atol=1e-10)
+
+
+def test_block_diagonal_structure_stays_sparse():
+    rng = np.random.default_rng(2)
+    m, n, block = 96, 192, 16
+    A = np.zeros((m, n))
+    for k in range(3):
+        blk = (rng.random((32, 64)) < 0.2) * rng.normal(size=(32, 64))
+        blk[np.arange(32), np.arange(32)] += 2.0
+        A[32 * k : 32 * (k + 1), 64 * k : 64 * (k + 1)] = blk
+    plan = analyze(sp.csc_matrix(A), block=block)
+    eng = TiledCholesky(plan)
+    B = eng.B
+    assert eng.NT < B * (B + 1) // 2  # genuinely sparse residency
+    d = jnp.asarray(rng.random(n) + 0.5)
+    g = jnp.asarray(rng.normal(size=m))
+    y, ok = eng.solve_normal(jnp.asarray(A), d, g)
+    y_ref, _ = dense_ops.solve_normal(jnp.asarray(A), d, g, refine_steps=0)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-9, atol=1e-10)
+
+
+def test_singular_detected():
+    rng = np.random.default_rng(3)
+    m, n = 24, 40
+    A = (rng.random((m, n)) < 0.2) * rng.normal(size=(m, n))
+    A[np.arange(m), np.arange(m)] += 2.0
+    plan = analyze(sp.csc_matrix(A), block=8)
+    eng = TiledCholesky(plan)
+    d = jnp.asarray(rng.random(n) + 0.5)
+    g = jnp.asarray(rng.normal(size=m))
+    y, ok = eng.solve_normal(jnp.zeros_like(jnp.asarray(A)), d, g)
+    assert not bool(ok)
+    assert np.all(np.asarray(y) == 0.0)

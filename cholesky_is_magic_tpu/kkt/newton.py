@@ -59,6 +59,7 @@ def dense_kkt_operator(
     A: jax.Array,
     row_boost: Optional[jax.Array] = None,
     refine_steps: int = 1,
+    true_residual: bool = False,
 ) -> KKTOperator:
     """Dense MXU-backed operator (newton-solve.lisp's backend, minus the
     explicit diag matrix it builds at :112-116 — XLA fuses the column scale
@@ -66,7 +67,8 @@ def dense_kkt_operator(
 
     def solve_scaled_normal(s, g):
         return dense_ops.solve_normal(
-            A, s, g, row_boost=row_boost, refine_steps=refine_steps
+            A, s, g, row_boost=row_boost, refine_steps=refine_steps,
+            true_residual=true_residual,
         )
 
     return KKTOperator(

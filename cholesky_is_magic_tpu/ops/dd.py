@@ -96,6 +96,45 @@ def dd_neg(x: DD) -> DD:
     return DD(-x.hi, -x.lo)
 
 
+def dd_sub(x: DD, y: DD) -> DD:
+    return dd_add(x, dd_neg(y))
+
+
+def dd_mul(x: DD, y: DD) -> DD:
+    """Double-word * double-word (~eps^2 relative error)."""
+    p = two_prod(x.hi, y.hi)
+    lo = p.lo + (x.hi * y.lo + x.lo * y.hi)
+    return fast_two_sum(p.hi, lo)
+
+
+def dd_scale(x: DD, s: jax.Array) -> DD:
+    """Double-word * working-precision scalar/array."""
+    p = two_prod(x.hi, s)
+    lo = p.lo + x.lo * s
+    return fast_two_sum(p.hi, lo)
+
+
+def dd_from(hi: jax.Array) -> DD:
+    return DD(hi, jnp.zeros_like(hi))
+
+
+def dd_div(x: DD, y: DD) -> DD:
+    """Double-word / double-word via one Newton correction (~eps^2)."""
+    q1 = x.hi / y.hi
+    r = dd_add_w(dd_neg(dd_scale(y, q1)), x.hi)  # x.hi - q1*y, exactly
+    r = dd_add_w(r, x.lo)
+    q2 = r.to_working() / y.hi
+    return fast_two_sum(q1, q2)
+
+
+def dd_matvec_dd(A: jax.Array, x: DD) -> DD:
+    """Compensated A @ (x.hi + x.lo): exact-product dd matvec on the hi
+    part plus a working-precision matvec on the (already eps-small) lo
+    part — overall ~eps^2 accurate."""
+    main = dd_matvec(A, x.hi)
+    return dd_add_w(main, A @ x.lo)
+
+
 def dd_sum(x: DD, axis: int = -1) -> DD:
     """Compensated reduction of a double-word array along ``axis``.
 

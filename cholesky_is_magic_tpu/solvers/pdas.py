@@ -34,7 +34,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from cholesky_is_magic_tpu.ingest.device import DeviceLP
-from cholesky_is_magic_tpu.kkt.newton import dense_kkt_operator, solve_kkt_newton
+from cholesky_is_magic_tpu.kkt.newton import (
+    dense_kkt_operator,
+    solve_kkt_newton,
+    sparse_kkt_operator,
+)
 from cholesky_is_magic_tpu.ops import dense as dense_ops
 from cholesky_is_magic_tpu.solvers.affine import (
     _centering_direction,
@@ -210,7 +214,7 @@ def _pos_step(v, dv):
     return jnp.min(jnp.maximum(lim, 0.0))
 
 
-def _repair(state: PDASState, cfg: PDASConfig):
+def _repair(state: PDASState, cfg: PDASConfig, engine=None):
     """one-repair-iteration (:268-288): min-norm LS step toward Ax = b,
     then nudge x into the interior.
 
@@ -225,8 +229,8 @@ def _repair(state: PDASState, cfg: PDASConfig):
     slack = _slack(lp.l, x, lp.u, cfg.repair_slack_cap, lp.col_mask)
     residual = lp.b - lp.A @ x
     boost = (~lp.row_mask).astype(lp.A.dtype)
-    yv, ok = dense_ops.solve_normal(
-        lp.A, slack, residual, row_boost=boost, refine_steps=cfg.refine_steps
+    yv, ok = _solve_normal_backend(
+        engine, lp.A, slack, residual, boost, cfg.refine_steps
     )
     dg = jnp.where(lp.col_mask, (lp.A * slack[None, :]).T @ yv, 0.0)
     g = dg * slack
@@ -241,7 +245,7 @@ def _repair(state: PDASState, cfg: PDASConfig):
     return jnp.where(ok, new_x, x), ok
 
 
-def _recenter(state: PDASState, cfg: PDASConfig):
+def _recenter(state: PDASState, cfg: PDASConfig, engine=None):
     """The repair-flag path (:348-366): perturb duals by 1e-4 and take a
     damped centering step from primal-project."""
     lp = state.lp
@@ -254,8 +258,8 @@ def _recenter(state: PDASState, cfg: PDASConfig):
     sc = -(slack * c_dir)
     AD = lp.A * slack[None, :]
     boost = (~lp.row_mask).astype(lp.A.dtype)
-    proj, ok = dense_ops.solve_normal(
-        lp.A, slack, AD @ sc, row_boost=boost, refine_steps=cfg.refine_steps
+    proj, ok = _solve_normal_backend(
+        engine, lp.A, slack, AD @ sc, boost, cfg.refine_steps
     )
     dx = jnp.where(lp.col_mask, sc - AD.T @ proj, 0.0) * slack
     step = 0.5 * _max_step(lp.l, x, lp.u, dx, lp.col_mask)
@@ -263,16 +267,34 @@ def _recenter(state: PDASState, cfg: PDASConfig):
     return new_x, w, z, ok
 
 
-def pdas(state: PDASState, config: Optional[PDASConfig] = None) -> SolveResult:
+def pdas(
+    state: PDASState,
+    config: Optional[PDASConfig] = None,
+    engine=None,
+) -> SolveResult:
     """The driver (pdas, :385-396): iterate until relative duality gap
-    < 1e-4, arming the recenter path whenever the step stalls below 1e-6."""
+    < 1e-4, arming the recenter path whenever the step stalls below 1e-6.
+
+    ``engine`` optionally supplies a sparse normal-equations backend (a
+    sparse.tiled.TiledCholesky or sparse.factor.BlockSparseCholesky built
+    from this LP's pattern) — the analyze-once object whose solve_normal
+    replaces the dense MXU pipeline for every factorization in the loop.
+    """
     cfg = config or PDASConfig()
-    return _pdas_jit(state, cfg)
+    return _pdas_jit(state, cfg, engine)
+
+
+def _solve_normal_backend(engine, A, d, g, row_boost, refine_steps):
+    if engine is None:
+        return dense_ops.solve_normal(
+            A, d, g, row_boost=row_boost, refine_steps=refine_steps
+        )
+    return engine.solve_normal(A, d, g, row_boost=row_boost)
 
 
 @highest_precision
-@partial(jax.jit, static_argnames=("cfg",))
-def _pdas_jit(state: PDASState, cfg: PDASConfig) -> SolveResult:
+@partial(jax.jit, static_argnames=("cfg", "engine"))
+def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None) -> SolveResult:
     lp = state.lp
 
     def one_iteration(st: PDASState, repair_flag):
@@ -285,7 +307,7 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig) -> SolveResult:
         primal_infeasible = jnp.max(jnp.abs(primal)) >= cfg.primal_feasible_tol
 
         def do_repair():
-            new_x, ok = _repair(st, cfg)
+            new_x, ok = _repair(st, cfg, engine)
             return (
                 dataclasses.replace(st, x=new_x),
                 gap,
@@ -294,7 +316,7 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig) -> SolveResult:
             )
 
         def do_recenter():
-            new_x, w, z, ok = _recenter(st, cfg)
+            new_x, w, z, ok = _recenter(st, cfg, engine)
             return (
                 dataclasses.replace(st, x=new_x, w=w, z=z),
                 gap,
@@ -304,7 +326,12 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig) -> SolveResult:
 
         def do_newton():
             boost = (~lp.row_mask).astype(lp.A.dtype)
-            op = dense_kkt_operator(lp.A, row_boost=boost, refine_steps=cfg.refine_steps)
+            if engine is None:
+                op = dense_kkt_operator(
+                    lp.A, row_boost=boost, refine_steps=cfg.refine_steps
+                )
+            else:
+                op = sparse_kkt_operator(lp.A, engine, row_boost=boost)
             d = solve_kkt_newton(sl, su, st.w, st.z, op, wu, zl, primal, dual)
             # Ratio tests on the TRUE slacks (not the KKT-scaling floored
             # ones): a floored slack would let x cross its bound.

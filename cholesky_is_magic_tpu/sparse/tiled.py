@@ -79,6 +79,21 @@ def _pad2(lists, fill):
     return out
 
 
+def engine_for(A, block: int = 128) -> "TiledCholesky":
+    """Build a TiledCholesky for a (possibly padded) device/host matrix —
+    the analyze-once entry point solvers hand to pdas(..., engine=...).
+
+    Zero (padded) rows contribute only their boosted diagonal; the
+    symbolic analysis sees them as isolated vertices.
+    """
+    import scipy.sparse as sp
+
+    A_host = sp.csc_matrix(np.asarray(A, np.float64))
+    from cholesky_is_magic_tpu.sparse.symbolic import analyze
+
+    return TiledCholesky(analyze(A_host, block=block))
+
+
 class TiledCholesky:
     """Analyze-once tile engine for one sparsity pattern (the
     cholmod_analyze / cholmod_factorize split, affine-scaling.lisp:271)."""

@@ -69,3 +69,27 @@ def test_singular_detected():
     y, ok = eng.solve_normal(jnp.zeros_like(jnp.asarray(A)), d, g)
     assert not bool(ok)
     assert np.all(np.asarray(y) == 0.0)
+
+
+def test_pdas_with_tiled_engine():
+    """End-to-end PDAS through the tiled sparse backend == dense backend."""
+    import cholesky_is_magic_tpu as cim
+    from cholesky_is_magic_tpu.ingest import to_device_lp
+    from cholesky_is_magic_tpu.ingest.mps import read_mps_string
+    from cholesky_is_magic_tpu.sparse.tiled import engine_for
+    from cholesky_is_magic_tpu.solvers import PDASConfig, make_pdas, pdas
+    from cholesky_is_magic_tpu.utils.testing import (
+        netlib_like_lp,
+        scipy_reference_solution,
+        write_mps,
+    )
+
+    ineq = netlib_like_lp("afiro")
+    _, fun, _ = scipy_reference_solution(ineq)
+    sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+    lp = to_device_lp(sf, pad_multiple=16, dtype=jnp.float64)
+    st = make_pdas(lp)
+    eng = engine_for(st.lp.A, block=16)
+    res = pdas(st, PDASConfig(max_iters=200), engine=eng)
+    assert res.status_name == "optimal"
+    assert float(res.objective) == pytest.approx(fun, rel=1e-3, abs=1e-3)

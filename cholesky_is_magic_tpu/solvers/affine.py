@@ -22,7 +22,18 @@ TPU-first differences from the reference (not a translation):
 - the repair-vs-optimize-vs-recenter dispatch is lax.cond inside
   lax.while_loop, so the whole solve is a single XLA computation with no
   host round-trips (the reference crosses the FFI every call,
-  SURVEY.md §3.1).
+  SURVEY.md §3.1);
+- a singular normal matrix triggers one retry at the repair-sized slack
+  cap before aborting (the 1e8 cap on free variables can make N
+  numerically rank-deficient; the reference just stops " singular ").
+
+Known algorithmic limitation, faithfully inherited: the ||dg|| < 1e-6
+convergence test (:193) measures the direction in the SCALED space, and
+free variables carry a 1e8 slack scale, so dg is ~1e-8 * g by
+construction — on LPs with active free variables the stop can fire
+before optimality (fuzz: 2/38 random free-variable LPs; the reference's
+identical test behaves the same).  Use pdas (exact free-variable
+handling) for such problems.
 """
 
 from __future__ import annotations
@@ -188,13 +199,26 @@ def _scaling_step(state: AffineState, centering, cfg: AffineConfig):
     (new_x, continue, status, step_norm_g, norm_dg, descent, ok)."""
     lp = state.lp
     x = state.x
-    slack = _slack(lp.l, x, lp.u, cfg.max_slack, lp.col_mask)
     c_dir = jax.lax.cond(
         centering,
         lambda: _centering_direction(lp.l, x, lp.u, lp.col_mask),
         lambda: lp.c,
     )
+    slack = _slack(lp.l, x, lp.u, cfg.max_slack, lp.col_mask)
     dg, ok = _project(lp, slack, c_dir, cfg.refine_steps)
+
+    # Adaptive slack-cap fallback (TPU-build safeguard): with free
+    # variables the *max-slack* = 1e8 cap scales their normal-matrix
+    # contribution by 1e16, which can make the Cholesky numerically
+    # rank-deficient; the reference prints " singular " and stops at a
+    # non-optimal point.  Retry with the repair-sized cap sqrt(1e8)
+    # before giving up.
+    def retry():
+        slack2 = _slack(lp.l, x, lp.u, np.sqrt(cfg.max_slack), lp.col_mask)
+        dg2, ok2 = _project(lp, slack2, c_dir, cfg.refine_steps)
+        return slack2, dg2, ok2
+
+    slack, dg, ok = jax.lax.cond(ok, lambda: (slack, dg, ok), retry)
     g = dg * slack
     step = cfg.gamma * _max_step(lp.l, x, lp.u, g, lp.col_mask)
     norm_g = jnp.linalg.norm(g)

@@ -48,6 +48,11 @@ BIG = 1e30
 
 @dataclasses.dataclass(frozen=True)
 class ALMConfig:
+    """Defaults follow the reference's f64 tolerances (1e-5/1e-6).  For
+    f32 problems use ~1e-4 for violation_tol/pg_tol/omega_floor: tighter
+    targets are below f32 resolution and the inner APPROX loop will burn
+    its full budget every outer step without converging."""
+
     mu0: float = 10.0  # initial penalty (make-alm :427)
     mu_max: float = 1e7  # cap (:529; v1 uses 1e6 at :485)
     violation_tol: float = 1e-5  # outer stop (:556)

@@ -75,6 +75,15 @@ def factorize(N: jax.Array, use_pallas: bool = False) -> CholFactors:
     return CholFactors(L=jnp.where(ok, L, jnp.eye(N.shape[0], dtype=N.dtype)), ok=ok)
 
 
+def rcond_estimate(L: jax.Array) -> jax.Array:
+    """Cheap reciprocal-condition estimate from the Cholesky factor:
+    (min diag L / max diag L)² — exactly what cholmod_rcond returns
+    (sparse-cholesky.lisp:296 binds it; CHOLMOD documents the same
+    diagonal-ratio estimate)."""
+    d = jnp.abs(jnp.diagonal(L))
+    return (jnp.min(d) / jnp.max(d)) ** 2
+
+
 def chol_solve(L: jax.Array, b: jax.Array) -> jax.Array:
     """Solve (L·Lᵀ) x = b by two triangular solves (cholmod_solve2 analogue,
     sparse-cholesky.lisp:276-288 — workspace recycling is XLA's job here:

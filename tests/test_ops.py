@@ -163,3 +163,14 @@ class TestPallasCholesky:
         L = pallas_cholesky(N)
         rec = np.asarray(L) @ np.asarray(L).T
         np.testing.assert_allclose(rec, np.asarray(N), atol=1e-5)
+
+
+def test_rcond_estimate():
+    rng = np.random.default_rng(11)
+    N = jnp.asarray(spd_matrix(rng, 32, cond=1e6), jnp.float64)
+    L = jnp.linalg.cholesky(N)
+    from cholesky_is_magic_tpu.ops.dense import rcond_estimate
+
+    r = float(rcond_estimate(L))
+    # The diag-ratio estimate is within a couple orders of 1/cond.
+    assert 1e-9 < r < 1e-3

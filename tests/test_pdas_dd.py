@@ -61,3 +61,19 @@ def test_dd_gap_readout_is_honest():
     assert float(rdd.extra["gap"]) > 0.0
     # And the hidden low words are genuinely in use (nonzero).
     assert float(jnp.max(jnp.abs(rdd.extra["x_lo"]))) > 0.0
+
+
+def test_batched_pdas_dd_composes():
+    """pdas_dd is a pure jitted function: vmap composes for batched
+    tight-gap sweeps."""
+    import jax
+
+    lps, funs = zip(*[f32_lp(s) for s in (2, 4)])
+    states = jax.tree.map(lambda *xs: jnp.stack(xs), *[make_pdas_dd(lp) for lp in lps])
+    from cholesky_is_magic_tpu.solvers.pdas_dd import _pdas_dd_jit
+
+    cfg = PDASConfig(max_iters=150, gap_tol=1e-8, refine_steps=2)
+    res = jax.jit(jax.vmap(lambda s: _pdas_dd_jit.__wrapped__(s, cfg)))(states)
+    for i, fun in enumerate(funs):
+        assert float(res.extra["gap"][i]) < 1e-6
+        assert float(res.objective[i]) == pytest.approx(fun, rel=1e-4, abs=1e-4)

@@ -22,7 +22,7 @@ import numpy as np
 
 
 M, N = 832, 1664  # 25fv47 is 822 x 1571 (+slacks); padded to 128 multiples
-K = 32  # chained iterations per timed run
+K = 128  # chained iterations per timed run (amortizes ~25ms tunnel RTT noise)
 REPS = 5
 
 

@@ -33,7 +33,6 @@ import numpy as np
 from cholesky_is_magic_tpu.ingest.device import DeviceLP
 from cholesky_is_magic_tpu.ingest.standard_form import StandardForm
 from cholesky_is_magic_tpu.solvers.approx import (
-    ApproxProblem,
     approx,
     _approx_jit,
     dual_value,

@@ -38,18 +38,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from cholesky_is_magic_tpu.ingest.device import DeviceLP
-from cholesky_is_magic_tpu.kkt.newton import dense_kkt_operator, solve_kkt_newton
+from cholesky_is_magic_tpu.kkt.newton import dense_kkt_operator
 from cholesky_is_magic_tpu.ops import dd as ddm
 from cholesky_is_magic_tpu.ops.dd import DD
 from cholesky_is_magic_tpu.solvers.pdas import (
     PDASConfig,
-    PDASState,
     _box_step,
     _pos_step,
-    _slack_floor,
     make_pdas,
 )
-from cholesky_is_magic_tpu.solvers.affine import _into_interior
 from cholesky_is_magic_tpu.solvers.result import SolveResult, Status
 from cholesky_is_magic_tpu.utils.precision import highest_precision
 

@@ -23,7 +23,6 @@ follow-up for very large factors.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

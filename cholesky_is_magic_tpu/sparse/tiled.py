@@ -39,7 +39,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cholesky_is_magic_tpu.ops.pallas_chol import blocked_cholesky
 from cholesky_is_magic_tpu.sparse.symbolic import FactorPlan
 
 

@@ -20,8 +20,6 @@ equivalents:
 from __future__ import annotations
 
 import contextlib
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import checkify

@@ -12,6 +12,7 @@ from cholesky_is_magic_tpu.ingest.standard_form import (
     to_standard_form,
     rescale_sf,
     scale_constraints,
+    extract_solution,
 )
 from cholesky_is_magic_tpu.ingest.device import DeviceLP, to_device_lp
 
@@ -23,6 +24,7 @@ __all__ = [
     "to_standard_form",
     "rescale_sf",
     "scale_constraints",
+    "extract_solution",
     "DeviceLP",
     "to_device_lp",
 ]

@@ -132,6 +132,25 @@ def to_standard_form(mps: MPSData) -> StandardForm:
     )
 
 
+def extract_solution(sf: StandardForm, x) -> dict:
+    """Split a standard-form solution back into original variables and
+    slacks.
+
+    The reference keeps ``initial-vars`` on the struct for exactly this
+    (standard-form.lisp:16,105): columns [0, initial_vars) are the MPS
+    problem's variables, the rest are the slack/artificial columns added
+    per row.  ``x`` may be longer than nvars (padded device output).
+    """
+    import numpy as _np
+
+    x = _np.asarray(x)[: sf.nvars]
+    return {
+        "x": x[: sf.initial_vars],
+        "slacks": x[sf.initial_vars :],
+        "objective": float(sf.dense_c() @ x),
+    }
+
+
 def rescale_sf(sf: StandardForm) -> StandardForm:
     """Row equilibration in place: scale row i (and b_i) by 1 / max_j |a_ij|.
 

@@ -192,3 +192,17 @@ class TestStandardForm:
         # And rescaling must not change the optimum.
         res2 = solve_standard_form(rescale_sf(sf))
         assert res2.fun == pytest.approx(fun, rel=1e-8, abs=1e-8)
+
+
+def test_extract_solution_roundtrip():
+    from cholesky_is_magic_tpu.ingest.standard_form import extract_solution
+
+    sf = to_standard_form(read_mps_file(os.path.join(FIXTURES, "simple.mps")))
+    res = solve_standard_form(sf)
+    out = extract_solution(sf, res.x)
+    assert len(out["x"]) == sf.initial_vars
+    assert len(out["slacks"]) == sf.nvars - sf.initial_vars
+    assert out["objective"] == pytest.approx(-7.0, abs=1e-8)
+    # Padded input also accepted.
+    out2 = extract_solution(sf, np.concatenate([res.x, np.zeros(5)]))
+    assert out2["objective"] == pytest.approx(out["objective"])

@@ -101,6 +101,10 @@ def main(argv=None) -> int:
         x = np.asarray(res.x)[: lp.n]
         out = dict(objective=float(x @ np.asarray(lp.c)[: lp.n]),
                    pg=float(res.pg), iterations=int(res.iterations))
+    if "objective" in out and sf.obj_sign != 1.0:
+        # OBJSENSE MAX: "objective" above is the minimized standard-form
+        # value (c negated); report the true maximized objective too.
+        out["original_objective"] = sf.obj_sign * out["objective"]
     out["wall_seconds"] = round(time.time() - t0, 3)
     out["solver"] = args.solver
 

@@ -48,6 +48,9 @@ class StandardForm:
     l: np.ndarray  # (nvars,)
     u: np.ndarray  # (nvars,)
     initial_vars: int  # number of original (non-slack) variables
+    # +1 for min problems, -1 for max: c was multiplied by this in
+    # to_standard_form, so the ORIGINAL objective is obj_sign * (c'x).
+    obj_sign: float = 1.0
 
     ROW_EQ = 0
     ROW_LE = 1
@@ -129,6 +132,7 @@ def to_standard_form(mps: MPSData) -> StandardForm:
         l=np.asarray(l, dtype=np.float64),
         u=np.asarray(u, dtype=np.float64),
         initial_vars=nvars,
+        obj_sign=sign,
     )
 
 
@@ -144,10 +148,14 @@ def extract_solution(sf: StandardForm, x) -> dict:
     import numpy as _np
 
     x = _np.asarray(x)[: sf.nvars]
+    # Report the ORIGINAL problem's objective: for OBJSENSE MAX problems c
+    # was negated in to_standard_form (standard-form.lisp:95-99), so c'x is
+    # the negated true objective; obj_sign undoes that.
     return {
         "x": x[: sf.initial_vars],
         "slacks": x[sf.initial_vars :],
-        "objective": float(sf.dense_c() @ x),
+        "objective": float(sf.obj_sign * (sf.dense_c() @ x)),
+        "standard_form_objective": float(sf.dense_c() @ x),
     }
 
 

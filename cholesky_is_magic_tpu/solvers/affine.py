@@ -239,7 +239,10 @@ def _optimize_iteration(state: AffineState, centering, cfg: AffineConfig):
         state, centering, cfg
     )
 
-    n_rows = jnp.asarray(x0.shape[0], dtype=x0.dtype)
+    # True variable count, not the padded length (affine-scaling.lisp:193-194
+    # uses (length x)): padding would loosen the stop for small LPs and make
+    # results vary with pad_multiple.
+    n_rows = jnp.asarray(lp.n, dtype=x0.dtype)
     converged_dir = norm_dg < jnp.minimum(cfg.direction_tol, 1e-8 * n_rows)
     not_descent = descent > 0
     stalled = (step * norm_g) < cfg.step_tol

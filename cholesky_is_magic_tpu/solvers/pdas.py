@@ -300,7 +300,7 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None) -> SolveResult:
     def one_iteration(st: PDASState, repair_flag):
         """one-pdas-iteration (:319-383). Returns (new_st, gap, step, ok)."""
         sl, su, wu, zl, primal, dual = _violation(st)
-        pobj, dobj = _objectives(st)
+        pobj, dobj = _objectives(st, cfg.clamp)
         gap = jnp.abs(pobj - dobj) / jnp.maximum(
             jnp.maximum(jnp.abs(pobj), jnp.abs(dobj)), 1.0
         )
@@ -415,7 +415,7 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None) -> SolveResult:
     use_best = best_gap < gap
     st = jax.tree.map(lambda b, c: jnp.where(use_best, b, c), best_st, st)
     gap = jnp.minimum(best_gap, gap)
-    pobj, dobj = _objectives(st)
+    pobj, dobj = _objectives(st, cfg.clamp)
     resid = jnp.linalg.norm(lp.A @ st.x - lp.b)
     final_status = jnp.where(
         status != Status.RUNNING,

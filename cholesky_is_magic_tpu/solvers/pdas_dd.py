@@ -204,6 +204,15 @@ def _pdas_dd_jit(state: PDASDDState, cfg: PDASConfig, engine=None) -> SolveResul
             ddm.dd_sub(st.z, ddm.dd_div(ddm.dd_mul(st.z, dx_dd), sl_dd)).to_working(),
             z32,
         )
+        # Padding inertness: the sanitized rhs (e = f = 0 at padded entries,
+        # not w*su / z*sl) makes the e/su = w, f/sl = z identities above
+        # wrong exactly there, yielding dw = w, dz = z — which _pos_step
+        # turns into a permanent ratio of 1, capping every Newton step.
+        # Zero the deltas on masked entries (matching solve_kkt_newton's
+        # behavior with a sanitized rhs).
+        dx = jnp.where(lp.col_mask, dx, 0.0)
+        dw = jnp.where(lp.col_mask, dw, 0.0)
+        dz = jnp.where(lp.col_mask, dz, 0.0)
         return dw, dx, dy, dz, ok
 
     def one_iteration(st: PDASDDState):

@@ -206,3 +206,18 @@ def test_extract_solution_roundtrip():
     # Padded input also accepted.
     out2 = extract_solution(sf, np.concatenate([res.x, np.zeros(5)]))
     assert out2["objective"] == pytest.approx(out["objective"])
+
+
+def test_extract_solution_max_sense():
+    """For OBJSENSE MAX, extract_solution must report the TRUE (maximized)
+    objective, not the negated standard-form one."""
+    from cholesky_is_magic_tpu.ingest.standard_form import extract_solution
+
+    sf = to_standard_form(read_mps_file(os.path.join(FIXTURES, "maxrange.mps")))
+    assert sf.obj_sign == -1.0
+    res = solve_standard_form(sf)
+    assert res.status == 0
+    out = extract_solution(sf, res.x)
+    assert out["standard_form_objective"] == pytest.approx(res.fun)
+    assert out["objective"] == pytest.approx(-res.fun)
+    assert out["objective"] > 0  # maximizing a positive-profit LP

@@ -63,6 +63,27 @@ def test_dd_gap_readout_is_honest():
     assert float(jnp.max(jnp.abs(rdd.extra["x_lo"]))) > 0.0
 
 
+def test_padded_entries_inert():
+    """One Newton step must leave padded w, z, x exactly unchanged.
+
+    Regression: kkt_dd used the e/su = w, f/sl = z identities everywhere,
+    but the sanitized rhs has e = f = 0 at padded entries, so dw = w and
+    dz = z there — and _pos_step then saw ratio w/dw = 1 at every padded
+    entry, permanently capping the Newton step at 1."""
+    lp32, _ = f32_lp(2)
+    n_pad = int(jnp.sum(~lp32.col_mask))
+    assert n_pad > 0  # the fixture must actually exercise padding
+    st0 = make_pdas_dd(lp32)
+    cfg = PDASConfig(max_iters=40, gap_tol=1e-8, refine_steps=2)
+    res = pdas_dd(st0, cfg)
+    pad = ~lp32.col_mask
+    for name in ("w", "z"):
+        got = jnp.where(pad, res.extra[name], 0.0)
+        want = jnp.where(pad, getattr(st0, name).to_working(), 0.0)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(jnp.where(pad, res.x, 0.0)), 0.0)
+
+
 def test_batched_pdas_dd_composes():
     """pdas_dd is a pure jitted function: vmap composes for batched
     tight-gap sweeps."""

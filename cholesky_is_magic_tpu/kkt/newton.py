@@ -82,18 +82,25 @@ def sparse_kkt_operator(
     A: jax.Array,
     engine,
     row_boost: Optional[jax.Array] = None,
+    refine_steps: int = 0,
 ) -> KKTOperator:
-    """Operator backed by a sparse.BlockSparseCholesky engine — the
-    sparse-newton-solve.lisp backend: same elimination, the normal solve
-    runs the planned block-sparse factorization instead of the dense one.
+    """Operator backed by a sparse.BlockSparseCholesky / TiledCholesky
+    engine — the sparse-newton-solve.lisp backend: same elimination, the
+    normal solve runs the planned block-sparse factorization instead of
+    the dense one.
 
-    ``engine`` is a BlockSparseCholesky built from this A's pattern (the
-    analyze-once step); matvecs stay dense-MXU (A is padded-dense here —
-    an ELL variant plugs in the same way for very sparse A).
+    ``engine`` is built from this A's pattern (the analyze-once step);
+    matvecs stay dense-MXU (A is padded-dense here — an ELL variant plugs
+    in the same way for very sparse A).  ``refine_steps`` > 0 turns on the
+    engines' double-word refinement against the unassembled operator, so
+    the sparse path matches the dense path's accuracy (the reference's
+    sparse path is fp64 CHOLMOD, sparse-cholesky.lisp:524-560).
     """
 
     def solve_scaled_normal(s, g):
-        return engine.solve_normal(A, s, g, row_boost=row_boost)
+        return engine.solve_normal(
+            A, s, g, row_boost=row_boost, refine_steps=refine_steps
+        )
 
     return KKTOperator(
         mv=lambda v: A @ v,

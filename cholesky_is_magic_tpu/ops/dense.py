@@ -114,6 +114,28 @@ def solve_spd(
     return jnp.where(f.ok, x, jnp.zeros_like(x)), f.ok
 
 
+def operator_residual(
+    AD: jax.Array,
+    y: jax.Array,
+    g: jax.Array,
+    row_boost: Optional[jax.Array] = None,
+) -> jax.Array:
+    """g - AD·(ADᵀ·y) (- row_boost∘y) with the matvecs in double-word.
+
+    The refinement residual against the UNASSEMBLED normal operator: it
+    sees both the solve error and the f32 rounding of assembling N, which
+    a residual against the assembled matrix cannot.  Shared by the dense
+    backend and the sparse engines (sparse.tiled / sparse.factor), so
+    every normal-equations path reaches the same dd accuracy story the
+    reference gets for free from fp64 CHOLMOD (sparse-cholesky.lisp:524-560).
+    """
+    t = ddm.dd_matvec(AD.T, y)
+    u = ddm.dd_add(ddm.dd_matvec(AD, t.hi), ddm.dd_matvec(AD, t.lo))
+    if row_boost is not None:
+        u = ddm.dd_add_w(u, row_boost.astype(y.dtype) * y)
+    return ddm.dd_add_w(ddm.dd_neg(u), g).to_working()
+
+
 def solve_normal(
     A: jax.Array,
     d: jax.Array,
@@ -145,11 +167,7 @@ def solve_normal(
     y = chol_solve(f.L, g)
     for _ in range(refine_steps):
         if true_residual:
-            t = ddm.dd_matvec(AD.T, y)  # ADᵀ y in double-word
-            u = ddm.dd_add(ddm.dd_matvec(AD, t.hi), ddm.dd_matvec(AD, t.lo))
-            if row_boost is not None:
-                u = ddm.dd_add_w(u, row_boost.astype(y.dtype) * y)
-            r = ddm.dd_add_w(ddm.dd_neg(u), g).to_working()
+            r = operator_residual(AD, y, g, row_boost)
         else:
             r = ddm.dd_residual(g, N, y)
         y = y + chol_solve(f.L, r)

@@ -289,7 +289,9 @@ def _solve_normal_backend(engine, A, d, g, row_boost, refine_steps):
         return dense_ops.solve_normal(
             A, d, g, row_boost=row_boost, refine_steps=refine_steps
         )
-    return engine.solve_normal(A, d, g, row_boost=row_boost)
+    return engine.solve_normal(
+        A, d, g, row_boost=row_boost, refine_steps=refine_steps
+    )
 
 
 @highest_precision
@@ -331,7 +333,9 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None) -> SolveResult:
                     lp.A, row_boost=boost, refine_steps=cfg.refine_steps
                 )
             else:
-                op = sparse_kkt_operator(lp.A, engine, row_boost=boost)
+                op = sparse_kkt_operator(
+                    lp.A, engine, row_boost=boost, refine_steps=cfg.refine_steps
+                )
             d = solve_kkt_newton(sl, su, st.w, st.z, op, wu, zl, primal, dual)
             # Ratio tests on the TRUE slacks (not the KKT-scaling floored
             # ones): a floored slack would let x cross its bound.

@@ -237,7 +237,12 @@ def _pdas_dd_jit(state: PDASDDState, cfg: PDASConfig, engine=None) -> SolveResul
         else:
             from cholesky_is_magic_tpu.kkt.newton import sparse_kkt_operator
 
-            op = sparse_kkt_operator(lp.A, engine, row_boost=boost)
+            # Engine refinement against the unassembled operator — the
+            # sparse-path rendering of true_residual above, required for
+            # the direction accuracy the dd iterates need near gap 1e-8.
+            op = sparse_kkt_operator(
+                lp.A, engine, row_boost=boost, refine_steps=cfg.refine_steps
+            )
         w32 = st.w.to_working()
         z32 = st.z.to_working()
         dw, dx, dy, dz, ok = kkt_dd(st, sl_dd, su_dd, sl, su, primal_dd, dual_dd, op)

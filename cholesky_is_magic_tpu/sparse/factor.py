@@ -158,20 +158,36 @@ class BlockSparseCholesky:
         d: jax.Array,
         g: jax.Array,
         row_boost: Optional[jax.Array] = None,
+        refine_steps: int = 0,
     ):
         """Solve (A·D)(A·D)ᵀ y = g using the planned sparse factorization.
 
         Returns (y, ok) in the ORIGINAL row order — a drop-in for
         ops.dense.solve_normal (so it can back a KKTOperator).
+        ``refine_steps`` adds double-word refinement against the unassembled
+        operator (see ops.dense.operator_residual), matching the dense
+        path's accuracy — the reference's sparse path is fp64 CHOLMOD
+        (sparse-cholesky.lisp:524-560).
         """
+        from cholesky_is_magic_tpu.ops.dense import operator_residual
+
         n_pad = self.plan.n_padded
         m = g.shape[0]
         N = self.assemble_normal(A, d, row_boost)
         L = self.factorize(N)
         diag = jnp.diagonal(L)
         ok = jnp.all(jnp.isfinite(L)) & jnp.all(diag > 0)
-        gp = jnp.pad(g, (0, n_pad - m))[self.pperm]
-        t = jax.scipy.linalg.solve_triangular(L, gp, lower=True)
-        yp = jax.scipy.linalg.solve_triangular(L.T, t, lower=False)
-        y = jnp.zeros_like(yp).at[self.pperm].set(yp)[:m]
+
+        def raw_solve(r):
+            rp = jnp.pad(r, (0, n_pad - m))[self.pperm]
+            t = jax.scipy.linalg.solve_triangular(L, rp, lower=True)
+            yp = jax.scipy.linalg.solve_triangular(L.T, t, lower=False)
+            return jnp.zeros_like(yp).at[self.pperm].set(yp)[:m]
+
+        y = raw_solve(g)
+        if refine_steps:
+            AD = A * d[None, :]
+            for _ in range(refine_steps):
+                r = operator_residual(AD, y, g, row_boost)
+                y = y + raw_solve(r)
         return jnp.where(ok, y, jnp.zeros_like(y)), ok

@@ -287,13 +287,30 @@ class TiledCholesky:
         z = jax.lax.fori_loop(0, B, bwd, jnp.zeros((B + 1, b), dtype))
         return z[:B].reshape(B * b)
 
-    def solve_normal(self, A, d, g, row_boost=None):
-        """Drop-in for ops.dense.solve_normal via the tile engine."""
+    def solve_normal(self, A, d, g, row_boost=None, refine_steps=0):
+        """Drop-in for ops.dense.solve_normal via the tile engine.
+
+        ``refine_steps`` adds double-word iterative refinement against the
+        UNASSEMBLED operator (ops.dense.operator_residual): the f32 tile
+        factorization then reaches the same accuracy as the dense dd path —
+        the reference's sparse path is fp64 CHOLMOD and gets this for free
+        (sparse-cholesky.lisp:524-560)."""
+        from cholesky_is_magic_tpu.ops.dense import operator_residual
+
         m = g.shape[0]
         n_pad = self.B * self.b
         tiles = self.assemble(A, d, row_boost)
         L, invd, ok = self.factorize(tiles)
-        gp = jnp.pad(g, (0, n_pad - m))[self.pperm]
-        yp = self.solve(L, invd, gp)
-        y = jnp.zeros_like(yp).at[self.pperm].set(yp)[:m]
+
+        def raw_solve(r):
+            rp = jnp.pad(r, (0, n_pad - m))[self.pperm]
+            yp = self.solve(L, invd, rp)
+            return jnp.zeros_like(yp).at[self.pperm].set(yp)[:m]
+
+        y = raw_solve(g)
+        if refine_steps:
+            AD = A * d[None, :]
+            for _ in range(refine_steps):
+                r = operator_residual(AD, y, g, row_boost)
+                y = y + raw_solve(r)
         return jnp.where(ok, y, jnp.zeros_like(y)), ok

@@ -63,6 +63,23 @@ def test_dd_gap_readout_is_honest():
     assert float(jnp.max(jnp.abs(rdd.extra["x_lo"]))) > 0.0
 
 
+@pytest.mark.parametrize("seed", [2, 4])
+def test_dd_with_tiled_engine_tight_gap(seed):
+    """pdas_dd backed by the tiled sparse engine must reach the same tight
+    gaps as the dense path (VERDICT r1 #2: the at-scale path and the
+    accuracy story must not be mutually exclusive)."""
+    from cholesky_is_magic_tpu.sparse.tiled import engine_for
+
+    lp32, fun = f32_lp(seed)
+    st = make_pdas_dd(lp32)
+    eng = engine_for(st.lp.A, block=16)
+    cfg = PDASConfig(max_iters=300, gap_tol=1e-8, refine_steps=3)
+    rdd = pdas_dd(st, cfg, engine=eng)
+    gap = float(rdd.extra["gap"])
+    assert gap < 1e-7, gap
+    assert float(rdd.objective) == pytest.approx(fun, rel=1e-4, abs=1e-4)
+
+
 def test_padded_entries_inert():
     """One Newton step must leave padded w, z, x exactly unchanged.
 

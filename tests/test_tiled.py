@@ -71,6 +71,32 @@ def test_singular_detected():
     assert np.all(np.asarray(y) == 0.0)
 
 
+def test_refinement_recovers_f32_accuracy():
+    """f32 tile solve + dd refinement must land ~eps^2 from the f64 oracle
+    (the sparse-path accuracy story: the reference's sparse path is fp64
+    CHOLMOD, sparse-cholesky.lisp:524-560)."""
+    rng = np.random.default_rng(5)
+    m, n = 72, 120
+    A = (rng.random((m, n)) < 0.15) * rng.normal(size=(m, n))
+    A[np.arange(m), np.arange(m)] += 2.0
+    plan = analyze(sp.csc_matrix(A), block=16)
+    eng = TiledCholesky(plan)
+    d = rng.random(n) + 0.5
+    g = rng.normal(size=m)
+    y_ref, _ = dense_ops.solve_normal(
+        jnp.asarray(A), jnp.asarray(d), jnp.asarray(g), refine_steps=2
+    )  # f64 on CPU tests
+    A32, d32, g32 = (jnp.asarray(v, jnp.float32) for v in (A, d, g))
+    y0, ok0 = eng.solve_normal(A32, d32, g32, refine_steps=0)
+    y2, ok2 = eng.solve_normal(A32, d32, g32, refine_steps=2)
+    assert bool(ok0) and bool(ok2)
+    err0 = np.abs(np.asarray(y0, np.float64) - np.asarray(y_ref)).max()
+    err2 = np.abs(np.asarray(y2, np.float64) - np.asarray(y_ref)).max()
+    scale = np.abs(np.asarray(y_ref)).max()
+    assert err2 < 1e-5 * scale  # ~f32-eps^1.5 or better
+    assert err2 < err0 / 10  # refinement genuinely helps
+
+
 def test_pdas_with_tiled_engine():
     """End-to-end PDAS through the tiled sparse backend == dense backend."""
     import cholesky_is_magic_tpu as cim

@@ -55,11 +55,14 @@ class BlockSparseCholesky:
         self.updates = []
         for k in range(B):
             rows = [k] + self.panel_rows[k]
+            # Pairs whose destination tile is structurally zero contribute
+            # exact zeros (fill-path theorem: a nonzero product would force
+            # elementwise fill at (i, j), i.e. a resident tile) — skip them.
             pairs = [
                 (i, j)
                 for i in rows
                 for j in rows
-                if i >= j and i > k and j > k
+                if i >= j and i > k and j > k and mask[i, j]
             ]
             self.updates.append(pairs)
         # Permutation gather indices (padded; padding maps to itself).

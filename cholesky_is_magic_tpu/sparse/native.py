@@ -29,17 +29,20 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
+    # Always invoke make: a no-op when the .so is current, a rebuild when
+    # symbolic.cpp changed (an exists-check would keep loading a stale lib).
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass  # read-only checkout / no compiler: try the existing .so
     if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-s"],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
-            _load_failed = True
-            return None
+        _load_failed = True
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -58,6 +61,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cim_block_mask.argtypes = [
         ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64, u8p,
     ]
+    if hasattr(lib, "cim_block_mask_slots"):  # older .so may lack it
+        lib.cim_block_mask_slots.argtypes = [
+            ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64, i64p,
+            ctypes.c_int64, u8p,
+        ]
     _lib = lib
     return _lib
 
@@ -122,6 +130,23 @@ def column_counts(N: sp.spmatrix, parent: np.ndarray):
         ctypes.byref(nnz), ctypes.byref(flops),
     )
     return counts, int(nnz.value), float(flops.value)
+
+
+def block_mask_slots(
+    N: sp.spmatrix, parent: np.ndarray, block: int, slots: np.ndarray, B: int
+):
+    lib = _load()
+    if lib is None or not hasattr(lib, "cim_block_mask_slots"):
+        return None
+    n, indptr, indices = _csc_arrays(N)
+    parent = np.ascontiguousarray(parent, dtype=np.int64)
+    slots = np.ascontiguousarray(slots, dtype=np.int64)
+    mask = np.zeros((B, B), dtype=np.uint8)
+    lib.cim_block_mask_slots(
+        n, _ptr(indptr), _ptr(indices), _ptr(parent), block, _ptr(slots), B,
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    return mask.astype(bool)
 
 
 def block_mask(N: sp.spmatrix, parent: np.ndarray, block: int):

@@ -197,10 +197,14 @@ def supernodes(parent: np.ndarray, counts: np.ndarray, relax: int = 8) -> list[t
 
     Fundamental supernodes: j joins j-1's supernode when parent[j-1] == j
     and count[j-1] == count[j] + 1 (identical structure below the
-    diagonal).  Relaxed amalgamation merges runs shorter than ``relax``
-    with their parent run when contiguous — trading a little fill for
-    larger MXU-friendly panels (CHOLMOD's supernodal amalgamation
-    analogue)."""
+    diagonal).  Relaxed amalgamation merges a run shorter than ``relax``
+    into the preceding run when that run is its etree parent (the last
+    column of the previous run is a child of a column in this run) —
+    trading a little fill for larger MXU-friendly panels (CHOLMOD's
+    supernodal amalgamation analogue).  Merging is restricted to
+    tree-adjacent runs: amalgamating *independent* components would glue
+    unrelated structure into one supernode and defeat the panel alignment
+    of pack_supernodes."""
     n = len(parent)
     snodes: list[tuple[int, int]] = []
     start = 0
@@ -213,14 +217,77 @@ def supernodes(parent: np.ndarray, counts: np.ndarray, relax: int = 8) -> list[t
     if relax > 1:
         merged: list[tuple[int, int]] = []
         for s, e in snodes:
-            if merged and (e - s) < relax and merged[-1][1] == s and (
-                e - merged[-1][0]
-            ) <= 4 * relax:
+            tree_adjacent = (
+                merged
+                and merged[-1][1] == s
+                and s <= parent[s - 1] < e  # prev run's root parents into this run
+            )
+            if tree_adjacent and (e - s) < relax and (e - merged[-1][0]) <= 4 * relax:
                 merged[-1] = (merged[-1][0], e)
             else:
                 merged.append((s, e))
         snodes = merged
     return snodes
+
+
+def pack_supernodes(snodes: list, block: int) -> tuple[np.ndarray, int]:
+    """Assign each (postordered) column a slot so no supernode straddles a
+    ``block``-wide panel boundary.
+
+    Whole supernodes are packed greedily into panels; a supernode that
+    would straddle starts a fresh panel (leaving inert gap slots), and
+    supernodes wider than ``block`` are split at panel boundaries (harmless:
+    within a supernode the below-diagonal structure is identical, so the
+    split tiles are dense anyway).  Returns (slots, n_panels): ``slots`` is
+    monotonically increasing, so the triangular structure is preserved.
+
+    This is the tile-level rendering of CHOLMOD's supernodal amalgamation
+    (sparse-cholesky.lisp:24,265 toggles supernodal mode): panel boundaries
+    follow the structure instead of a fixed grid, so independent
+    subproblems stop densifying shared tiles.
+    """
+    n = snodes[-1][1] if snodes else 0
+    slots = np.empty(n, dtype=np.int64)
+    cur = 0
+    for s, e in snodes:
+        w = e - s
+        if w > block - (cur % block) and (cur % block) != 0:
+            cur += block - cur % block  # start a fresh panel
+        while w > block:
+            slots[s : s + block] = np.arange(cur, cur + block)
+            cur += block
+            s += block
+            w -= block
+        slots[s:e] = np.arange(cur, cur + w)
+        cur += w
+    n_panels = max(1, (cur + block - 1) // block)
+    return slots, n_panels
+
+
+def _slot_block_mask(
+    C: sp.csc_matrix,
+    parent: np.ndarray,
+    block: int,
+    slots: np.ndarray,
+    B: int,
+    use_native: bool = True,
+) -> np.ndarray:
+    """Block-tile structure of L on the slot grid: tile
+    (slots[i]//block, slots[j]//block) is resident iff L[i, j] != 0."""
+    if use_native:
+        from cholesky_is_magic_tpu.sparse import native
+
+        mask = native.block_mask_slots(C, parent, block, slots, B)
+        if mask is not None:
+            return mask
+    mask = np.zeros((B, B), dtype=bool)
+    st = slots // block
+    for i, struct in _row_structures(C, parent):
+        bi = st[i]
+        mask[bi, bi] = True
+        for j in struct:
+            mask[bi, st[j]] = True
+    return mask
 
 
 @dataclasses.dataclass
@@ -240,6 +307,10 @@ class FactorPlan:
     nnz_N: int
     nnz_L: int
     flops: float
+    # Supernode-aligned slot layout (pack_supernodes): slot of each permuted
+    # column, and the block mask on the slot grid.  None when not computed.
+    slots: Optional[np.ndarray] = None
+    slot_mask: Optional[np.ndarray] = None
 
     @property
     def n_padded(self) -> int:
@@ -247,7 +318,7 @@ class FactorPlan:
 
     def stats(self) -> dict:
         B = self.block_mask.shape[0]
-        return {
+        out = {
             "nnz_N": self.nnz_N,
             "nnz_L": self.nnz_L,
             "factor_flops": self.flops,
@@ -255,6 +326,11 @@ class FactorPlan:
             "nonzero_tiles": int(self.block_mask.sum()),
             "total_tiles": int(B * (B + 1) // 2),
         }
+        if self.slot_mask is not None:
+            Bs = self.slot_mask.shape[0]
+            out["aligned_tiles"] = int(self.slot_mask.sum())
+            out["aligned_panels"] = Bs
+        return out
 
 
 def analyze(
@@ -306,6 +382,10 @@ def analyze(
             block_mask[bi, bi] = True
             for j in struct:
                 block_mask[bi, j // block] = True
+    slots, slot_B = pack_supernodes(snodes, block)
+    slot_mask = _slot_block_mask(
+        C, parent, block, slots, slot_B, use_native=use_native
+    )
     return FactorPlan(
         n=m,
         perm=perm,
@@ -319,4 +399,6 @@ def analyze(
         nnz_N=int(Np.nnz),
         nnz_L=nnz_L,
         flops=flops,
+        slots=slots,
+        slot_mask=slot_mask,
     )

@@ -78,7 +78,7 @@ def _pad2(lists, fill):
     return out
 
 
-def engine_for(A, block: int = 128) -> "TiledCholesky":
+def engine_for(A, block: int = 128, snode_align: bool = True) -> "TiledCholesky":
     """Build a TiledCholesky for a (possibly padded) device/host matrix —
     the analyze-once entry point solvers hand to pdas(..., engine=...).
 
@@ -90,32 +90,40 @@ def engine_for(A, block: int = 128) -> "TiledCholesky":
     A_host = sp.csc_matrix(np.asarray(A, np.float64))
     from cholesky_is_magic_tpu.sparse.symbolic import analyze
 
-    return TiledCholesky(analyze(A_host, block=block))
+    return TiledCholesky(analyze(A_host, block=block), snode_align=snode_align)
 
 
 class TiledCholesky:
     """Analyze-once tile engine for one sparsity pattern (the
     cholmod_analyze / cholmod_factorize split, affine-scaling.lisp:271)."""
 
-    def __init__(self, plan: FactorPlan):
+    def __init__(self, plan: FactorPlan, snode_align: bool = True):
         self.plan = plan
         b = plan.block
-        B = plan.block_mask.shape[0]
-        mask = plan.block_mask | np.eye(B, dtype=bool)
+        aligned = snode_align and plan.slots is not None
+        self.snode_align = aligned
+        if aligned:
+            # Supernode-aligned layout (pack_supernodes): panels hold whole
+            # supernodes; gap slots are inert padding rows (zero rows with
+            # boosted unit diagonal, exactly like end-padding).
+            B = plan.slot_mask.shape[0]
+            mask = plan.slot_mask | np.eye(B, dtype=bool)
+        else:
+            B = plan.block_mask.shape[0]
+            mask = plan.block_mask | np.eye(B, dtype=bool)
         mask &= np.tril(np.ones((B, B), dtype=bool))
 
-        # Transitive closure: updates need resident destinations.
-        changed = True
-        while changed:
-            changed = False
-            for k in range(B):
-                rows = np.flatnonzero(mask[:, k])
-                rows = rows[rows > k]
-                for ii, i in enumerate(rows):
-                    for j in rows[: ii + 1]:
-                        if not mask[max(i, j), min(i, j)]:
-                            mask[max(i, j), min(i, j)] = True
-                            changed = True
+        # The resident set is the etree-exact elementwise block mask — NO
+        # tile-level transitive closure.  A SYRK pair ((i,k),(j,k)) whose
+        # destination (i,j) is not in the mask contributes exact zeros: a
+        # nonzero elementwise product needs a common column c with both
+        # L[i,c] != 0 and L[j,c] != 0, which by the fill-path theorem forces
+        # elementwise fill at (i,j) — i.e. tile (i,j) resident.  Structural
+        # zeros inside resident tiles stay exact zeros through dense chol /
+        # tri-inv / TRSM (products and sums of exact zeros), so dropping
+        # those pairs is lossless.  This replaces round 1's O(B^3) Python
+        # closure fixpoint, whose extra resident tiles were unbounded fill
+        # beyond nnz_L.
         self.mask = mask
 
         tiles = [(int(i), int(j)) for i in range(B) for j in range(B) if mask[i, j]]
@@ -129,6 +137,7 @@ class TiledCholesky:
         diag_ids, rows_ids, rows_i = [], [], []
         syrk_a, syrk_b, syrk_dst = [], [], []
         fwd_ids, fwd_j = [], []
+        self.dropped_updates = 0  # provably-zero SYRK pairs skipped
         for k in range(B):
             diag_ids.append(tid[(k, k)])
             rows = [i for i in range(k + 1, B) if mask[i, k]]
@@ -137,9 +146,13 @@ class TiledCholesky:
             pa, pb, pd = [], [], []
             for ii, i in enumerate(rows):
                 for j in rows[: ii + 1]:
+                    dst = (max(i, j), min(i, j))
+                    if not mask[dst]:
+                        self.dropped_updates += 1
+                        continue
                     pa.append(tid[(i, k)])
                     pb.append(tid[(j, k)])
-                    pd.append(tid[(max(i, j), min(i, j))])
+                    pd.append(tid[dst])
             syrk_a.append(pa); syrk_b.append(pb); syrk_dst.append(pd)
             fwd = [(tid[(k, j)], j) for j in range(k) if mask[k, j]]
             fwd_ids.append([t for t, _ in fwd])
@@ -158,8 +171,17 @@ class TiledCholesky:
         self.tile_j = jnp.asarray([t[1] for t in tiles] + [0], jnp.int32)
 
         n_pad = B * b
-        pperm = np.arange(n_pad)
-        pperm[: plan.n] = plan.perm
+        if aligned:
+            # Slot s holds permuted column j when slots[j] == s; gap slots
+            # map to the (zero, boosted) padding rows plan.n .. n_pad-1.
+            pperm = np.empty(n_pad, dtype=np.int64)
+            used = np.zeros(n_pad, dtype=bool)
+            pperm[plan.slots] = plan.perm
+            used[plan.slots] = True
+            pperm[~used] = np.arange(plan.n, n_pad)
+        else:
+            pperm = np.arange(n_pad)
+            pperm[: plan.n] = plan.perm
         self.pperm = jnp.asarray(pperm)
 
     # ---- device stages --------------------------------------------------

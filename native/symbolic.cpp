@@ -172,4 +172,29 @@ void cim_block_mask(int64_t n, const int64_t* indptr, const int64_t* indices,
   }
 }
 
+// Slot-grid variant of cim_block_mask: tile of element i is
+// slots[i] / block, where slots[] is the (gapped) supernode-aligned slot
+// assignment from pack_supernodes.  out_mask is row-major (B x B), B given
+// by the caller (panel count).
+void cim_block_mask_slots(int64_t n, const int64_t* indptr,
+                          const int64_t* indices, const int64_t* parent,
+                          int64_t block, const int64_t* slots, int64_t B,
+                          unsigned char* out_mask) {
+  std::vector<int64_t> marker(n, -1);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t bi = slots[i] / block;
+    out_mask[bi * B + bi] = 1;
+    marker[i] = i;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      int64_t j = indices[p];
+      if (j >= i) continue;
+      while (j != -1 && marker[j] != i) {
+        out_mask[bi * B + slots[j] / block] = 1;
+        marker[j] = i;
+        j = parent[j];
+      }
+    }
+  }
+}
+
 }  // extern "C"

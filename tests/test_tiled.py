@@ -57,6 +57,49 @@ def test_block_diagonal_structure_stays_sparse():
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-9, atol=1e-10)
 
 
+def test_no_closure_inflation():
+    """Tile residency is etree-exact: SYRK pairs with structurally-zero
+    destinations are dropped (their contribution is exactly zero by the
+    fill-path theorem), not forced resident via a transitive closure.
+
+    Pattern: column-tile 0 holds couplings (8,0) and (20,1) — tiles (2,0)
+    and (5,0) are resident with NO shared elementwise column, so tile
+    (5,2) has no fill.  Round 1's closure forced it resident.  (The plan
+    is hand-built with an identity permutation: analyze() would postorder
+    the couplings adjacent and hide the case.)"""
+    from cholesky_is_magic_tpu.sparse.symbolic import FactorPlan
+
+    m, n, block = 24, 26, 4
+    A = np.zeros((m, n))
+    A[np.arange(m), np.arange(m)] = 2.0 + np.arange(m) * 0.1  # SPD diagonal
+    A[0, 24] = 1.0; A[8, 24] = 1.0   # N coupling (8, 0)
+    A[1, 25] = 1.0; A[20, 25] = 1.0  # N coupling (20, 1)
+    B = m // block
+    block_mask = np.eye(B, dtype=bool)
+    block_mask[2, 0] = True  # element (8, 0)
+    block_mask[5, 0] = True  # element (20, 1)
+    parent = np.full(m, -1)
+    parent[0] = 8
+    parent[1] = 20
+    plan = FactorPlan(
+        n=m, perm=np.arange(m), iperm=np.arange(m), parent=parent,
+        post=np.arange(m), counts=np.ones(m, dtype=np.int64),
+        snodes=[(i, i + 1) for i in range(m)], block=block,
+        block_mask=block_mask, nnz_N=m + 4, nnz_L=m + 2, flops=0.0,
+    )
+    eng = TiledCholesky(plan)
+    assert (2, 0) in eng.tiles and (5, 0) in eng.tiles
+    assert (5, 2) not in eng.tiles  # closure would have added it
+    assert eng.dropped_updates > 0
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.random(n) + 0.5)
+    g = jnp.asarray(rng.normal(size=m))
+    y, ok = eng.solve_normal(jnp.asarray(A), d, g)
+    y_ref, _ = dense_ops.solve_normal(jnp.asarray(A), d, g, refine_steps=0)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-9, atol=1e-10)
+
+
 def test_singular_detected():
     rng = np.random.default_rng(3)
     m, n = 24, 40
@@ -71,6 +114,34 @@ def test_singular_detected():
     assert np.all(np.asarray(y) == 0.0)
 
 
+def test_snode_alignment_drops_tiles():
+    """Supernode-aligned panels stop independent subproblems straddling
+    tile boundaries (PARITY r1 known gap): 24 independent 3-var components
+    on a 16-grid need cross-boundary tiles unaligned, none aligned."""
+    rng = np.random.default_rng(3)
+    m, block, ncols = 72, 16, 144
+    A = np.zeros((m, ncols))
+    for k in range(24):
+        A[3 * k : 3 * k + 3, 6 * k : 6 * k + 6] = rng.normal(size=(3, 6))
+    diag_cols = np.repeat(np.arange(0, ncols, 6), 3) + np.tile(np.arange(3), 24)
+    A[np.arange(m), diag_cols] += 3.0
+    plan = analyze(sp.csc_matrix(A), block=block)
+    assert len(plan.snodes) == 24  # amalgamation must not glue components
+    un = TiledCholesky(plan, snode_align=False)
+    al = TiledCholesky(plan, snode_align=True)
+    assert al.NT < un.NT  # recorded tile-count drop (5 vs 8 here)
+    assert al.B == un.B  # and no extra panels for it
+    d = jnp.asarray(rng.random(ncols) + 0.5)
+    g = jnp.asarray(rng.normal(size=m))
+    y_ref, _ = dense_ops.solve_normal(jnp.asarray(A), d, g, refine_steps=0)
+    for eng in (un, al):
+        y, ok = eng.solve_normal(jnp.asarray(A), d, g)
+        assert bool(ok)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=1e-9, atol=1e-10
+        )
+
+
 def test_refinement_recovers_f32_accuracy():
     """f32 tile solve + dd refinement must land ~eps^2 from the f64 oracle
     (the sparse-path accuracy story: the reference's sparse path is fp64
@@ -81,7 +152,9 @@ def test_refinement_recovers_f32_accuracy():
     A[np.arange(m), np.arange(m)] += 2.0
     plan = analyze(sp.csc_matrix(A), block=16)
     eng = TiledCholesky(plan)
-    d = rng.random(n) + 0.5
+    # IPM-like slack spread (cond(N) ~ 1e6): f32 alone loses ~4 digits
+    # here, so the refinement has real work to do.
+    d = 10.0 ** rng.uniform(-1.5, 1.5, size=n)
     g = rng.normal(size=m)
     y_ref, _ = dense_ops.solve_normal(
         jnp.asarray(A), jnp.asarray(d), jnp.asarray(g), refine_steps=2

@@ -1,18 +1,25 @@
 """Benchmark: factor+solve time per IPM iteration (BASELINE.md metric).
 
 Times the per-iteration hot path of the interior-point solvers — assemble
-N = (A·D)(A·D)ᵀ on the MXU, Cholesky-factor it, two triangular solves, one
-double-word-refined correction (SURVEY.md §3.1's INNER HOT SPOT) — on a
-synthetic LP at Netlib 25fv47 scale (m=832, n=1664), and compares against
-the same pipeline on the host CPU via scipy's LAPACK Cholesky (the stand-in
-for the reference's CHOLMOD backend; BASELINE.md: "reference baseline
-numbers must be generated, not cited").
+N = (A·D)(A·D)ᵀ, Cholesky-factor it, two triangular solves, one double-word
+refined correction (SURVEY.md §3.1's INNER HOT SPOT) — on a staircase LP at
+Netlib 25fv47 scale (821 x 1571 + slacks), run through the REAL ingest
+pipeline (MPS text -> standard form -> padded DeviceLP), so the timed
+operands have realistic LP sparsity (~6 nnz/row), not a synthetic density.
+
+Four contenders; the reported ratio is strongest-host / strongest-TPU:
+
+  TPU dense     ops.dense.solve_normal           (MXU, f32 + dd refine)
+  TPU tiled     sparse.tiled.TiledCholesky       (planned tile factorization)
+  host dense    scipy cho_factor/cho_solve       (LAPACK fp64)
+  host sparse   sksparse CHOLMOD if importable, else scipy splu on sparse N
+                (the CHOLMOD-class sparse oracle BASELINE.md names)
 
 Timing notes: on the axon TPU tunnel, block_until_ready() returns before
 device execution completes, so we chain K data-dependent iterations inside
 one jit, fetch a scalar (which does wait), and subtract the measured RTT.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 
 import json
@@ -20,43 +27,75 @@ import time
 
 import numpy as np
 
-
-M, N = 832, 1664  # 25fv47 is 822 x 1571 (+slacks); padded to 128 multiples
-K = 128  # chained iterations per timed run (amortizes ~25ms tunnel RTT noise)
+K = 64  # chained iterations per timed run (amortizes ~25ms tunnel RTT noise)
 REPS = 5
 
 
-def tpu_iteration_ms() -> float:
+def make_problem():
+    """25fv47-scale LP through the real ingest path."""
+    import jax.numpy as jnp
+
+    from cholesky_is_magic_tpu.ingest import to_device_lp, to_standard_form
+    from cholesky_is_magic_tpu.ingest.mps import read_mps_string
+    from cholesky_is_magic_tpu.utils.testing import netlib_like_lp, write_mps
+
+    ineq = netlib_like_lp("25fv47")
+    sf = to_standard_form(read_mps_string(write_mps(ineq)))
+    lp = to_device_lp(sf, pad_multiple=128, dtype=jnp.float32)
+    return sf, lp
+
+
+def _host_operands(sf, rng):
+    A = sf.dense_A()
+    m, n = A.shape
+    d = rng.random(n) + 0.5
+    g = rng.normal(size=m)
+    return A, d, g
+
+
+def tpu_times_ms(lp) -> dict:
     import jax
     import jax.numpy as jnp
 
     from cholesky_is_magic_tpu.ops import dense as dense_ops
+    from cholesky_is_magic_tpu.sparse.tiled import engine_for
 
     rng = np.random.default_rng(0)
-    # Sparse-ish random LP matrix with a well-conditioned Gram matrix.
-    A_np = (rng.random((M, N)) < 0.05) * rng.normal(size=(M, N))
-    A_np[np.arange(M), np.arange(M)] += 2.0
-    A = jnp.asarray(A_np, jnp.float32)
+    A = lp.A
+    M, N = A.shape
+    boost = (~lp.row_mask).astype(A.dtype)
     d0 = jnp.asarray(rng.random(N) + 0.5, jnp.float32)
     g0 = jnp.asarray(rng.normal(size=M), jnp.float32)
+    eng = engine_for(A, block=128)
+
+    def timed(solve):
+        @jax.jit
+        def loop(g0):
+            # Data-dependent d so no two iterations can be CSE'd; mimics
+            # the slack vector changing between IPM iterations.
+            def body(i, carry):
+                acc, g = carry
+                d = d0 * (1.0 + 1e-6 * acc)
+                y, ok = solve(d, g)
+                return acc + y[0], g + 1e-6 * y
+
+            acc, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0.0), g0))
+            return acc
+
+        # Full-f32 MXU passes: default bf16 matmuls are numerically
+        # unusable for the normal equations (see utils/precision.py).
+        with jax.default_matmul_precision("highest"):
+            float(loop(g0))  # compile
+            ts = []
+            for _ in range(REPS):
+                t = time.time()
+                float(loop(g0))
+                ts.append(time.time() - t)
+        return min(ts) * 1e3 / K
 
     @jax.jit
-    def loop(A, d0, g0):
-        # Full-f32 MXU passes: default bf16 matmuls are numerically unusable
-        # for the normal equations (see utils/precision.py).
-        def body(i, carry):
-            acc, g = carry
-            # Data-dependent d so no two iterations can be CSE'd; mimics the
-            # slack vector changing between IPM iterations.
-            d = d0 * (1.0 + 1e-6 * acc)
-            y, ok = dense_ops.solve_normal(A, d, g, refine_steps=1)
-            return acc + y[0], g + 1e-6 * y
-        acc, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0.0), g0))
-        return acc
-
-    @jax.jit
-    def rtt_probe(A):
-        return jnp.sum(A[:2, :2])
+    def rtt_probe(x):
+        return jnp.sum(x[:2, :2])
 
     float(rtt_probe(A))
     rtts = []
@@ -64,57 +103,106 @@ def tpu_iteration_ms() -> float:
         t = time.time()
         float(rtt_probe(A))
         rtts.append(time.time() - t)
-    rtt = min(rtts)
+    rtt_ms = min(rtts) * 1e3
 
-    with jax.default_matmul_precision("highest"):
-        float(loop(A, d0, g0))  # compile
-    ts = []
-    for _ in range(REPS):
-        t = time.time()
-        float(loop(A, d0, g0))
-        ts.append(time.time() - t)
-    return max(1e-3 * (min(ts) - rtt), 1e-9) * 1e3 / K * 1e3  # -> ms/iter
+    dense_ms = (
+        timed(lambda d, g: dense_ops.solve_normal(A, d, g, row_boost=boost, refine_steps=1))
+        - rtt_ms / K
+    )
+    tiled_ms = (
+        timed(lambda d, g: eng.solve_normal(A, d, g, row_boost=boost, refine_steps=1))
+        - rtt_ms / K
+    )
+    return {"tpu_dense": max(dense_ms, 1e-6), "tpu_tiled": max(tiled_ms, 1e-6)}
 
 
-def host_iteration_ms() -> float:
+def host_times_ms(sf) -> dict:
+    """Host oracles on the SAME problem: dense LAPACK and sparse direct."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
     from scipy.linalg import cho_factor, cho_solve
 
     rng = np.random.default_rng(0)
-    A_np = (rng.random((M, N)) < 0.05) * rng.normal(size=(M, N))
-    A_np[np.arange(M), np.arange(M)] += 2.0
-    d = rng.random(N) + 0.5
-    g = rng.normal(size=M)
+    A, d, g0 = _host_operands(sf, rng)
+    out = {}
 
-    reps = 3
+    # Dense LAPACK (the reference's Matlisp-class dense path).
+    reps, kk = 3, min(K, 16)
     best = np.inf
     for _ in range(reps):
+        g = g0.copy()
         t = time.time()
         acc = 0.0
-        for k in range(K):
+        for _k in range(kk):
             dk = d * (1.0 + 1e-6 * acc)
-            AD = A_np * dk[None, :]
+            AD = A * dk[None, :]
             Nmat = AD @ AD.T
             c, low = cho_factor(Nmat, lower=True)
             y = cho_solve((c, low), g)
-            # One refinement step, as on device.
-            r = g - Nmat @ y
-            y = y + cho_solve((c, low), r)
+            y = y + cho_solve((c, low), g - Nmat @ y)  # one refinement
             acc += y[0]
             g = g + 1e-6 * y
         best = min(best, time.time() - t)
-    return best * 1e3 / K
+    out["host_dense"] = best * 1e3 / kk
+
+    # Sparse direct (CHOLMOD if importable, else SuperLU).  The sparse
+    # matmul + factorization pipeline the reference actually runs
+    # (cholmod_scale + cholmod_aat + cholmod_factorize + solve2).
+    As = sp.csr_matrix(A)
+    try:
+        from sksparse.cholmod import analyze as chol_analyze  # type: ignore
+
+        factor_sym = chol_analyze(sp.csc_matrix(As @ As.T))
+
+        def sparse_factor_solve(Nmat, g):
+            f = factor_sym.cholesky(sp.csc_matrix(Nmat))
+            return f(g)
+
+        label = "host_cholmod"
+    except ImportError:
+
+        def sparse_factor_solve(Nmat, g):
+            lu = spl.splu(sp.csc_matrix(Nmat), permc_spec="MMD_AT_PLUS_A")
+            return lu.solve(g)
+
+        label = "host_splu"
+    best = np.inf
+    for _ in range(reps):
+        g = g0.copy()
+        t = time.time()
+        acc = 0.0
+        for _k in range(kk):
+            dk = d * (1.0 + 1e-6 * acc)
+            ADs = As.multiply(dk[None, :]).tocsr()
+            Nmat = (ADs @ ADs.T).tocsc()
+            y = sparse_factor_solve(Nmat, g)
+            y = y + sparse_factor_solve(Nmat, g - Nmat @ y)
+            acc += y[0]
+            g = g + 1e-6 * y
+        best = min(best, time.time() - t)
+    out[label] = best * 1e3 / kk
+    return out
 
 
 def main():
-    host_ms = host_iteration_ms()
-    tpu_ms = tpu_iteration_ms()
+    sf, lp = make_problem()
+    host = host_times_ms(sf)
+    tpu = tpu_times_ms(lp)
+    best_host = min(host.values())
+    best_tpu = min(tpu.values())
+    detail = {k: round(v, 4) for k, v in {**host, **tpu}.items()}
     print(
         json.dumps(
             {
-                "metric": f"factor+solve ms per IPM iteration (m={M}, n={N}, f32+dd refine)",
-                "value": round(tpu_ms, 4),
+                "metric": (
+                    "factor+solve ms per IPM iteration "
+                    f"(25fv47-scale staircase LP, m={sf.ncons}, n={sf.nvars}, "
+                    "f32+dd refine; vs strongest host oracle incl. sparse direct)"
+                ),
+                "value": round(best_tpu, 4),
                 "unit": "ms",
-                "vs_baseline": round(host_ms / tpu_ms, 2),
+                "vs_baseline": round(best_host / best_tpu, 2),
+                "detail": detail,
             }
         )
     )

@@ -41,18 +41,23 @@ FILTER_THRESHOLD = 1e7
 
 
 class KKTOperator(NamedTuple):
-    """The three products the elimination needs.
+    """The products the elimination needs.
 
     mv:  v -> A v          (cholmod_sdmult analogue)
     rmv: v -> Aᵀ v
     solve_scaled_normal: (s, g) -> (y, ok) solving (A diag s)(A diag s)ᵀ y = g
         (the analogue of copy A; scale-sparse! by s; solve-sparse —
         sparse-newton-solve.lisp:121-126)
+    prepare_scaled_normal: s -> (solve_fn, ok) — factor once, solve many
+        (the solve-sparse-recycle split, sparse-cholesky.lisp:524-560);
+        used by the dd KKT path, which refines against the exact
+        double-word operator and needs a second solve on the same factor.
     """
 
     mv: Callable[[jax.Array], jax.Array]
     rmv: Callable[[jax.Array], jax.Array]
     solve_scaled_normal: Callable[[jax.Array, jax.Array], tuple[jax.Array, jax.Array]]
+    prepare_scaled_normal: Optional[Callable] = None
 
 
 def dense_kkt_operator(
@@ -71,10 +76,17 @@ def dense_kkt_operator(
             true_residual=true_residual,
         )
 
+    def prepare_scaled_normal(s):
+        return dense_ops.prepare_normal(
+            A, s, row_boost=row_boost, refine_steps=refine_steps,
+            true_residual=true_residual,
+        )
+
     return KKTOperator(
         mv=lambda v: A @ v,
         rmv=lambda v: A.T @ v,
         solve_scaled_normal=solve_scaled_normal,
+        prepare_scaled_normal=prepare_scaled_normal,
     )
 
 
@@ -102,10 +114,16 @@ def sparse_kkt_operator(
             A, s, g, row_boost=row_boost, refine_steps=refine_steps
         )
 
+    def prepare_scaled_normal(s):
+        return engine.prepare_normal(
+            A, s, row_boost=row_boost, refine_steps=refine_steps
+        )
+
     return KKTOperator(
         mv=lambda v: A @ v,
         rmv=lambda v: A.T @ v,
         solve_scaled_normal=solve_scaled_normal,
+        prepare_scaled_normal=prepare_scaled_normal,
     )
 
 

@@ -135,6 +135,35 @@ def dd_matvec_dd(A: jax.Array, x: DD) -> DD:
     return dd_add_w(main, A @ x.lo)
 
 
+def dd_where(c: jax.Array, x: DD, y: DD) -> DD:
+    """Elementwise select between double-words."""
+    return DD(jnp.where(c, x.hi, y.hi), jnp.where(c, x.lo, y.lo))
+
+
+def dd_less(x: DD, y: DD) -> jax.Array:
+    """Lexicographic x < y (valid for normalized |lo| <= ulp(hi)/2)."""
+    return (x.hi < y.hi) | ((x.hi == y.hi) & (x.lo < y.lo))
+
+
+def dd_min(x: DD, axis: int = -1) -> DD:
+    """Minimum of a double-word array along ``axis`` (pairwise tree with
+    lexicographic compares; +inf-padded to a power of two)."""
+    hi = jnp.moveaxis(x.hi, axis, -1)
+    lo = jnp.moveaxis(x.lo, axis, -1)
+    n = hi.shape[-1]
+    p = 1 << max(0, (n - 1)).bit_length()
+    if p > n:
+        pad = [(0, 0)] * (hi.ndim - 1) + [(0, p - n)]
+        hi = jnp.pad(hi, pad, constant_values=jnp.inf)
+        lo = jnp.pad(lo, pad, constant_values=0.0)
+    cur = DD(hi, lo)
+    while cur.hi.shape[-1] > 1:
+        a = DD(cur.hi[..., 0::2], cur.lo[..., 0::2])
+        b = DD(cur.hi[..., 1::2], cur.lo[..., 1::2])
+        cur = dd_where(dd_less(a, b), a, b)
+    return DD(cur.hi[..., 0], cur.lo[..., 0])
+
+
 def dd_sum(x: DD, axis: int = -1) -> DD:
     """Compensated reduction of a double-word array along ``axis``.
 

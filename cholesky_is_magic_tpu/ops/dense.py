@@ -136,6 +136,41 @@ def operator_residual(
     return ddm.dd_add_w(ddm.dd_neg(u), g).to_working()
 
 
+def prepare_normal(
+    A: jax.Array,
+    d: jax.Array,
+    row_boost: Optional[jax.Array] = None,
+    refine_steps: int = 1,
+    true_residual: bool = False,
+):
+    """Assemble and factor N = (A·diag(d))(A·diag(d))ᵀ ONCE; return
+    (solve_fn, ok) where solve_fn(g) runs the refined triangular solves.
+
+    The factor-once/solve-many split of solve-sparse-recycle
+    (sparse-cholesky.lisp:524-560): callers needing several solves against
+    the same scaled operator (e.g. the dd KKT's outer refinement) pay one
+    factorization."""
+    AD = A * d[None, :]
+    N = jnp.matmul(AD, AD.T, preferred_element_type=AD.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
+    N = 0.5 * (N + N.T)
+    if row_boost is not None:
+        N = N + jnp.diag(row_boost.astype(N.dtype))
+    f = factorize(N)
+
+    def solve_fn(g):
+        y = chol_solve(f.L, g)
+        for _ in range(refine_steps):
+            if true_residual:
+                r = operator_residual(AD, y, g, row_boost)
+            else:
+                r = ddm.dd_residual(g, N, y)
+            y = y + chol_solve(f.L, r)
+        return jnp.where(f.ok, y, jnp.zeros_like(y))
+
+    return solve_fn, f.ok
+
+
 def solve_normal(
     A: jax.Array,
     d: jax.Array,
@@ -157,18 +192,8 @@ def solve_normal(
     high-accuracy opt-in.  Returns (y, ok); ok=False on singular N (the
     caller prints " singular " and stops, affine-scaling.lisp:178-181).
     """
-    AD = A * d[None, :]
-    N = jnp.matmul(AD, AD.T, preferred_element_type=AD.dtype,
-                   precision=jax.lax.Precision.HIGHEST)
-    N = 0.5 * (N + N.T)
-    if row_boost is not None:
-        N = N + jnp.diag(row_boost.astype(N.dtype))
-    f = factorize(N)
-    y = chol_solve(f.L, g)
-    for _ in range(refine_steps):
-        if true_residual:
-            r = operator_residual(AD, y, g, row_boost)
-        else:
-            r = ddm.dd_residual(g, N, y)
-        y = y + chol_solve(f.L, r)
-    return jnp.where(f.ok, y, jnp.zeros_like(y)), f.ok
+    solve_fn, ok = prepare_normal(
+        A, d, row_boost=row_boost, refine_steps=refine_steps,
+        true_residual=true_residual,
+    )
+    return solve_fn(g), ok

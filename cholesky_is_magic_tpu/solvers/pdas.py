@@ -65,6 +65,11 @@ class PDASConfig:
     # the TPU rendering of the reference's per-iteration stdout lines
     # (one-pdas-iteration :336-338, :376).
     record_trace: bool = False
+    # Additionally record the pre-step primal iterate x each iteration
+    # (trace["x"], (max_iters, N)) — the trajectory the BASELINE.md
+    # "iterate-trajectory match 1e-6" metric compares.  Implies the memory
+    # cost max_iters * N; off by default.
+    record_iterates: bool = False
     # Stop when the best-seen gap has not improved for this many iterations
     # (the working-precision floor: f32+dd bottoms out near gap ~1e-6 and
     # iterating further *damages* the iterate). The best-seen state is what
@@ -365,10 +370,12 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None) -> SolveResult:
         (st, i, repair_flag, prev_gap, bad_count, _status, trace,
          best_gap, best_st, since_best) = carry
         new_st, gap, step, ok = one_iteration(st, repair_flag)
-        if cfg.record_trace:
+        if cfg.record_trace or cfg.record_iterates:
             pobj_i = jnp.dot(st.x, lp.c)
-            trace = jax.tree.map(lambda a, v: a.at[i].set(v), trace,
-                                 (gap, pobj_i, step))
+            vals = (gap, pobj_i, step)
+            if cfg.record_iterates:
+                vals = vals + (st.x,)
+            trace = jax.tree.map(lambda a, v: a.at[i].set(v), trace, vals)
         # Best-iterate tracking: the gap of state `st` (pre-step) is `gap`.
         improved = gap < best_gap
         best_st = jax.tree.map(
@@ -403,9 +410,11 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None) -> SolveResult:
     dt = state.x.dtype
     trace0 = (
         (jnp.full(cfg.max_iters, np.nan, dt),) * 3
-        if cfg.record_trace
+        if (cfg.record_trace or cfg.record_iterates)
         else (jnp.zeros(0, dt),) * 3
     )
+    if cfg.record_iterates:
+        trace0 = trace0 + (jnp.full((cfg.max_iters, state.x.shape[0]), np.nan, dt),)
     (st, iters, _rflag2, gap, _badc2, status, trace, best_gap, best_st,
      since_best) = jax.lax.while_loop(
         cond,
@@ -442,6 +451,9 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None) -> SolveResult:
         residual_norm=resid,
         extra={
             "gap": gap, "dual_objective": dobj, "y": st.y, "w": st.w, "z": st.z,
-            "trace": {"gap": trace[0], "objective": trace[1], "step": trace[2]},
+            "trace": {
+                "gap": trace[0], "objective": trace[1], "step": trace[2],
+                **({"x": trace[3]} if cfg.record_iterates else {}),
+            },
         },
     )

@@ -41,12 +41,7 @@ from cholesky_is_magic_tpu.ingest.device import DeviceLP
 from cholesky_is_magic_tpu.kkt.newton import dense_kkt_operator
 from cholesky_is_magic_tpu.ops import dd as ddm
 from cholesky_is_magic_tpu.ops.dd import DD
-from cholesky_is_magic_tpu.solvers.pdas import (
-    PDASConfig,
-    _box_step,
-    _pos_step,
-    make_pdas,
-)
+from cholesky_is_magic_tpu.solvers.pdas import PDASConfig, make_pdas
 from cholesky_is_magic_tpu.solvers.result import SolveResult, Status
 from cholesky_is_magic_tpu.utils.precision import highest_precision
 
@@ -140,9 +135,27 @@ def _dd_objectives(st: PDASDDState, clamp: float = 1e8):
     return pobj, dobj
 
 
-def _dd_axpy(v: DD, t, dv) -> DD:
-    """v - t*dv with error-free accumulation into the double word."""
-    return ddm.dd_add_w(v, -(t * dv))
+def _dd_box_step(sl_dd: DD, su_dd: DD, dx_dd: DD) -> DD:
+    """Largest t with slacks positive under x -= t*dx, in double-word
+    (the dd twin of pdas._box_step; ratios clamp at >= 0)."""
+    inf = ddm.DD(jnp.full_like(sl_dd.hi, np.inf), jnp.zeros_like(sl_dd.hi))
+    zero = ddm.DD(jnp.zeros_like(sl_dd.hi), jnp.zeros_like(sl_dd.hi))
+    lim = ddm.dd_where(
+        dx_dd.hi > 0,
+        ddm.dd_div(sl_dd, dx_dd),
+        ddm.dd_where(dx_dd.hi < 0, ddm.dd_div(su_dd, ddm.dd_neg(dx_dd)), inf),
+    )
+    lim = ddm.dd_where(lim.hi < 0, zero, lim)
+    return ddm.dd_min(lim)
+
+
+def _dd_pos_step(v_dd: DD, dv_dd: DD) -> DD:
+    """Largest t with v - t*dv >= 0, in double-word (dd _pos_step)."""
+    inf = ddm.DD(jnp.full_like(v_dd.hi, np.inf), jnp.zeros_like(v_dd.hi))
+    zero = ddm.DD(jnp.zeros_like(v_dd.hi), jnp.zeros_like(v_dd.hi))
+    lim = ddm.dd_where(dv_dd.hi > 0, ddm.dd_div(v_dd, dv_dd), inf)
+    lim = ddm.dd_where(lim.hi < 0, zero, lim)
+    return ddm.dd_min(lim)
 
 
 def pdas_dd(
@@ -165,55 +178,83 @@ def _pdas_dd_jit(state: PDASDDState, cfg: PDASConfig, engine=None) -> SolveResul
     from cholesky_is_magic_tpu.kkt.newton import FILTER_THRESHOLD
 
     def kkt_dd(st, sl_dd, su_dd, sl, su, g_dd, h_dd, op):
-        """IPM-specialized dd elimination.  With the exact complementarity
-        rhs e = w∘su, f = z∘sl, the eliminated terms simplify: e/su = w,
-        f/sl = z, so alpha = beta·(-h - w + z) — an O(1) quantity whose
-        cancellation against g (O(gap)) MUST happen in double-word, or the
-        f32 matvec noise (~1e-7·|alpha|) swamps the Newton rhs."""
-        w32 = st.w.to_working()
-        z32 = st.z.to_working()
+        """IPM-specialized FULL double-word elimination.  With the exact
+        complementarity rhs e = w∘su, f = z∘sl, the eliminated terms
+        simplify: e/su = w, f/sl = z, so alpha = beta·(-h - w + z) — an
+        O(1) quantity whose cancellation against g (O(gap)) MUST happen in
+        double-word, or the f32 matvec noise swamps the Newton rhs.
+
+        Every intermediate (beta, alpha, rhs, dy, dx, dw, dz) is carried
+        in dd; only the Cholesky factorization runs in f32, and dy gets
+        one outer refinement against the exact dd operator
+        A·diag(beta_dd)·Aᵀ + diag(boost) on the recycled factor
+        (op.prepare_scaled_normal).  Without this the f32 beta/rhs/delta
+        roundings are a systematic ~1e-6 per-iterate divergence from the
+        f64 trajectory (tests/test_precision.py pins <= 1e-6)."""
+        zero = jnp.zeros_like(sl)
+        dd0 = ddm.DD(zero, zero)
         pu = su <= FILTER_THRESHOLD
         pl = sl <= FILTER_THRESHOLD
         both_absent = ~pu & ~pl
         use_u = pu | both_absent
         use_l = pl | both_absent
-        a = jnp.where(use_u, w32 / su, 0.0)
-        bb = jnp.where(use_l, z32 / sl, 0.0)
-        beta = 1.0 / jnp.maximum(a + bb, 1e-30)
+        a_dd = ddm.dd_where(use_u, ddm.dd_div(st.w, su_dd), dd0)
+        b_dd = ddm.dd_where(use_l, ddm.dd_div(st.z, sl_dd), dd0)
+        denom = ddm.dd_add(a_dd, b_dd)
+        denom = ddm.dd_where(
+            denom.hi < 1e-30, ddm.DD(jnp.full_like(sl, 1e-30), zero), denom
+        )
+        one = ddm.DD(jnp.ones_like(sl), zero)
+        beta_dd = ddm.dd_div(one, denom)
 
-        alpha_dd = ddm.dd_scale(
-            ddm.dd_add(ddm.dd_neg(h_dd), ddm.dd_sub(st.z, st.w)), beta
+        alpha_dd = ddm.dd_mul(
+            ddm.dd_add(ddm.dd_neg(h_dd), ddm.dd_sub(st.z, st.w)), beta_dd
         )
         Aalpha = ddm.dd_add(
             ddm.dd_matvec(lp.A, alpha_dd.hi),
             ddm.DD(lp.A @ alpha_dd.lo, jnp.zeros_like(g_dd.hi)),
         )
-        rhs = ddm.dd_sub(g_dd, Aalpha).to_working()
-        dy, ok = op.solve_scaled_normal(jnp.sqrt(beta), rhs)
-        t_dd = ddm.dd_matvec(lp.A.T, dy)
-        dx_dd = ddm.dd_add(alpha_dd, ddm.dd_scale(t_dd, beta))
-        dx = dx_dd.to_working()
-        # dw = w + w·dx/su,  dz = z - z·dx/sl  (filtered: dw = w, dz = z).
-        dw = jnp.where(
-            use_u,
-            ddm.dd_add(st.w, ddm.dd_div(ddm.dd_mul(st.w, dx_dd), su_dd)).to_working(),
-            w32,
+        rhs_dd = ddm.dd_sub(g_dd, Aalpha)
+
+        boost = (~lp.row_mask).astype(jnp.float32)
+        s32 = jnp.sqrt(beta_dd.to_working())
+        solve_fn, ok = op.prepare_scaled_normal(s32)
+        dy1 = solve_fn(rhs_dd.to_working())
+        # Outer dd refinement: residual of the EXACT dd-beta system on the
+        # recycled factor.  Corrects the f32 rounding of beta inside the
+        # assembled N (the inner refinement cannot see it).
+        ty = ddm.dd_matvec(lp.A.T, dy1)
+        u = ddm.dd_mul(beta_dd, ty)
+        Mu = ddm.dd_add(
+            ddm.dd_matvec(lp.A, u.hi), ddm.DD(lp.A @ u.lo, jnp.zeros_like(dy1))
         )
-        dz = jnp.where(
+        Mu = ddm.dd_add_w(Mu, boost * dy1)
+        r = ddm.dd_sub(rhs_dd, Mu).to_working()
+        dy2 = solve_fn(r)
+        dy_dd = ddm.dd_add_w(ddm.DD(dy1, jnp.zeros_like(dy1)), dy2)
+
+        t_dd = ddm.dd_matvec_dd(lp.A.T, dy_dd)
+        dx_dd = ddm.dd_add(alpha_dd, ddm.dd_mul(beta_dd, t_dd))
+        # dw = w + w·dx/su,  dz = z - z·dx/sl  (filtered: dw = w, dz = z).
+        dw_dd = ddm.dd_where(
+            use_u,
+            ddm.dd_add(st.w, ddm.dd_div(ddm.dd_mul(st.w, dx_dd), su_dd)),
+            st.w,
+        )
+        dz_dd = ddm.dd_where(
             use_l,
-            ddm.dd_sub(st.z, ddm.dd_div(ddm.dd_mul(st.z, dx_dd), sl_dd)).to_working(),
-            z32,
+            ddm.dd_sub(st.z, ddm.dd_div(ddm.dd_mul(st.z, dx_dd), sl_dd)),
+            st.z,
         )
         # Padding inertness: the sanitized rhs (e = f = 0 at padded entries,
         # not w*su / z*sl) makes the e/su = w, f/sl = z identities above
-        # wrong exactly there, yielding dw = w, dz = z — which _pos_step
-        # turns into a permanent ratio of 1, capping every Newton step.
-        # Zero the deltas on masked entries (matching solve_kkt_newton's
-        # behavior with a sanitized rhs).
-        dx = jnp.where(lp.col_mask, dx, 0.0)
-        dw = jnp.where(lp.col_mask, dw, 0.0)
-        dz = jnp.where(lp.col_mask, dz, 0.0)
-        return dw, dx, dy, dz, ok
+        # wrong exactly there, yielding dw = w, dz = z — which the ratio
+        # test turns into a permanent step cap of 1.  Zero the deltas on
+        # masked entries (matching solve_kkt_newton with a sanitized rhs).
+        dx_dd = ddm.dd_where(lp.col_mask, dx_dd, dd0)
+        dw_dd = ddm.dd_where(lp.col_mask, dw_dd, dd0)
+        dz_dd = ddm.dd_where(lp.col_mask, dz_dd, dd0)
+        return dw_dd, dx_dd, dy_dd, dz_dd, ok
 
     def one_iteration(st: PDASDDState):
         sl_dd, su_dd, sl, su, wu, zl, primal_dd, dual_dd = _dd_violation(st)
@@ -243,35 +284,50 @@ def _pdas_dd_jit(state: PDASDDState, cfg: PDASConfig, engine=None) -> SolveResul
             op = sparse_kkt_operator(
                 lp.A, engine, row_boost=boost, refine_steps=cfg.refine_steps
             )
-        w32 = st.w.to_working()
-        z32 = st.z.to_working()
-        dw, dx, dy, dz, ok = kkt_dd(st, sl_dd, su_dd, sl, su, primal_dd, dual_dd, op)
-        step = jnp.minimum(
-            _box_step(sl, su, dx),
-            jnp.minimum(_pos_step(w32, dw), _pos_step(z32, dz)),
+        dw_dd, dx_dd, dy_dd, dz_dd, ok = kkt_dd(
+            st, sl_dd, su_dd, sl, su, primal_dd, dual_dd, op
         )
-        t = jnp.minimum(1.0, cfg.gamma * step)
+        # Ratio tests in dd: the f32-rounded step scalar times an O(10)
+        # delta is itself a ~1e-6 absolute perturbation of the iterate.
+        step_dd = _dd_box_step(sl_dd, su_dd, dx_dd)
+        for cand in (_dd_pos_step(st.w, dw_dd), _dd_pos_step(st.z, dz_dd)):
+            step_dd = ddm.dd_where(ddm.dd_less(cand, step_dd), cand, step_dd)
+        ghi = np.float32(cfg.gamma)
+        gamma_dd = ddm.DD(
+            jnp.asarray(ghi), jnp.asarray(np.float32(cfg.gamma - float(ghi)))
+        )
+        ts = ddm.dd_mul(gamma_dd, step_dd)
+        one = ddm.DD(jnp.asarray(np.float32(1.0)), jnp.asarray(np.float32(0.0)))
+        t_dd = ddm.dd_where(ddm.dd_less(one, ts), one, ts)
         new = PDASDDState(
-            x=_dd_axpy(st.x, t, dx),
-            y=_dd_axpy(st.y, t, dy),
-            w=_dd_axpy(st.w, t, dw),
-            z=_dd_axpy(st.z, t, dz),
+            x=ddm.dd_sub(st.x, ddm.dd_mul(t_dd, dx_dd)),
+            y=ddm.dd_sub(st.y, ddm.dd_mul(t_dd, dy_dd)),
+            w=ddm.dd_sub(st.w, ddm.dd_mul(t_dd, dw_dd)),
+            z=ddm.dd_sub(st.z, ddm.dd_mul(t_dd, dz_dd)),
             lp=lp,
         )
-        return new, gap, ok
+        return new, gap, step_dd.to_working(), ok
 
     def body(carry):
-        st, i, _gap, best_gap, best_st, since_best, _status = carry
-        new_st, gap, ok = one_iteration(st)
+        st, i, _gap, best_gap, best_st, since_best, _status, trace = carry
+        new_st, gap, step, ok = one_iteration(st)
+        if cfg.record_trace or cfg.record_iterates:
+            # Per-iteration trace, as the reference prints every solver
+            # iteration (one-pdas-iteration :336-338, :376).
+            pobj_i = jnp.dot(st.x.hi, lp.c) + jnp.dot(st.x.lo, lp.c)
+            vals = (gap, pobj_i, step)
+            if cfg.record_iterates:
+                vals = vals + (st.x.hi, st.x.lo)
+            trace = jax.tree.map(lambda a, v: a.at[i].set(v), trace, vals)
         improved = gap < best_gap
         best_st = jax.tree.map(lambda b, c: jnp.where(improved, c, b), best_st, st)
         best_gap = jnp.where(improved, gap, best_gap)
         since_best = jnp.where(improved, 0, since_best + 1)
         status = jnp.where(ok, Status.RUNNING, Status.SINGULAR).astype(jnp.int32)
-        return new_st, i + 1, gap, best_gap, best_st, since_best, status
+        return new_st, i + 1, gap, best_gap, best_st, since_best, status, trace
 
     def cond(carry):
-        _st, i, gap, _bg, _bst, since_best, status = carry
+        _st, i, gap, _bg, _bst, since_best, status, _trace = carry
         return (
             (gap >= cfg.gap_tol)
             & (status == Status.RUNNING)
@@ -280,11 +336,21 @@ def _pdas_dd_jit(state: PDASDDState, cfg: PDASConfig, engine=None) -> SolveResul
         )
 
     inf = jnp.asarray(np.inf, jnp.float32)
-    st, iters, gap, best_gap, best_st, since_best, status = jax.lax.while_loop(
+    n = state.x.hi.shape[0]
+    trace0 = (
+        (jnp.full(cfg.max_iters, np.nan, jnp.float32),) * 3
+        if (cfg.record_trace or cfg.record_iterates)
+        else (jnp.zeros(0, jnp.float32),) * 3
+    )
+    if cfg.record_iterates:
+        trace0 = trace0 + (jnp.full((cfg.max_iters, n), np.nan, jnp.float32),) * 2
+    (st, iters, gap, best_gap, best_st, since_best, status,
+     trace) = jax.lax.while_loop(
         cond,
         body,
         (state, jnp.asarray(0, jnp.int32), inf, inf, state,
-         jnp.asarray(0, jnp.int32), jnp.asarray(Status.RUNNING, jnp.int32)),
+         jnp.asarray(0, jnp.int32), jnp.asarray(Status.RUNNING, jnp.int32),
+         trace0),
     )
     use_best = best_gap < gap
     st = jax.tree.map(lambda b, c: jnp.where(use_best, b, c), best_st, st)
@@ -317,5 +383,13 @@ def _pdas_dd_jit(state: PDASDDState, cfg: PDASConfig, engine=None) -> SolveResul
             "y": st.y.to_working(),
             "w": st.w.to_working(),
             "z": st.z.to_working(),
+            "trace": {
+                "gap": trace[0], "objective": trace[1], "step": trace[2],
+                **(
+                    {"x": trace[3], "x_lo": trace[4]}
+                    if cfg.record_iterates
+                    else {}
+                ),
+            },
         },
     )

@@ -155,6 +155,40 @@ class BlockSparseCholesky:
             N = N + jnp.diag(row_boost[self.pperm].astype(N.dtype))
         return N
 
+    def prepare_normal(
+        self,
+        A: jax.Array,
+        d: jax.Array,
+        row_boost: Optional[jax.Array] = None,
+        refine_steps: int = 0,
+    ):
+        """Assemble + factor once; return (solve_fn, ok) — the engine's
+        factor-once/solve-many split (solve-sparse-recycle analogue)."""
+        from cholesky_is_magic_tpu.ops.dense import operator_residual
+
+        n_pad = self.plan.n_padded
+        m = A.shape[0]
+        N = self.assemble_normal(A, d, row_boost)
+        L = self.factorize(N)
+        diag = jnp.diagonal(L)
+        ok = jnp.all(jnp.isfinite(L)) & jnp.all(diag > 0)
+        AD = A * d[None, :] if refine_steps else None
+
+        def raw_solve(r):
+            rp = jnp.pad(r, (0, n_pad - m))[self.pperm]
+            t = jax.scipy.linalg.solve_triangular(L, rp, lower=True)
+            yp = jax.scipy.linalg.solve_triangular(L.T, t, lower=False)
+            return jnp.zeros_like(yp).at[self.pperm].set(yp)[:m]
+
+        def solve_fn(g):
+            y = raw_solve(g)
+            for _ in range(refine_steps):
+                r = operator_residual(AD, y, g, row_boost)
+                y = y + raw_solve(r)
+            return jnp.where(ok, y, jnp.zeros_like(y))
+
+        return solve_fn, ok
+
     def solve_normal(
         self,
         A: jax.Array,
@@ -172,25 +206,7 @@ class BlockSparseCholesky:
         path's accuracy — the reference's sparse path is fp64 CHOLMOD
         (sparse-cholesky.lisp:524-560).
         """
-        from cholesky_is_magic_tpu.ops.dense import operator_residual
-
-        n_pad = self.plan.n_padded
-        m = g.shape[0]
-        N = self.assemble_normal(A, d, row_boost)
-        L = self.factorize(N)
-        diag = jnp.diagonal(L)
-        ok = jnp.all(jnp.isfinite(L)) & jnp.all(diag > 0)
-
-        def raw_solve(r):
-            rp = jnp.pad(r, (0, n_pad - m))[self.pperm]
-            t = jax.scipy.linalg.solve_triangular(L, rp, lower=True)
-            yp = jax.scipy.linalg.solve_triangular(L.T, t, lower=False)
-            return jnp.zeros_like(yp).at[self.pperm].set(yp)[:m]
-
-        y = raw_solve(g)
-        if refine_steps:
-            AD = A * d[None, :]
-            for _ in range(refine_steps):
-                r = operator_residual(AD, y, g, row_boost)
-                y = y + raw_solve(r)
-        return jnp.where(ok, y, jnp.zeros_like(y)), ok
+        solve_fn, ok = self.prepare_normal(
+            A, d, row_boost=row_boost, refine_steps=refine_steps
+        )
+        return solve_fn(g), ok

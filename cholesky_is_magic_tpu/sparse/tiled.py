@@ -381,6 +381,31 @@ class TiledCholesky:
         z = jax.lax.fori_loop(0, B, bwd, jnp.zeros((B + 1, b), dtype))
         return z[:B].reshape(B * b)
 
+    def prepare_normal(self, A, d, row_boost=None, refine_steps=0):
+        """Assemble + factor once; return (solve_fn, ok) — the engine's
+        factor-once/solve-many split (solve-sparse-recycle analogue)."""
+        from cholesky_is_magic_tpu.ops.dense import operator_residual
+
+        n_pad = self.B * self.b
+        m = A.shape[0]
+        tiles = self.assemble(A, d, row_boost, mode=self.assemble_mode)
+        L, invd, ok = self.factorize(tiles)
+        AD = A * d[None, :] if refine_steps else None
+
+        def raw_solve(r):
+            rp = jnp.pad(r, (0, n_pad - m))[self.pperm]
+            yp = self.solve(L, invd, rp)
+            return jnp.zeros_like(yp).at[self.pperm].set(yp)[:m]
+
+        def solve_fn(g):
+            y = raw_solve(g)
+            for _ in range(refine_steps):
+                r = operator_residual(AD, y, g, row_boost)
+                y = y + raw_solve(r)
+            return jnp.where(ok, y, jnp.zeros_like(y))
+
+        return solve_fn, ok
+
     def solve_normal(self, A, d, g, row_boost=None, refine_steps=0):
         """Drop-in for ops.dense.solve_normal via the tile engine.
 
@@ -389,22 +414,7 @@ class TiledCholesky:
         factorization then reaches the same accuracy as the dense dd path —
         the reference's sparse path is fp64 CHOLMOD and gets this for free
         (sparse-cholesky.lisp:524-560)."""
-        from cholesky_is_magic_tpu.ops.dense import operator_residual
-
-        m = g.shape[0]
-        n_pad = self.B * self.b
-        tiles = self.assemble(A, d, row_boost, mode=self.assemble_mode)
-        L, invd, ok = self.factorize(tiles)
-
-        def raw_solve(r):
-            rp = jnp.pad(r, (0, n_pad - m))[self.pperm]
-            yp = self.solve(L, invd, rp)
-            return jnp.zeros_like(yp).at[self.pperm].set(yp)[:m]
-
-        y = raw_solve(g)
-        if refine_steps:
-            AD = A * d[None, :]
-            for _ in range(refine_steps):
-                r = operator_residual(AD, y, g, row_boost)
-                y = y + raw_solve(r)
-        return jnp.where(ok, y, jnp.zeros_like(y)), ok
+        solve_fn, ok = self.prepare_normal(
+            A, d, row_boost=row_boost, refine_steps=refine_steps
+        )
+        return solve_fn(g), ok

@@ -64,6 +64,86 @@ def test_pdas_trajectory_f32_tracks_f64():
     assert float(r32.objective) == pytest.approx(float(r64.objective), rel=2e-3, abs=2e-3)
 
 
+def test_dd_trajectory_matches_f64_to_1e6():
+    """BASELINE.md metric: iterate-trajectory match <= 1e-6 vs the fp64
+    reference run.  The dd-state solver (f32-only arithmetic) must track
+    every per-iteration primal iterate of the f64 PDAS run to 1e-6
+    relative — not just the endpoint.
+
+    Both runs start from the same on-trajectory point (10 warmup f64
+    iterations, past the init's repair step — pdas_dd is Newton-only by
+    design), with the f64 state split into dd hi+lo exactly (error
+    ~2^-48).  Problem data is pre-rounded to f32-representable values so
+    the comparison measures ARITHMETIC error, not data rounding."""
+    from cholesky_is_magic_tpu.ops.dd import DD
+    from cholesky_is_magic_tpu.solvers.pdas import PDASState
+    from cholesky_is_magic_tpu.solvers.pdas_dd import PDASDDState, _pdas_dd_jit
+
+    ineq = random_lp(4, n_ub=12, n_eq=4, n=16, bounded=True)
+    sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+    lp64 = to_device_lp(sf, pad_multiple=8, dtype=jnp.float64)
+
+    st64_0 = make_pdas(lp64)
+    # Bit-identical problem data for both runs: the f64-equilibrated LP
+    # rounded to f32 (exactly representable in both dtypes).  Equilibrating
+    # separately per dtype would inject ~1e-7-relative DATA differences
+    # that swamp the arithmetic comparison.
+    lp32p = dataclasses.replace(
+        st64_0.lp,
+        **{f: jnp.asarray(np.asarray(getattr(st64_0.lp, f)), jnp.float32)
+           for f in ("A", "c", "b", "l", "u")},
+    )
+    lp64p = dataclasses.replace(
+        st64_0.lp,
+        **{f: jnp.asarray(np.asarray(getattr(lp32p, f)), jnp.float64)
+           for f in ("A", "c", "b", "l", "u")},
+    )
+
+    warm = _pdas_jit(
+        PDASState(x=st64_0.x, y=st64_0.y, w=st64_0.w, z=st64_0.z, lp=lp64p),
+        PDASConfig(max_iters=10, gap_tol=0.0, refine_steps=2),
+    )
+    st64 = PDASState(
+        x=warm.x, y=warm.extra["y"], w=warm.extra["w"], z=warm.extra["z"],
+        lp=lp64p,
+    )
+
+    def dd_split(v):
+        v = np.asarray(v, np.float64)
+        hi = v.astype(np.float32)
+        lo = (v - hi.astype(np.float64)).astype(np.float32)
+        return DD(jnp.asarray(hi), jnp.asarray(lo))
+
+    stdd = PDASDDState(
+        x=dd_split(warm.x), y=dd_split(warm.extra["y"]),
+        w=dd_split(warm.extra["w"]), z=dd_split(warm.extra["z"]),
+        lp=lp32p,
+    )
+
+    K = 12
+    r64 = _pdas_jit(
+        st64, PDASConfig(max_iters=K, gap_tol=0.0, refine_steps=2,
+                         record_iterates=True)
+    )
+    rdd = _pdas_dd_jit(
+        stdd, PDASConfig(max_iters=K, gap_tol=0.0, refine_steps=2,
+                         record_iterates=True)
+    )
+
+    steps64 = np.asarray(r64.extra["trace"]["step"])
+    assert np.isfinite(steps64[:K]).all(), (
+        "fixture must take pure Newton steps (repair/recenter record inf)"
+    )
+    x64 = np.asarray(r64.extra["trace"]["x"], np.float64)  # (K, N)
+    xdd = np.asarray(rdd.extra["trace"]["x"], np.float64) + np.asarray(
+        rdd.extra["trace"]["x_lo"], np.float64
+    )
+    for k in range(K):
+        scale = max(1.0, np.abs(x64[k]).max())
+        err = np.abs(x64[k] - xdd[k]).max() / scale
+        assert err < 1e-6, (k, err)
+
+
 def test_precision_floor_returns_best_iterate():
     """Pushed past its precision floor, f32 PDAS must return the best-seen
     iterate (not the drifted last one) and say so in the status."""

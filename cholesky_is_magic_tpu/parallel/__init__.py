@@ -29,6 +29,8 @@ from cholesky_is_magic_tpu.parallel.batched import (
 from cholesky_is_magic_tpu.parallel.sharded import (
     shard_lp_columns,
     sharded_solve_normal,
+    sharded_prepare_normal,
+    sharded_kkt_operator,
 )
 
 __all__ = [
@@ -39,4 +41,6 @@ __all__ = [
     "batched_affine",
     "shard_lp_columns",
     "sharded_solve_normal",
+    "sharded_prepare_normal",
+    "sharded_kkt_operator",
 ]

@@ -57,6 +57,67 @@ def shard_lp_columns(lp: DeviceLP, mesh: Mesh) -> DeviceLP:
     )
 
 
+def sharded_prepare_normal(
+    mesh: Mesh,
+    A: jax.Array,
+    d: jax.Array,
+    row_boost: Optional[jax.Array] = None,
+    refine_steps: int = 0,
+):
+    """Factor-once / solve-many split of the tp normal-equations pipeline.
+
+    The factor pass shard_maps the partial Gram matrices + one psum('tp')
+    and returns the replicated Cholesky factor; each solve_fn(g) call runs
+    the replicated triangular solves plus ``refine_steps`` residual
+    corrections whose matvecs are column-sharded (one m-vector psum each).
+    Mirrors ops.dense.prepare_normal (the solve-sparse-recycle analogue)
+    so the tp backend can serve KKTOperator.prepare_scaled_normal.
+    """
+    if row_boost is None:
+        row_boost = jnp.zeros(A.shape[0], A.dtype)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "tp"), P("tp"), P()),
+        out_specs=(P(), P()),
+    )
+    def _factor(A_k, d_k, boost_rep):
+        AD_k = A_k * d_k[None, :]
+        N_part = jnp.matmul(AD_k, AD_k.T, preferred_element_type=A_k.dtype)
+        N = jax.lax.psum(N_part, "tp")
+        N = 0.5 * (N + N.T) + jnp.diag(boost_rep)
+        f = dense_ops.factorize(N)
+        return f.L, f.ok
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(None, "tp"), P("tp"), P()),
+        out_specs=P(),
+    )
+    def _solve(L_rep, ok_rep, g_rep, A_k, d_k, boost_rep):
+        AD_k = A_k * d_k[None, :]
+        y = dense_ops.chol_solve(L_rep, g_rep)
+        for _ in range(refine_steps):
+            # Refinement residual with the matvec sharded the same way:
+            # N y is reassembled via psum each step.
+            t_k = AD_k.T @ y
+            u_part = AD_k @ t_k
+            u = jax.lax.psum(u_part, "tp") + boost_rep * y
+            y = y + dense_ops.chol_solve(L_rep, g_rep - u)
+        return jnp.where(ok_rep, y, jnp.zeros_like(y))
+
+    with jax.default_matmul_precision("highest"):
+        L, ok = _factor(A, d, row_boost)
+
+    def solve_fn(g):
+        with jax.default_matmul_precision("highest"):
+            return _solve(L, ok, g, A, d, row_boost)
+
+    return solve_fn, ok
+
+
 def sharded_solve_normal(
     mesh: Mesh,
     A: jax.Array,
@@ -71,30 +132,34 @@ def sharded_solve_normal(
     assembles N; the factor + triangular solves run replicated.  Returns
     (y, ok) identical (up to reduction order) to the single-chip solve.
     """
-    if row_boost is None:
-        row_boost = jnp.zeros(A.shape[0], A.dtype)
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(None, "tp"), P("tp"), P(), P()),
-        out_specs=(P(), P()),
+    solve_fn, ok = sharded_prepare_normal(
+        mesh, A, d, row_boost=row_boost, refine_steps=refine_steps
     )
-    def _solve(A_k, d_k, g_rep, boost_rep):
-        AD_k = A_k * d_k[None, :]
-        N_part = jnp.matmul(AD_k, AD_k.T, preferred_element_type=A_k.dtype)
-        N = jax.lax.psum(N_part, "tp")
-        N = 0.5 * (N + N.T) + jnp.diag(boost_rep)
-        f = dense_ops.factorize(N)
-        y = dense_ops.chol_solve(f.L, g_rep)
-        for _ in range(refine_steps):
-            # Refinement residual with the matvec sharded the same way:
-            # N y is reassembled via psum each step.
-            t_k = AD_k.T @ y
-            u_part = AD_k @ t_k
-            u = jax.lax.psum(u_part, "tp") + boost_rep * y
-            y = y + dense_ops.chol_solve(f.L, g_rep - u)
-        return jnp.where(f.ok, y, jnp.zeros_like(y)), f.ok
+    return solve_fn(g), ok
 
-    with jax.default_matmul_precision("highest"):
-        return _solve(A, d, g, row_boost)
+
+def sharded_kkt_operator(
+    mesh: Mesh,
+    A: jax.Array,
+    row_boost: Optional[jax.Array] = None,
+    refine_steps: int = 0,
+):
+    """KKTOperator backed by the tp pipeline — plugs the column-sharded
+    normal solve into the SAME solve_kkt_newton elimination the dense and
+    sparse backends use, making tp a solver mode, not a demo.  The
+    elementwise elimination and the SpMVs stay plain jnp ops: under jit
+    with column-sharded operands GSPMD partitions them and inserts the
+    collectives (the explicit shard_map + psum lives in the normal solve,
+    where the structure matters)."""
+    from cholesky_is_magic_tpu.kkt.newton import KKTOperator
+
+    return KKTOperator(
+        mv=lambda v: A @ v,
+        rmv=lambda v: A.T @ v,
+        solve_scaled_normal=lambda s, g: sharded_solve_normal(
+            mesh, A, s, g, row_boost=row_boost, refine_steps=refine_steps
+        ),
+        prepare_scaled_normal=lambda s: sharded_prepare_normal(
+            mesh, A, s, row_boost=row_boost, refine_steps=refine_steps
+        ),
+    )

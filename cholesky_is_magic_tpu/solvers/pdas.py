@@ -219,7 +219,7 @@ def _pos_step(v, dv):
     return jnp.min(jnp.maximum(lim, 0.0))
 
 
-def _repair(state: PDASState, cfg: PDASConfig, engine=None):
+def _repair(state: PDASState, cfg: PDASConfig, engine=None, mesh=None):
     """one-repair-iteration (:268-288): min-norm LS step toward Ax = b,
     then nudge x into the interior.
 
@@ -235,7 +235,7 @@ def _repair(state: PDASState, cfg: PDASConfig, engine=None):
     residual = lp.b - lp.A @ x
     boost = (~lp.row_mask).astype(lp.A.dtype)
     yv, ok = _solve_normal_backend(
-        engine, lp.A, slack, residual, boost, cfg.refine_steps
+        engine, lp.A, slack, residual, boost, cfg.refine_steps, mesh
     )
     dg = jnp.where(lp.col_mask, (lp.A * slack[None, :]).T @ yv, 0.0)
     g = dg * slack
@@ -250,7 +250,7 @@ def _repair(state: PDASState, cfg: PDASConfig, engine=None):
     return jnp.where(ok, new_x, x), ok
 
 
-def _recenter(state: PDASState, cfg: PDASConfig, engine=None):
+def _recenter(state: PDASState, cfg: PDASConfig, engine=None, mesh=None):
     """The repair-flag path (:348-366): perturb duals by 1e-4 and take a
     damped centering step from primal-project."""
     lp = state.lp
@@ -264,7 +264,7 @@ def _recenter(state: PDASState, cfg: PDASConfig, engine=None):
     AD = lp.A * slack[None, :]
     boost = (~lp.row_mask).astype(lp.A.dtype)
     proj, ok = _solve_normal_backend(
-        engine, lp.A, slack, AD @ sc, boost, cfg.refine_steps
+        engine, lp.A, slack, AD @ sc, boost, cfg.refine_steps, mesh
     )
     dx = jnp.where(lp.col_mask, sc - AD.T @ proj, 0.0) * slack
     step = 0.5 * _max_step(lp.l, x, lp.u, dx, lp.col_mask)
@@ -276,6 +276,7 @@ def pdas(
     state: PDASState,
     config: Optional[PDASConfig] = None,
     engine=None,
+    mesh=None,
 ) -> SolveResult:
     """The driver (pdas, :385-396): iterate until relative duality gap
     < 1e-4, arming the recenter path whenever the step stalls below 1e-6.
@@ -284,12 +285,24 @@ def pdas(
     sparse.tiled.TiledCholesky or sparse.factor.BlockSparseCholesky built
     from this LP's pattern) — the analyze-once object whose solve_normal
     replaces the dense MXU pipeline for every factorization in the loop.
+
+    ``mesh`` optionally runs every normal-equations solve in the loop
+    column-sharded over the mesh's 'tp' axis (parallel.sharded: partial
+    Gram matrices per chip + one psum over ICI per factorization) — the
+    tensor-parallel mode for wide LPs.  Shard the state's LP with
+    parallel.shard_lp_columns first for multi-chip placement.
     """
     cfg = config or PDASConfig()
-    return _pdas_jit(state, cfg, engine)
+    return _pdas_jit(state, cfg, engine, mesh)
 
 
-def _solve_normal_backend(engine, A, d, g, row_boost, refine_steps):
+def _solve_normal_backend(engine, A, d, g, row_boost, refine_steps, mesh=None):
+    if mesh is not None:
+        from cholesky_is_magic_tpu.parallel.sharded import sharded_solve_normal
+
+        return sharded_solve_normal(
+            mesh, A, d, g, row_boost=row_boost, refine_steps=refine_steps
+        )
     if engine is None:
         return dense_ops.solve_normal(
             A, d, g, row_boost=row_boost, refine_steps=refine_steps
@@ -300,8 +313,8 @@ def _solve_normal_backend(engine, A, d, g, row_boost, refine_steps):
 
 
 @highest_precision
-@partial(jax.jit, static_argnames=("cfg", "engine"))
-def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None) -> SolveResult:
+@partial(jax.jit, static_argnames=("cfg", "engine", "mesh"))
+def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> SolveResult:
     lp = state.lp
 
     def one_iteration(st: PDASState, repair_flag):
@@ -314,7 +327,7 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None) -> SolveResult:
         primal_infeasible = jnp.max(jnp.abs(primal)) >= cfg.primal_feasible_tol
 
         def do_repair():
-            new_x, ok = _repair(st, cfg, engine)
+            new_x, ok = _repair(st, cfg, engine, mesh)
             return (
                 dataclasses.replace(st, x=new_x),
                 gap,
@@ -323,7 +336,7 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None) -> SolveResult:
             )
 
         def do_recenter():
-            new_x, w, z, ok = _recenter(st, cfg, engine)
+            new_x, w, z, ok = _recenter(st, cfg, engine, mesh)
             return (
                 dataclasses.replace(st, x=new_x, w=w, z=z),
                 gap,
@@ -333,7 +346,15 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None) -> SolveResult:
 
         def do_newton():
             boost = (~lp.row_mask).astype(lp.A.dtype)
-            if engine is None:
+            if mesh is not None:
+                from cholesky_is_magic_tpu.parallel.sharded import (
+                    sharded_kkt_operator,
+                )
+
+                op = sharded_kkt_operator(
+                    mesh, lp.A, row_boost=boost, refine_steps=cfg.refine_steps
+                )
+            elif engine is None:
                 op = dense_kkt_operator(
                     lp.A, row_boost=boost, refine_steps=cfg.refine_steps
                 )

@@ -162,17 +162,23 @@ def pdas_dd(
     state: PDASDDState,
     config: Optional[PDASConfig] = None,
     engine=None,
+    mesh=None,
 ) -> SolveResult:
     """Tight-gap driver: plain Newton steps (no repair/recenter paths —
     use solvers.pdas to get feasible/centered first if needed, or rely on
-    the standard init), best-iterate tracking, precision-floor exit."""
+    the standard init), best-iterate tracking, precision-floor exit.
+
+    ``mesh`` runs every factorization column-sharded over the mesh's 'tp'
+    axis (parallel.sharded_kkt_operator) — tight gaps at tp scale."""
     cfg = config or PDASConfig(gap_tol=1e-8, max_iters=300)
-    return _pdas_dd_jit(state, cfg, engine)
+    return _pdas_dd_jit(state, cfg, engine, mesh)
 
 
 @highest_precision
-@partial(jax.jit, static_argnames=("cfg", "engine"))
-def _pdas_dd_jit(state: PDASDDState, cfg: PDASConfig, engine=None) -> SolveResult:
+@partial(jax.jit, static_argnames=("cfg", "engine", "mesh"))
+def _pdas_dd_jit(
+    state: PDASDDState, cfg: PDASConfig, engine=None, mesh=None
+) -> SolveResult:
     lp = state.lp
 
     from cholesky_is_magic_tpu.kkt.newton import FILTER_THRESHOLD
@@ -267,7 +273,13 @@ def _pdas_dd_jit(state: PDASDDState, cfg: PDASConfig, engine=None) -> SolveResul
         gap = jnp.abs(gap_dd.to_working()) / denom
 
         boost = (~lp.row_mask).astype(jnp.float32)
-        if engine is None:
+        if mesh is not None:
+            from cholesky_is_magic_tpu.parallel.sharded import sharded_kkt_operator
+
+            op = sharded_kkt_operator(
+                mesh, lp.A, row_boost=boost, refine_steps=cfg.refine_steps
+            )
+        elif engine is None:
             # true_residual: refine against the UNASSEMBLED operator in
             # double-word — corrects the f32 rounding of assembling N,
             # which otherwise floors the direction accuracy near 1e-7.

@@ -85,6 +85,46 @@ class TestShardedNormal:
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-8, atol=1e-10)
         np.testing.assert_array_equal(np.asarray(y)[12:], 0.0)
 
+    def test_tp_pdas_end_to_end(self):
+        """TP as a solver MODE: the full PDAS loop with every
+        normal-equations solve column-sharded (shard_map + psum over
+        'tp') must match the single-chip solve."""
+        import dataclasses
+
+        from cholesky_is_magic_tpu.solvers import pdas
+
+        mesh = lp_mesh(dp=1, tp=8)
+        ineq = random_lp(3, n_ub=12, n_eq=4, n=24, bounded=True)
+        _, fun, _ = scipy_reference_solution(ineq)
+        sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+        lp = to_device_lp(sf, pad_multiple=8, dtype=jnp.float64)
+        st = make_pdas(lp)
+        cfg = PDASConfig(max_iters=200)
+        r_single = pdas(st, cfg)
+        st_sharded = dataclasses.replace(st, lp=shard_lp_columns(st.lp, mesh))
+        r_tp = pdas(st_sharded, cfg, mesh=mesh)
+        assert int(r_tp.status) == Status.OPTIMAL
+        assert float(r_tp.objective) == pytest.approx(fun, rel=1e-3, abs=1e-3)
+        # Same trajectory up to reduction order: tight agreement.
+        np.testing.assert_allclose(
+            np.asarray(r_tp.x), np.asarray(r_single.x), rtol=1e-6, atol=1e-8
+        )
+
+    def test_tp_pdas_dd_tight_gap(self):
+        """The tight-gap dd solver through the tp backend (exercises
+        prepare_scaled_normal's factor-once/solve-many under shard_map)."""
+        from cholesky_is_magic_tpu.solvers.pdas_dd import make_pdas_dd, pdas_dd
+
+        mesh = lp_mesh(dp=1, tp=8)
+        ineq = random_lp(2, n_ub=24, n_eq=6, n=32, bounded=True)
+        _, fun, _ = scipy_reference_solution(ineq)
+        sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+        lp32 = to_device_lp(sf, pad_multiple=64, dtype=jnp.float32)
+        cfg = PDASConfig(max_iters=300, gap_tol=1e-8, refine_steps=2)
+        res = pdas_dd(make_pdas_dd(lp32), cfg, mesh=mesh)
+        assert float(res.extra["gap"]) < 1e-7
+        assert float(res.objective) == pytest.approx(fun, rel=1e-4, abs=1e-4)
+
     def test_column_sharded_lp_placement(self):
         mesh = lp_mesh(dp=1, tp=8)
         sf = cim.to_standard_form(

@@ -41,7 +41,7 @@ from cholesky_is_magic_tpu.ingest.device import DeviceLP
 from cholesky_is_magic_tpu.kkt.newton import dense_kkt_operator
 from cholesky_is_magic_tpu.ops import dd as ddm
 from cholesky_is_magic_tpu.ops.dd import DD
-from cholesky_is_magic_tpu.solvers.pdas import PDASConfig, make_pdas
+from cholesky_is_magic_tpu.solvers.pdas import PDASConfig, PDASState, make_pdas
 from cholesky_is_magic_tpu.solvers.result import SolveResult, Status
 from cholesky_is_magic_tpu.utils.precision import highest_precision
 
@@ -62,9 +62,26 @@ class PDASDDState:
     lp: DeviceLP
 
 
-def make_pdas_dd(lp: DeviceLP, config: Optional[PDASConfig] = None) -> PDASDDState:
-    """Promote the standard f32 initialization to double-word."""
-    st = make_pdas(lp, config)
+def make_pdas_dd(
+    lp: DeviceLP, config: Optional[PDASConfig] = None, warm=None
+) -> PDASDDState:
+    """Promote the standard f32 initialization to double-word.
+
+    ``warm`` restarts from prior iterates — a PDASState, or a pdas()
+    SolveResult (its x plus the y/w/z in extra).  pdas_dd is Newton-only
+    (no repair/recenter), so on LPs whose cold start is primal-infeasible
+    the intended flow is: pdas() to feasibility/centering at its 1e-4
+    gap, then this solver to the tight gap (the reference reaches both
+    with one fp64 path; the TPU build splits robustness and precision).
+    """
+    from cholesky_is_magic_tpu.solvers.result import SolveResult
+
+    if isinstance(warm, SolveResult):
+        warm = PDASState(
+            x=warm.x, y=warm.extra["y"], w=warm.extra["w"], z=warm.extra["z"],
+            lp=None,
+        )
+    st = make_pdas(lp, config, warm=warm)
     return PDASDDState(
         x=ddm.dd_from(st.x),
         y=ddm.dd_from(st.y),

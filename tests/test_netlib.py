@@ -1,0 +1,111 @@
+"""A genuine Netlib instance end-to-end through every solver family.
+
+afiro (27 rows, 32 columns, 83 nonzeros; published optimum
+-464.75314285714285) is the classic first Netlib LP.  The fixture is a
+transcription (tests/fixtures/afiro.mps) — real fixed-format MPS with
+comment lines, original row names, leading-dot numerals — exercising the
+reader on a real-world file, then every solver family at its documented
+tolerance (the reference is driven on exactly these files,
+read-mps.lisp:291).
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cholesky_is_magic_tpu as cim
+from cholesky_is_magic_tpu.ingest import to_device_lp
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+AFIRO = os.path.join(FIXTURES, "afiro.mps")
+OPTIMUM = -464.75314285714285
+
+
+def afiro_sf():
+    return cim.to_standard_form(cim.read_mps_file(AFIRO))
+
+
+def test_reader_parses_real_netlib_file():
+    mps = cim.read_mps_file(AFIRO)
+    assert len(mps.row_data) == 27
+    assert len(mps.col_data) == 32
+    assert len(mps.triplets) == 83 - 0  # constraint nonzeros (obj separate)
+    assert len(mps.obj_row) == 5
+    sf = afiro_sf()
+    assert sf.ncons == 27
+    # 32 original + one slack per inequality row (19 L rows).
+    assert sf.nvars == 32 + 19
+    assert sf.initial_vars == 32
+
+
+def test_oracle_reproduces_published_optimum():
+    from scipy.optimize import linprog
+
+    sf = afiro_sf()
+    res = linprog(
+        sf.c, A_eq=sf.dense_A(), b_eq=sf.b, bounds=list(zip(sf.l, sf.u)),
+        method="highs",
+    )
+    assert res.status == 0
+    assert res.fun == pytest.approx(OPTIMUM, abs=1e-9)
+
+
+def test_affine_scaling_solves_afiro():
+    from cholesky_is_magic_tpu.solvers import AffineConfig, affine_scaling, make_affine_state
+
+    lp = to_device_lp(afiro_sf(), pad_multiple=16, dtype=jnp.float64)
+    res = affine_scaling(make_affine_state(lp), AffineConfig(max_iters=600))
+    assert float(res.objective) == pytest.approx(OPTIMUM, rel=1e-3)
+
+
+def test_pdas_solves_afiro():
+    from cholesky_is_magic_tpu.solvers import PDASConfig, make_pdas, pdas
+
+    lp = to_device_lp(afiro_sf(), pad_multiple=16, dtype=jnp.float64)
+    res = pdas(make_pdas(lp), PDASConfig(max_iters=300))
+    assert res.status_name == "optimal"
+    assert float(res.objective) == pytest.approx(OPTIMUM, rel=1e-4)
+
+
+def test_pdas_dd_tight_gap_on_afiro():
+    """The tight-gap f32 solver on the real instance: gap <= 1e-8 and the
+    published optimum to 7 digits, in f32-only arithmetic.  afiro's cold
+    start is primal-infeasible, so this uses the documented two-phase
+    flow: pdas to its 1e-4 gap (repair/recenter safeguards), then the
+    Newton-only dd finisher warm-started from its iterates."""
+    from cholesky_is_magic_tpu.solvers import PDASConfig, make_pdas, pdas
+    from cholesky_is_magic_tpu.solvers.pdas_dd import make_pdas_dd, pdas_dd
+
+    lp = to_device_lp(afiro_sf(), pad_multiple=16, dtype=jnp.float32)
+    phase1 = pdas(make_pdas(lp), PDASConfig(max_iters=300, refine_steps=2))
+    res = pdas_dd(
+        make_pdas_dd(lp, warm=phase1),
+        PDASConfig(max_iters=300, gap_tol=1e-9, refine_steps=2),
+    )
+    assert float(res.extra["gap"]) < 1e-8
+    assert float(res.objective) == pytest.approx(OPTIMUM, rel=1e-7)
+
+
+def test_pdas_with_tiled_engine_on_afiro():
+    from cholesky_is_magic_tpu.solvers import PDASConfig, make_pdas, pdas
+    from cholesky_is_magic_tpu.sparse.tiled import engine_for
+
+    lp = to_device_lp(afiro_sf(), pad_multiple=16, dtype=jnp.float64)
+    st = make_pdas(lp)
+    eng = engine_for(st.lp.A, block=16)
+    res = pdas(st, PDASConfig(max_iters=300), engine=eng)
+    assert float(res.objective) == pytest.approx(OPTIMUM, rel=1e-4)
+
+
+def test_alm_solves_afiro():
+    from cholesky_is_magic_tpu.solvers import alm, make_alm
+    from cholesky_is_magic_tpu.solvers.alm import ALMConfig
+
+    lp = to_device_lp(afiro_sf(), pad_multiple=16, dtype=jnp.float64)
+    res = alm(make_alm(lp), config=ALMConfig(max_outer=60))
+    x = np.asarray(res.x)[: lp.n]
+    c = np.asarray(lp.c)[: lp.n]
+    # First-order method at its documented 1e-5 violation tolerance.
+    assert float(x @ c) == pytest.approx(OPTIMUM, rel=2e-3)

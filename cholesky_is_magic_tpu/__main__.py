@@ -22,8 +22,10 @@ def main(argv=None) -> int:
     ap.add_argument("mps", help="path to an MPS file")
     ap.add_argument(
         "--solver",
-        choices=["affine", "pdas", "alm", "selfdual"],
+        choices=["affine", "pdas", "pdas_dd", "alm", "selfdual"],
         default="pdas",
+        help="pdas_dd = two-phase tight-gap flow: pdas to feasibility at "
+             "its 1e-4 gap, then the double-word finisher to 1e-8+",
     )
     ap.add_argument("--f64", action="store_true", help="solve in float64")
     ap.add_argument("--rescale", action="store_true", help="row-equilibrate (rescale-sf)")
@@ -31,6 +33,8 @@ def main(argv=None) -> int:
     ap.add_argument("--refine-steps", type=int, default=1)
     ap.add_argument("--pad", type=int, default=128, help="padding multiple")
     ap.add_argument("--report", action="store_true", help="print the symbolic factorization report")
+    ap.add_argument("--trace", action="store_true",
+                    help="print per-iteration trace lines (the reference's stdout trace)")
     ap.add_argument("--json", action="store_true", help="machine-readable output")
     args = ap.parse_args(argv)
 
@@ -61,6 +65,18 @@ def main(argv=None) -> int:
         )
         print(diag.factor_report(analyze(A, block=args.pad)))
 
+    def print_trace(series: dict, iters: int) -> None:
+        """The reference's per-iteration stdout lines (e.g.
+        one-pdas-iteration :336-338), replayed from the recorded buffers."""
+        import numpy as np
+
+        keys = [k for k, v in series.items() if np.asarray(v).ndim == 1]
+        for i in range(iters):
+            cells = "  ".join(
+                f"{k}={float(np.asarray(series[k])[i]):.6g}" for k in keys
+            )
+            print(f"iter {i:4d}  {cells}")
+
     t0 = time.time()
     out: dict
     if args.solver == "affine":
@@ -68,8 +84,11 @@ def main(argv=None) -> int:
 
         res = affine_scaling(
             make_affine_state(lp),
-            AffineConfig(max_iters=args.max_iters, refine_steps=args.refine_steps),
+            AffineConfig(max_iters=args.max_iters, refine_steps=args.refine_steps,
+                         record_trace=args.trace),
         )
+        if args.trace:
+            print_trace(res.extra["trace"], int(res.iterations))
         out = dict(status=res.status_name, objective=float(res.objective),
                    iterations=int(res.iterations), residual=float(res.residual_norm))
     elif args.solver == "pdas":
@@ -77,8 +96,31 @@ def main(argv=None) -> int:
 
         res = pdas(
             make_pdas(lp),
-            PDASConfig(max_iters=args.max_iters, refine_steps=args.refine_steps),
+            PDASConfig(max_iters=args.max_iters, refine_steps=args.refine_steps,
+                       record_trace=args.trace),
         )
+        if args.trace:
+            print_trace(res.extra["trace"], int(res.iterations))
+        out = dict(status=res.status_name, objective=float(res.objective),
+                   dual_objective=float(res.extra["dual_objective"]),
+                   gap=float(res.extra["gap"]), iterations=int(res.iterations),
+                   residual=float(res.residual_norm))
+    elif args.solver == "pdas_dd":
+        from cholesky_is_magic_tpu.solvers import PDASConfig, make_pdas, pdas
+        from cholesky_is_magic_tpu.solvers.pdas_dd import make_pdas_dd, pdas_dd
+
+        phase1 = pdas(
+            make_pdas(lp),
+            PDASConfig(max_iters=args.max_iters, refine_steps=max(args.refine_steps, 2)),
+        )
+        res = pdas_dd(
+            make_pdas_dd(lp, warm=phase1),
+            PDASConfig(max_iters=args.max_iters, gap_tol=1e-9,
+                       refine_steps=max(args.refine_steps, 2),
+                       record_trace=args.trace),
+        )
+        if args.trace:
+            print_trace(res.extra["trace"], int(res.iterations))
         out = dict(status=res.status_name, objective=float(res.objective),
                    dual_objective=float(res.extra["dual_objective"]),
                    gap=float(res.extra["gap"]), iterations=int(res.iterations),
@@ -87,7 +129,10 @@ def main(argv=None) -> int:
         from cholesky_is_magic_tpu.solvers import alm, make_alm
         from cholesky_is_magic_tpu.solvers.alm import ALMConfig
 
-        res = alm(make_alm(lp), config=ALMConfig(max_outer=args.max_iters))
+        res = alm(make_alm(lp), config=ALMConfig(max_outer=args.max_iters,
+                                                 record_trace=args.trace))
+        if args.trace:
+            print_trace(res.trace, int(res.outer_iterations))
         out = dict(value=float(res.value), violation=float(res.violation),
                    pg=float(res.pg), outer_iterations=int(res.outer_iterations),
                    inner_iterations=int(res.inner_iterations))

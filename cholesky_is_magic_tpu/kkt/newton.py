@@ -65,21 +65,23 @@ def dense_kkt_operator(
     row_boost: Optional[jax.Array] = None,
     refine_steps: int = 1,
     true_residual: bool = False,
+    dbound: float = 0.0,
 ) -> KKTOperator:
     """Dense MXU-backed operator (newton-solve.lisp's backend, minus the
     explicit diag matrix it builds at :112-116 — XLA fuses the column scale
-    into the matmul)."""
+    into the matmul).  ``dbound`` arms the singular-retry diagonal floor
+    (ops.dense.prepare_normal; CHOLMOD's dbound knob, wrapper.c)."""
 
     def solve_scaled_normal(s, g):
         return dense_ops.solve_normal(
             A, s, g, row_boost=row_boost, refine_steps=refine_steps,
-            true_residual=true_residual,
+            true_residual=true_residual, dbound=dbound,
         )
 
     def prepare_scaled_normal(s):
         return dense_ops.prepare_normal(
             A, s, row_boost=row_boost, refine_steps=refine_steps,
-            true_residual=true_residual,
+            true_residual=true_residual, dbound=dbound,
         )
 
     return KKTOperator(

@@ -142,6 +142,7 @@ def prepare_normal(
     row_boost: Optional[jax.Array] = None,
     refine_steps: int = 1,
     true_residual: bool = False,
+    dbound: float = 0.0,
 ):
     """Assemble and factor N = (A·diag(d))(A·diag(d))ᵀ ONCE; return
     (solve_fn, ok) where solve_fn(g) runs the refined triangular solves.
@@ -149,7 +150,15 @@ def prepare_normal(
     The factor-once/solve-many split of solve-sparse-recycle
     (sparse-cholesky.lisp:524-560): callers needing several solves against
     the same scaled operator (e.g. the dd KKT's outer refinement) pay one
-    factorization."""
+    factorization.
+
+    ``dbound`` > 0 arms a singular-retry: when the plain Cholesky fails
+    (ill-conditioned N in f32 near convergence), refactor
+    N + dbound·max(diag N)·I once — the dense rendering of CHOLMOD's
+    dbound diagonal floor, which the reference exposes as a knob
+    (wrapper.c dbound accessor; sparse-cholesky.lisp:20-27).  The
+    refinement steps run against the UNregularized operator, so the
+    jitter perturbs only the preconditioner, not the solved system."""
     AD = A * d[None, :]
     N = jnp.matmul(AD, AD.T, preferred_element_type=AD.dtype,
                    precision=jax.lax.Precision.HIGHEST)
@@ -157,6 +166,14 @@ def prepare_normal(
     if row_boost is not None:
         N = N + jnp.diag(row_boost.astype(N.dtype))
     f = factorize(N)
+    if dbound > 0.0:
+        eye = jnp.eye(N.shape[0], dtype=N.dtype)
+
+        def retry():
+            jitter = dbound * jnp.max(jnp.diagonal(N))
+            return factorize(N + jitter * eye)
+
+        f = jax.lax.cond(f.ok, lambda: f, retry)
 
     def solve_fn(g):
         y = chol_solve(f.L, g)
@@ -178,6 +195,7 @@ def solve_normal(
     row_boost: Optional[jax.Array] = None,
     refine_steps: int = 1,
     true_residual: bool = False,
+    dbound: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Solve (A·diag(d))·(A·diag(d))ᵀ y = g with double-word refinement.
 
@@ -194,6 +212,6 @@ def solve_normal(
     """
     solve_fn, ok = prepare_normal(
         A, d, row_boost=row_boost, refine_steps=refine_steps,
-        true_residual=true_residual,
+        true_residual=true_residual, dbound=dbound,
     )
     return solve_fn(g), ok

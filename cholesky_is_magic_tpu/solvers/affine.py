@@ -65,6 +65,10 @@ class AffineConfig:
     recenter_every: int = 16  # driver recentering cadence (:283)
     max_iters: int = 500
     refine_steps: int = 1  # dd iterative-refinement steps per solve
+    # Record per-iteration (objective, residual norm, ||x_next - x||) into
+    # result.extra["trace"] — the TPU rendering of the reference's
+    # per-iteration stdout lines (affine-scaling.lisp:189-191, 254-263).
+    record_trace: bool = False
 
 
 @partial(
@@ -327,7 +331,7 @@ def _affine_scaling_jit(state: AffineState, cfg: AffineConfig) -> SolveResult:
     m_real = jnp.asarray(lp.m, dtype=lp.A.dtype)
 
     def body(carry):
-        x, i, _cont, _status = carry
+        x, i, _cont, _status, trace = carry
         st = AffineState(x=x, lp=lp)
         residual = _residual(lp, x)
         norm = jnp.linalg.norm(residual)
@@ -339,10 +343,13 @@ def _affine_scaling_jit(state: AffineState, cfg: AffineConfig) -> SolveResult:
             lambda: _repair_iteration(st, residual, cfg),
             lambda: _optimize_iteration(st, centering, cfg),
         )
-        return new_x, i + 1, cont, status
+        if cfg.record_trace:
+            vals = (jnp.dot(x, lp.c), norm, jnp.linalg.norm(new_x - x))
+            trace = jax.tree.map(lambda a, v: a.at[i].set(v), trace, vals)
+        return new_x, i + 1, cont, status, trace
 
     def cond(carry):
-        x, i, cont, status = carry
+        x, i, cont, status, _trace = carry
         norm = jnp.linalg.norm(_residual(lp, x))
         # Driver stop (:284-291): stop when the last iteration said stop AND
         # the iterate is feasible; also stop on fatal status or max iters.
@@ -351,8 +358,15 @@ def _affine_scaling_jit(state: AffineState, cfg: AffineConfig) -> SolveResult:
         return keep_going & ~fatal & (i < cfg.max_iters)
 
     x0 = state.x
-    x, iters, cont, status = jax.lax.while_loop(
-        cond, body, (x0, jnp.asarray(0, jnp.int32), jnp.asarray(True), jnp.asarray(Status.RUNNING, jnp.int32))
+    dt = x0.dtype
+    trace0 = (
+        (jnp.full(cfg.max_iters, np.nan, dt),) * 3
+        if cfg.record_trace
+        else (jnp.zeros(0, dt),) * 3
+    )
+    x, iters, cont, status, trace = jax.lax.while_loop(
+        cond, body, (x0, jnp.asarray(0, jnp.int32), jnp.asarray(True),
+                     jnp.asarray(Status.RUNNING, jnp.int32), trace0)
     )
     resid = jnp.linalg.norm(_residual(lp, x))
     feasible = resid <= cfg.residual_tol * m_real
@@ -371,5 +385,9 @@ def _affine_scaling_jit(state: AffineState, cfg: AffineConfig) -> SolveResult:
         status=final_status,
         iterations=iters,
         residual_norm=resid,
-        extra={},
+        extra={
+            "trace": {
+                "objective": trace[0], "residual": trace[1], "step": trace[2],
+            },
+        },
     )

@@ -59,6 +59,11 @@ class ALMConfig:
     omega_floor: float = 1e-6  # inner-accuracy floor (:505,531)
     inner_iters: int = 1_000_000  # approx budget per outer step (:503)
     max_outer: int = 10_000  # (:546)
+    # Record per-outer-step (violation, mu, pg, value) into result.trace —
+    # the reference prints these every alm iteration (alm-approx.lisp
+    # :533-536, :465).  Allocates max_outer floats per series; size
+    # max_outer accordingly when tracing.
+    record_trace: bool = False
 
 
 @partial(
@@ -121,6 +126,9 @@ class ALMResult(NamedTuple):
     value: jax.Array  # dual value at the solution
     outer_iterations: jax.Array
     inner_iterations: jax.Array  # *approx-iterations* total (:540)
+    # Per-outer-step series (violation, mu, pg, value) when
+    # ALMConfig.record_trace; empty arrays otherwise.
+    trace: Optional[dict] = None
 
 
 def _iteration2(state: ALMState, x, precision, has_x, cfg: ALMConfig):
@@ -172,23 +180,32 @@ def _alm_jit(state: ALMState, x_init, cfg: ALMConfig) -> ALMResult:
     inf = jnp.asarray(np.inf, dtype)
 
     def body(carry):
-        st, x, accuracy, i, _v, _pg, _val, inner = carry
+        st, x, accuracy, i, _v, _pg, _val, inner, trace = carry
         precision = jnp.minimum(accuracy, st.omega)
         st2, res, viol, value = _iteration2(st, x, precision, i > 0, cfg)
         v = jnp.max(jnp.abs(viol))
         accuracy = jnp.minimum(accuracy, jnp.maximum(cfg.violation_tol, v))
         accuracy = jnp.where(v < cfg.violation_tol, cfg.violation_tol, accuracy)
-        return (st2, res.x, accuracy, i + 1, v, res.pg, value, inner + res.iterations)
+        if cfg.record_trace:
+            vals = (v, st.mu, res.pg, value)
+            trace = jax.tree.map(lambda a, t: a.at[i].set(t), trace, vals)
+        return (st2, res.x, accuracy, i + 1, v, res.pg, value,
+                inner + res.iterations, trace)
 
     def cond(carry):
-        _st, _x, _acc, i, v, pg, _val, _inner = carry
+        _st, _x, _acc, i, v, pg, _val, _inner, _trace = carry
         return ((v > cfg.violation_tol) | (pg > cfg.pg_tol)) & (i < cfg.max_outer)
 
-    st, x, _acc, iters, v, pg, value, inner = jax.lax.while_loop(
+    trace0 = (
+        (jnp.full(cfg.max_outer, np.nan, dtype),) * 4
+        if cfg.record_trace
+        else (jnp.zeros(0, dtype),) * 4
+    )
+    st, x, _acc, iters, v, pg, value, inner, trace = jax.lax.while_loop(
         cond,
         body,
         (state, x_init, inf, jnp.asarray(0, jnp.int32), inf, inf, inf,
-         jnp.asarray(0, jnp.int32)),
+         jnp.asarray(0, jnp.int32), trace0),
     )
     return ALMResult(
         x=x,
@@ -198,6 +215,10 @@ def _alm_jit(state: ALMState, x_init, cfg: ALMConfig) -> ALMResult:
         value=value,
         outer_iterations=iters,
         inner_iterations=inner,
+        trace={
+            "violation": trace[0], "mu": trace[1], "pg": trace[2],
+            "value": trace[3],
+        },
     )
 
 

@@ -61,6 +61,14 @@ class PDASConfig:
     repair_slack_cap: float = 1e4  # slack cap in repair/recenter (:273,354)
     max_iters: int = 300
     refine_steps: int = 1
+    # Singular-retry diagonal floor, relative to max(diag N): when an f32
+    # Cholesky of the normal matrix fails near convergence, refactor once
+    # with N + dbound*max(diag)*I (refinement still targets the exact
+    # operator).  The dense rendering of CHOLMOD's dbound knob, which the
+    # reference binds (wrapper.c dbound accessor; the reference's own
+    # behavior on a singular factor is to stop, affine-scaling.lisp:178).
+    # 0 disables (exact reference semantics).
+    dbound: float = 1e-6
     # Record per-iteration (gap, pobj, step) into result.extra["trace"] —
     # the TPU rendering of the reference's per-iteration stdout lines
     # (one-pdas-iteration :336-338, :376).
@@ -235,7 +243,8 @@ def _repair(state: PDASState, cfg: PDASConfig, engine=None, mesh=None):
     residual = lp.b - lp.A @ x
     boost = (~lp.row_mask).astype(lp.A.dtype)
     yv, ok = _solve_normal_backend(
-        engine, lp.A, slack, residual, boost, cfg.refine_steps, mesh
+        engine, lp.A, slack, residual, boost, cfg.refine_steps, mesh,
+        cfg.dbound,
     )
     dg = jnp.where(lp.col_mask, (lp.A * slack[None, :]).T @ yv, 0.0)
     g = dg * slack
@@ -264,7 +273,8 @@ def _recenter(state: PDASState, cfg: PDASConfig, engine=None, mesh=None):
     AD = lp.A * slack[None, :]
     boost = (~lp.row_mask).astype(lp.A.dtype)
     proj, ok = _solve_normal_backend(
-        engine, lp.A, slack, AD @ sc, boost, cfg.refine_steps, mesh
+        engine, lp.A, slack, AD @ sc, boost, cfg.refine_steps, mesh,
+        cfg.dbound,
     )
     dx = jnp.where(lp.col_mask, sc - AD.T @ proj, 0.0) * slack
     step = 0.5 * _max_step(lp.l, x, lp.u, dx, lp.col_mask)
@@ -296,7 +306,8 @@ def pdas(
     return _pdas_jit(state, cfg, engine, mesh)
 
 
-def _solve_normal_backend(engine, A, d, g, row_boost, refine_steps, mesh=None):
+def _solve_normal_backend(engine, A, d, g, row_boost, refine_steps, mesh=None,
+                          dbound=0.0):
     if mesh is not None:
         from cholesky_is_magic_tpu.parallel.sharded import sharded_solve_normal
 
@@ -305,7 +316,8 @@ def _solve_normal_backend(engine, A, d, g, row_boost, refine_steps, mesh=None):
         )
     if engine is None:
         return dense_ops.solve_normal(
-            A, d, g, row_boost=row_boost, refine_steps=refine_steps
+            A, d, g, row_boost=row_boost, refine_steps=refine_steps,
+            dbound=dbound,
         )
     return engine.solve_normal(
         A, d, g, row_boost=row_boost, refine_steps=refine_steps
@@ -324,13 +336,15 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
         gap = jnp.abs(pobj - dobj) / jnp.maximum(
             jnp.maximum(jnp.abs(pobj), jnp.abs(dobj)), 1.0
         )
-        primal_infeasible = jnp.max(jnp.abs(primal)) >= cfg.primal_feasible_tol
+        pviol = jnp.max(jnp.abs(primal))
+        primal_infeasible = pviol >= cfg.primal_feasible_tol
 
         def do_repair():
             new_x, ok = _repair(st, cfg, engine, mesh)
             return (
                 dataclasses.replace(st, x=new_x),
                 gap,
+                pviol,
                 jnp.asarray(np.inf, dtype=new_x.dtype),  # no Newton step taken
                 ok,
             )
@@ -340,6 +354,7 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
             return (
                 dataclasses.replace(st, x=new_x, w=w, z=z),
                 gap,
+                pviol,
                 jnp.asarray(np.inf, dtype=new_x.dtype),
                 ok,
             )
@@ -356,7 +371,8 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
                 )
             elif engine is None:
                 op = dense_kkt_operator(
-                    lp.A, row_boost=boost, refine_steps=cfg.refine_steps
+                    lp.A, row_boost=boost, refine_steps=cfg.refine_steps,
+                    dbound=cfg.dbound,
                 )
             else:
                 op = sparse_kkt_operator(
@@ -379,7 +395,7 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
                 y=st.y - t * d.dy,
                 z=st.z - t * d.dz,
             )
-            return new, gap, step, d.ok
+            return new, gap, pviol, step, d.ok
 
         return jax.lax.cond(
             primal_infeasible,
@@ -390,7 +406,7 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
     def body(carry):
         (st, i, repair_flag, prev_gap, bad_count, _status, trace,
          best_gap, best_st, since_best) = carry
-        new_st, gap, step, ok = one_iteration(st, repair_flag)
+        new_st, gap, pviol, step, ok = one_iteration(st, repair_flag)
         if cfg.record_trace or cfg.record_iterates:
             pobj_i = jnp.dot(st.x, lp.c)
             vals = (gap, pobj_i, step)
@@ -398,7 +414,10 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
                 vals = vals + (st.x,)
             trace = jax.tree.map(lambda a, v: a.at[i].set(v), trace, vals)
         # Best-iterate tracking: the gap of state `st` (pre-step) is `gap`.
-        improved = gap < best_gap
+        # Gated on primal feasibility — the duality gap of an infeasible
+        # iterate is meaningless (pobj is not attained), so an early
+        # infeasible iterate must never beat a feasible one.
+        improved = (gap < best_gap) & (pviol < cfg.primal_feasible_tol)
         best_st = jax.tree.map(
             lambda b, c: jnp.where(improved, c, b), best_st, st
         )

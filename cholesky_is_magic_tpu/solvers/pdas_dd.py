@@ -281,6 +281,7 @@ def _pdas_dd_jit(
 
     def one_iteration(st: PDASDDState):
         sl_dd, su_dd, sl, su, wu, zl, primal_dd, dual_dd = _dd_violation(st)
+        pviol = jnp.max(jnp.abs(primal_dd.to_working()))
         pobj_dd, dobj_dd = _dd_objectives(st, cfg.clamp)
         gap_dd = ddm.dd_sub(pobj_dd, dobj_dd)
         denom = jnp.maximum(
@@ -302,7 +303,7 @@ def _pdas_dd_jit(
             # which otherwise floors the direction accuracy near 1e-7.
             op = dense_kkt_operator(
                 lp.A, row_boost=boost, refine_steps=cfg.refine_steps,
-                true_residual=True,
+                true_residual=True, dbound=cfg.dbound,
             )
         else:
             from cholesky_is_magic_tpu.kkt.newton import sparse_kkt_operator
@@ -335,11 +336,11 @@ def _pdas_dd_jit(
             z=ddm.dd_sub(st.z, ddm.dd_mul(t_dd, dz_dd)),
             lp=lp,
         )
-        return new, gap, step_dd.to_working(), ok
+        return new, gap, pviol, step_dd.to_working(), ok
 
     def body(carry):
         st, i, _gap, best_gap, best_st, since_best, _status, trace = carry
-        new_st, gap, step, ok = one_iteration(st)
+        new_st, gap, pviol, step, ok = one_iteration(st)
         if cfg.record_trace or cfg.record_iterates:
             # Per-iteration trace, as the reference prints every solver
             # iteration (one-pdas-iteration :336-338, :376).
@@ -348,7 +349,9 @@ def _pdas_dd_jit(
             if cfg.record_iterates:
                 vals = vals + (st.x.hi, st.x.lo)
             trace = jax.tree.map(lambda a, v: a.at[i].set(v), trace, vals)
-        improved = gap < best_gap
+        # Feasibility-gated best tracking (see pdas.py: an infeasible
+        # iterate's duality gap is meaningless).
+        improved = (gap < best_gap) & (pviol < 1e-2)
         best_st = jax.tree.map(lambda b, c: jnp.where(improved, c, b), best_st, st)
         best_gap = jnp.where(improved, gap, best_gap)
         since_best = jnp.where(improved, 0, since_best + 1)

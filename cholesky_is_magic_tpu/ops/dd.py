@@ -209,16 +209,49 @@ def dd_dot(a: jax.Array, b: jax.Array) -> DD:
     return dd_sum(p, axis=-1)
 
 
-def dd_matvec(A: jax.Array, x: jax.Array) -> DD:
-    """Compensated A @ x: error-free elementwise products + tree dd-sum.
-
-    O(m*n) VPU work and 2*m*n transient floats — memory-bound but tiny next
-    to the O(m^3) factorization it guards.  This is the fp64-emulation
-    replacement for computing the IPM residual in double precision on the
-    host (the reference gets this for free from fp64 CHOLMOD).
-    """
+def _dd_matvec_xla(A: jax.Array, x: jax.Array) -> DD:
+    """XLA form of the compensated matvec: error-free elementwise products
+    + tree dd-sum (2*m*n transient floats through HBM)."""
     p = two_prod(A, x[None, :])
     return dd_sum(p, axis=-1)
+
+
+def dd_matvec(A: jax.Array, x: jax.Array) -> DD:
+    """Compensated A @ x: error-free products, eps^2-class total.
+
+    On TPU with f32 tileable operands this dispatches to the Pallas
+    streaming kernel (ops.dd_pallas: one pass over A with VMEM-resident
+    dd accumulators — measured 1.4-5.9x over the XLA form); elsewhere the
+    XLA tree-reduction form runs.  This is the fp64-emulation replacement
+    for computing the IPM residual in double precision on the host (the
+    reference gets this for free from fp64 CHOLMOD).
+    """
+    from cholesky_is_magic_tpu.ops import dd_pallas
+
+    tiles = dd_pallas._tiles(A, x)
+    if tiles is None:
+        return _dd_matvec_xla(A, x)
+    hi, lo = dd_pallas._dd_mv_partials(A, x, bm=tiles[0], bn=tiles[1])
+    return dd_sum(DD(hi, lo), axis=-1)
+
+
+def dd_rmatvec(A: jax.Array, x: jax.Array) -> DD:
+    """Compensated Aᵀ @ x, reading A in natural layout: the Pallas kernel
+    reduces over the sublane axis (no transpose copy) when supported."""
+    from cholesky_is_magic_tpu.ops import dd_pallas
+
+    tiles = dd_pallas._tiles(A, x)
+    if tiles is None:
+        return _dd_matvec_xla(A.T, x)
+    hi, lo = dd_pallas._dd_rmv_partials(A, x, bm=tiles[0], bn=tiles[1])
+    return dd_sum(DD(hi, lo), axis=0)
+
+
+def dd_rmatvec_dd(A: jax.Array, x: DD) -> DD:
+    """Compensated Aᵀ @ (x.hi + x.lo): dd rmatvec on the hi part plus a
+    working-precision product on the (already eps-small) lo part."""
+    main = dd_rmatvec(A, x.hi)
+    return dd_add_w(main, A.T @ x.lo)
 
 
 def dd_residual(b: jax.Array, A: jax.Array, x: jax.Array) -> jax.Array:

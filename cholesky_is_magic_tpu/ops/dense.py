@@ -129,7 +129,7 @@ def operator_residual(
     every normal-equations path reaches the same dd accuracy story the
     reference gets for free from fp64 CHOLMOD (sparse-cholesky.lisp:524-560).
     """
-    t = ddm.dd_matvec(AD.T, y)
+    t = ddm.dd_rmatvec(AD, y)
     u = ddm.dd_add(ddm.dd_matvec(AD, t.hi), ddm.dd_matvec(AD, t.lo))
     if row_boost is not None:
         u = ddm.dd_add_w(u, row_boost.astype(y.dtype) * y)

@@ -123,7 +123,7 @@ def _dd_violation(st: PDASDDState):
     ax = ddm.dd_matvec_dd(lp.A, st.x)
     primal_dd = ddm.dd_add_w(ax, -lp.b)
     # Dual residual Aᵀ y + z - w - c in dd.
-    aty = ddm.dd_matvec_dd(lp.A.T, st.y)
+    aty = ddm.dd_rmatvec_dd(lp.A, st.y)
     dual_dd = ddm.dd_add_w(
         ddm.dd_add(ddm.dd_add(aty, st.z), ddm.dd_neg(st.w)), -lp.c
     )
@@ -246,7 +246,7 @@ def _pdas_dd_jit(
         # Outer dd refinement: residual of the EXACT dd-beta system on the
         # recycled factor.  Corrects the f32 rounding of beta inside the
         # assembled N (the inner refinement cannot see it).
-        ty = ddm.dd_matvec(lp.A.T, dy1)
+        ty = ddm.dd_rmatvec(lp.A, dy1)
         u = ddm.dd_mul(beta_dd, ty)
         Mu = ddm.dd_add(
             ddm.dd_matvec(lp.A, u.hi), ddm.DD(lp.A @ u.lo, jnp.zeros_like(dy1))
@@ -256,7 +256,7 @@ def _pdas_dd_jit(
         dy2 = solve_fn(r)
         dy_dd = ddm.dd_add_w(ddm.DD(dy1, jnp.zeros_like(dy1)), dy2)
 
-        t_dd = ddm.dd_matvec_dd(lp.A.T, dy_dd)
+        t_dd = ddm.dd_rmatvec_dd(lp.A, dy_dd)
         dx_dd = ddm.dd_add(alpha_dd, ddm.dd_mul(beta_dd, t_dd))
         # dw = w + w·dx/su,  dz = z - z·dx/sl  (filtered: dw = w, dz = z).
         dw_dd = ddm.dd_where(

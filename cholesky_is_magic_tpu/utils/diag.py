@@ -34,12 +34,24 @@ def factor_report(plan) -> str:
         Factor: nnz: ...  flops: ...
     """
     aat_flops = 2.0 * plan.nnz_N  # one multiply-add per stored entry per rhs
-    return (
-        f"AA':    nnz: {plan.nnz_N:12.5g} flops: {aat_flops:12.5g}\n"
-        f"Factor: nnz: {plan.nnz_L:12.5g} flops: {plan.flops:12.5g}\n"
-        f"Tiles:  {plan.stats()['nonzero_tiles']}/{plan.stats()['total_tiles']} "
-        f"({plan.block}x{plan.block}), supernodes: {len(plan.snodes)}"
-    )
+    stats = plan.stats()
+    lines = [
+        f"AA':    nnz: {plan.nnz_N:12.5g} flops: {aat_flops:12.5g}",
+        f"Factor: nnz: {plan.nnz_L:12.5g} flops: {plan.flops:12.5g}",
+        f"Tiles:  {stats['nonzero_tiles']}/{stats['total_tiles']} "
+        f"({plan.block}x{plan.block}), supernodes: {len(plan.snodes)}",
+    ]
+    if "aligned_tiles" in stats:
+        # Supernode-aligned (slot-grid) residency: tile residency is
+        # etree-exact (no closure), so this IS the engine's working set.
+        dense_elems = plan.nnz_L if plan.nnz_L else 1
+        lines.append(
+            f"Aligned: {stats['aligned_tiles']} tiles over "
+            f"{stats['aligned_panels']} panels "
+            f"({stats['aligned_tiles'] * plan.block * plan.block / dense_elems:.2f}x "
+            f"the elementwise nnz_L)"
+        )
+    return "\n".join(lines)
 
 
 def checked_solve_kkt_newton(sl, su, w, z, op, e, f, g, h, tol: float = 1e-4):

@@ -86,6 +86,35 @@ class SparseLP:
     n: int
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["E", "ET", "c", "b", "l", "u", "row_mask", "col_mask"],
+    meta_fields=["m", "n"],
+)
+@dataclasses.dataclass(frozen=True)
+class SparseKKTLP:
+    """Fully sparse operand set for the interior-point (KKT) solvers.
+
+    The at-scale twin of DeviceLP: A lives as ELL pairs (E = A, ET = Aᵀ)
+    so no dense (m, n) operand ever exists on device — at m = 16k the
+    dense A alone is 2 GB.  No padding is needed (ELL shapes are already
+    static; the tile engine pads rows internally with boosted gap slots),
+    so the masks are all-true and exist only for code shared with the
+    padded dense path.
+    """
+
+    E: object  # ops.sparse_ops.ELLMatrix, (m, n)
+    ET: object  # ELLMatrix of Aᵀ, (n, m)
+    c: jax.Array  # (n,)
+    b: jax.Array  # (m,)
+    l: jax.Array  # (n,)
+    u: jax.Array  # (n,)
+    row_mask: jax.Array  # (m,) bool, all True
+    col_mask: jax.Array  # (n,) bool, all True
+    m: int
+    n: int
+
+
 def to_sparse_lp(sf: StandardForm, *, dtype=jnp.float32, big: float = 1e30) -> SparseLP:
     """StandardForm -> ELL-backed sparse operands (no padding)."""
     from cholesky_is_magic_tpu.ops import sparse_ops

@@ -129,6 +129,35 @@ def sparse_kkt_operator(
     )
 
 
+def ell_kkt_operator(
+    lp,
+    engine,
+    row_boost: Optional[jax.Array] = None,
+    refine_steps: int = 0,
+) -> KKTOperator:
+    """Fully sparse operator: ELL SpMVs (ops.sparse_ops — the
+    cholmod_sdmult analogue) + the tile engine's pair-schedule assembly
+    and factorization (engine_for_sparse).  No dense A operand anywhere —
+    the at-scale backend (``lp`` is an ingest.device.SparseKKTLP)."""
+    from cholesky_is_magic_tpu.ops import sparse_ops
+
+    def prepare_scaled_normal(s):
+        return engine.prepare_normal_ell(
+            lp.E, lp.ET, s, lp.m, row_boost=row_boost, refine_steps=refine_steps
+        )
+
+    def solve_scaled_normal(s, g):
+        solve_fn, ok = prepare_scaled_normal(s)
+        return solve_fn(g), ok
+
+    return KKTOperator(
+        mv=lambda v: sparse_ops.matvec(lp.E, v),
+        rmv=lambda v: sparse_ops.matvec(lp.ET, v),
+        solve_scaled_normal=solve_scaled_normal,
+        prepare_scaled_normal=prepare_scaled_normal,
+    )
+
+
 class KKTDeltas(NamedTuple):
     dw: jax.Array
     dx: jax.Array

@@ -118,6 +118,25 @@ def sdmult(
     return out
 
 
+def dd_matvec(E: ELLMatrix, x: jax.Array):
+    """A @ x in double-word: error-free slot products + compensated lane
+    reduction (the ELL twin of ops.dd.dd_matvec — the ELL layout makes
+    the row reduction a plain axis sum, so the dd tree applies directly).
+    Padded slots hold exact zeros and stay inert through two_prod."""
+    from cholesky_is_magic_tpu.ops import dd as ddm
+
+    p = ddm.two_prod(E.values, x[E.indices])
+    return ddm.dd_sum(p, axis=1)
+
+
+def dd_matvec_dd(E: ELLMatrix, x):
+    """A @ (x.hi + x.lo) in double-word (x a DD pair)."""
+    from cholesky_is_magic_tpu.ops import dd as ddm
+
+    main = dd_matvec(E, x.hi)
+    return ddm.dd_add_w(main, matvec(E, x.lo))
+
+
 def to_dense(E: ELLMatrix) -> jax.Array:
     m, k = E.indices.shape
     out = jnp.zeros((m, E.n_cols), dtype=E.values.dtype)

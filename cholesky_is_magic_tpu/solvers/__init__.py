@@ -21,8 +21,18 @@ from cholesky_is_magic_tpu.solvers.approx import (
     approx,
 )
 from cholesky_is_magic_tpu.solvers.alm import ALMConfig, ALMState, make_alm, alm, aalm
+from cholesky_is_magic_tpu.solvers.pdas_dd import (
+    PDASDDState,
+    make_pdas_dd,
+    make_pdas_dd_sparse,
+    pdas_dd,
+)
 
 __all__ = [
+    "PDASDDState",
+    "make_pdas_dd",
+    "make_pdas_dd_sparse",
+    "pdas_dd",
     "SolveResult",
     "Status",
     "AffineConfig",

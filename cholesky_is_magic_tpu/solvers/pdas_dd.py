@@ -91,6 +91,111 @@ def make_pdas_dd(
     )
 
 
+def make_pdas_dd_sparse(
+    sf,
+    block: int = 128,
+    config: Optional[PDASConfig] = None,
+    dtype=None,
+    snode_align: bool = True,
+):
+    """StandardForm -> (state over a fully sparse SparseKKTLP, engine).
+
+    The at-scale construction: host-side row equilibration
+    (scale-constraints, primal-dual-affine-scaling.lisp:50-73) and
+    make-pdas initialization (:75-133) on the raw arrays, ELL operands
+    for A and Aᵀ, and a pair-schedule tile engine (engine_for_sparse) —
+    no dense (m, n) operand is ever materialized, so memory follows
+    nnz(A) + nnz(L) tiles.  Returns (PDASDDState, TiledCholesky); pass
+    the engine to pdas_dd(..., engine=...).
+    """
+    import scipy.sparse as sp
+
+    from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
+    from cholesky_is_magic_tpu.ingest.standard_form import scale_constraints
+    from cholesky_is_magic_tpu.ops import sparse_ops
+    from cholesky_is_magic_tpu.sparse.tiled import engine_for_sparse
+
+    if dtype is None:
+        dtype = jnp.float32
+    cfg = config or PDASConfig()
+    m, n = sf.ncons, sf.nvars
+    vals, b = scale_constraints(sf.a_rows, sf.a_vals, sf.b)
+    A = sp.csc_matrix((vals, (sf.a_rows, sf.a_cols)), shape=(m, n))
+    engine = engine_for_sparse(A, block=block, snode_align=snode_align, dtype=dtype)
+    E = sparse_ops.from_coo(sf.a_rows, sf.a_cols, vals, (m, n), dtype=dtype)
+    ET = sparse_ops.from_coo(sf.a_cols, sf.a_rows, vals, (n, m), dtype=dtype)
+
+    # Clamp/widen + primal/dual init, identical to make_pdas (:75-133),
+    # computed host-side in f64 before the dtype cast.
+    big = 1e30
+    raw_l = np.clip(np.asarray(sf.l, np.float64), -big, big)
+    raw_u = np.clip(np.asarray(sf.u, np.float64), -big, big)
+    l = np.clip(raw_l, -cfg.clamp, cfg.clamp)
+    u = np.clip(raw_u, -cfg.clamp, cfg.clamp)
+    degenerate = (u - l) < 1e-6
+    l = np.where(degenerate, l - 5e-7, l)
+    u = np.where(degenerate, u + 5e7, u)
+    delta = raw_u - raw_l
+    x = np.where(
+        (raw_l < -1e10) & (raw_u > 1e10),
+        0.0,
+        np.where(
+            raw_l < -1e6,
+            raw_u - np.minimum(delta / 2, 1.0 + 0.1 * np.abs(raw_u)),
+            np.where(
+                raw_u > 1e6,
+                raw_l + np.minimum(delta / 2, 1.0 + 0.1 * np.abs(raw_l)),
+                (raw_l + raw_u) / 2,
+            ),
+        ),
+    )
+    c = np.asarray(sf.c, np.float64)
+    z = np.where(c > 0, 1.0 + c, 1.0)
+    w = np.where(c < 0, 1.0 - c, 1.0)
+
+    lp = SparseKKTLP(
+        E=E,
+        ET=ET,
+        c=jnp.asarray(c, dtype),
+        b=jnp.asarray(b, dtype),
+        l=jnp.asarray(l, dtype),
+        u=jnp.asarray(u, dtype),
+        row_mask=jnp.ones(m, bool),
+        col_mask=jnp.ones(n, bool),
+        m=m,
+        n=n,
+    )
+    st = PDASDDState(
+        x=ddm.dd_from(jnp.asarray(x, dtype)),
+        y=ddm.dd_from(jnp.zeros(m, dtype)),
+        w=ddm.dd_from(jnp.asarray(w, dtype)),
+        z=ddm.dd_from(jnp.asarray(z, dtype)),
+        lp=lp,
+    )
+    return st, engine
+
+
+def _linops(lp):
+    """The three double-word A-products the loop needs, dispatched on the
+    operand set: dense (DeviceLP.A, ops.dd incl. the Pallas kernels) or
+    fully sparse (SparseKKTLP's ELL pair, ops.sparse_ops)."""
+    from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
+
+    if isinstance(lp, SparseKKTLP):
+        from cholesky_is_magic_tpu.ops import sparse_ops as so
+
+        return (
+            lambda x_dd: so.dd_matvec_dd(lp.E, x_dd),   # A @ (dd)
+            lambda y_dd: so.dd_matvec_dd(lp.ET, y_dd),  # Aᵀ @ (dd)
+            lambda v: so.dd_matvec(lp.ET, v),           # Aᵀ @ f32 -> dd
+        )
+    return (
+        lambda x_dd: ddm.dd_matvec_dd(lp.A, x_dd),
+        lambda y_dd: ddm.dd_rmatvec_dd(lp.A, y_dd),
+        lambda v: ddm.dd_rmatvec(lp.A, v),
+    )
+
+
 def _dd_violation(st: PDASDDState):
     """The PDAS violation vector (:135-150) evaluated in double-word.
 
@@ -120,10 +225,11 @@ def _dd_violation(st: PDASDDState):
     wu = jnp.where(mask, ddm.dd_mul(st.w, su_dd).to_working(), 0.0)
     zl = jnp.where(mask, ddm.dd_mul(st.z, sl_dd).to_working(), 0.0)
     # Primal residual A x - b in dd (the cancellation-critical one).
-    ax = ddm.dd_matvec_dd(lp.A, st.x)
+    mv_dd, rmv_dd, _ = _linops(lp)
+    ax = mv_dd(st.x)
     primal_dd = ddm.dd_add_w(ax, -lp.b)
     # Dual residual Aᵀ y + z - w - c in dd.
-    aty = ddm.dd_rmatvec_dd(lp.A, st.y)
+    aty = rmv_dd(st.y)
     dual_dd = ddm.dd_add_w(
         ddm.dd_add(ddm.dd_add(aty, st.z), ddm.dd_neg(st.w)), -lp.c
     )
@@ -230,13 +336,11 @@ def _pdas_dd_jit(
         one = ddm.DD(jnp.ones_like(sl), zero)
         beta_dd = ddm.dd_div(one, denom)
 
+        mv_dd, rmv_dd, rmv32 = _linops(lp)
         alpha_dd = ddm.dd_mul(
             ddm.dd_add(ddm.dd_neg(h_dd), ddm.dd_sub(st.z, st.w)), beta_dd
         )
-        Aalpha = ddm.dd_add(
-            ddm.dd_matvec(lp.A, alpha_dd.hi),
-            ddm.DD(lp.A @ alpha_dd.lo, jnp.zeros_like(g_dd.hi)),
-        )
+        Aalpha = mv_dd(alpha_dd)
         rhs_dd = ddm.dd_sub(g_dd, Aalpha)
 
         boost = (~lp.row_mask).astype(jnp.float32)
@@ -246,17 +350,15 @@ def _pdas_dd_jit(
         # Outer dd refinement: residual of the EXACT dd-beta system on the
         # recycled factor.  Corrects the f32 rounding of beta inside the
         # assembled N (the inner refinement cannot see it).
-        ty = ddm.dd_rmatvec(lp.A, dy1)
+        ty = rmv32(dy1)
         u = ddm.dd_mul(beta_dd, ty)
-        Mu = ddm.dd_add(
-            ddm.dd_matvec(lp.A, u.hi), ddm.DD(lp.A @ u.lo, jnp.zeros_like(dy1))
-        )
+        Mu = mv_dd(u)
         Mu = ddm.dd_add_w(Mu, boost * dy1)
         r = ddm.dd_sub(rhs_dd, Mu).to_working()
         dy2 = solve_fn(r)
         dy_dd = ddm.dd_add_w(ddm.DD(dy1, jnp.zeros_like(dy1)), dy2)
 
-        t_dd = ddm.dd_rmatvec_dd(lp.A, dy_dd)
+        t_dd = rmv_dd(dy_dd)
         dx_dd = ddm.dd_add(alpha_dd, ddm.dd_mul(beta_dd, t_dd))
         # dw = w + w·dx/su,  dz = z - z·dx/sl  (filtered: dw = w, dz = z).
         dw_dd = ddm.dd_where(
@@ -291,7 +393,15 @@ def _pdas_dd_jit(
         gap = jnp.abs(gap_dd.to_working()) / denom
 
         boost = (~lp.row_mask).astype(jnp.float32)
-        if mesh is not None:
+        from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
+
+        if isinstance(lp, SparseKKTLP):
+            from cholesky_is_magic_tpu.kkt.newton import ell_kkt_operator
+
+            op = ell_kkt_operator(
+                lp, engine, row_boost=boost, refine_steps=cfg.refine_steps
+            )
+        elif mesh is not None:
             from cholesky_is_magic_tpu.parallel.sharded import sharded_kkt_operator
 
             op = sharded_kkt_operator(

@@ -79,6 +79,27 @@ def _pad2(lists, fill):
     return out
 
 
+def engine_for_sparse(
+    A_host, block: int = 128, snode_align: bool = True, dtype=None
+) -> "TiledCholesky":
+    """Analyze-once engine with the O(nnz) ELL assembly schedule attached:
+    the fully sparse at-scale entry point — no dense A operand anywhere
+    (at m = 16k the dense (m, 2m) A alone is 2 GB; the ELL pipeline's
+    operands follow nnz).  ``A_host`` is any scipy-sparse/array convertible
+    to CSC.  Use with solve_normal_ell / ops.sparse_ops ELL products.
+    """
+    import scipy.sparse as sp
+
+    import jax.numpy as _jnp
+
+    A_csc = sp.csc_matrix(A_host)
+    from cholesky_is_magic_tpu.sparse.symbolic import analyze
+
+    eng = TiledCholesky(analyze(A_csc, block=block), snode_align=snode_align)
+    eng.build_ell_assembly(A_csc, dtype=dtype or _jnp.float32)
+    return eng
+
+
 def engine_for(A, block: int = 128, snode_align: bool = True) -> "TiledCholesky":
     """Build a TiledCholesky for a (possibly padded) device/host matrix —
     the analyze-once entry point solvers hand to pdas(..., engine=...).
@@ -380,6 +401,130 @@ class TiledCholesky:
 
         z = jax.lax.fori_loop(0, B, bwd, jnp.zeros((B + 1, b), dtype))
         return z[:B].reshape(B * b)
+
+    # ---- ELL (fully sparse) path ----------------------------------------
+
+    def build_ell_assembly(self, A_host, dtype=None):
+        """Host-side pair schedule for O(nnz) assembly (assemble_pairs).
+
+        N = (A·D)(A·D)ᵀ expands as N[p, q] = Σ_k A[p,k]·A[q,k]·d_k²: for
+        every column k and every row pair (p, q) sharing it, emit
+        (weight = A[p,k]·A[q,k], k, flat destination in the compact tile
+        array), sorted by destination for a sorted segment-sum on device.
+        Pair count is Σ_k nnz_k(nnz_k+1)/2 — O(nnz·avg column count), the
+        same work CHOLMOD's cholmod_aat does once per pattern.  Every pair
+        lands in a resident tile (the mask contains tril(N) by
+        construction)."""
+        import scipy.sparse as sp
+
+        if dtype is None:
+            dtype = jnp.float32
+        A_csc = sp.csc_matrix(A_host)
+        A_csc.sort_indices()
+        b, B = self.b, self.B
+        n_pad = B * b
+        pperm = np.asarray(self.pperm)
+        slot_of = np.empty(n_pad, np.int64)
+        slot_of[pperm] = np.arange(n_pad)
+        tilemap = np.full((B, B), -1, np.int64)
+        for t, (i, j) in enumerate(self.tiles):
+            tilemap[i, j] = t
+        ws, ks, dst = [], [], []
+        for k in range(A_csc.shape[1]):
+            lo, hi = A_csc.indptr[k], A_csc.indptr[k + 1]
+            rows = A_csc.indices[lo:hi]
+            vals = A_csc.data[lo:hi]
+            slots = slot_of[rows]
+            for a in range(len(rows)):
+                for c in range(a + 1):
+                    sa, sc = int(slots[a]), int(slots[c])
+                    shi, slo_ = (sa, sc) if sa >= sc else (sc, sa)
+                    t = tilemap[shi // b, slo_ // b]
+                    assert t >= 0, "N entry outside the resident tile set"
+                    w = vals[a] * vals[c]
+                    ws.append(w)
+                    ks.append(k)
+                    dst.append(t * b * b + (shi % b) * b + (slo_ % b))
+                    if shi != slo_ and shi // b == slo_ // b:
+                        # jnp.linalg.cholesky reads the FULL tile: mirror
+                        # off-diagonal elements inside diagonal tiles.
+                        ws.append(w)
+                        ks.append(k)
+                        dst.append(t * b * b + (slo_ % b) * b + (shi % b))
+        ws = np.asarray(ws, np.float64)
+        ks = np.asarray(ks, np.int32)
+        dst = np.asarray(dst, np.int64)
+        order = np.argsort(dst, kind="stable")
+        self.asm_w = jnp.asarray(ws[order], dtype)
+        self.asm_k = jnp.asarray(ks[order])
+        self.asm_dst_flat = jnp.asarray(dst[order], jnp.int32)
+        self.n_pairs = len(ws)
+
+    def assemble_pairs(self, d, row_boost=None):
+        """Resident tiles of P(A·D)(A·D)ᵀPᵀ from the pair schedule: one
+        gather of d², one multiply, one SORTED segment-sum — O(nnz·colcount)
+        total, no matmuls, no dense A."""
+        b = self.b
+        n_pad = self.B * b
+        dt = self.asm_w.dtype
+        d2 = (d * d).astype(dt)
+        vals = self.asm_w * d2[self.asm_k]
+        flat = jax.ops.segment_sum(
+            vals,
+            self.asm_dst_flat,
+            num_segments=(self.NT + 1) * b * b,
+            indices_are_sorted=True,
+        )
+        tiles = flat.reshape(self.NT + 1, b, b).at[self.NT].set(0.0)
+        # Boosted unit diagonal on padded/gap slots (and caller's rows).
+        if row_boost is None:
+            row_boost = jnp.zeros(0, dt)
+        m = row_boost.shape[0]
+        rb = jnp.pad(row_boost.astype(dt), (0, n_pad - m), constant_values=1.0)
+        boost_p = rb[self.pperm].reshape(self.B, b)
+        eye = jnp.eye(b, dtype=dt)
+        return tiles.at[self.diag_ids].add(eye[None] * boost_p[:, :, None])
+
+    def prepare_normal_ell(self, E, ET, d, m, row_boost=None, refine_steps=0):
+        """Factor-once / solve-many for the fully sparse path: pair-schedule
+        assembly + planned tile factorization; each solve_fn(g) adds ELL
+        double-word refinement.  ``E``/``ET`` are the ELLMatrix forms of A
+        and Aᵀ (ops.sparse_ops); requires build_ell_assembly
+        (engine_for_sparse).  ``m`` is the row count (g length)."""
+        from cholesky_is_magic_tpu.ops import dd as ddm
+        from cholesky_is_magic_tpu.ops import sparse_ops
+
+        n_pad = self.B * self.b
+        boost = row_boost if row_boost is not None else jnp.zeros(m, d.dtype)
+        tiles = self.assemble_pairs(d, boost)
+        L, invd, ok = self.factorize(tiles)
+        d2 = ddm.two_prod(d, d) if refine_steps else None
+
+        def raw_solve(r):
+            rp = jnp.pad(r, (0, n_pad - m))[self.pperm]
+            yp = self.solve(L, invd, rp)
+            return jnp.zeros_like(yp).at[self.pperm].set(yp)[:m]
+
+        def solve_fn(g):
+            y = raw_solve(g)
+            for _ in range(refine_steps):
+                t = sparse_ops.dd_matvec(ET, y)  # Aᵀ y
+                u = ddm.dd_mul(t, d2)  # d² ∘ Aᵀ y
+                v = sparse_ops.dd_matvec_dd(E, u)  # A (d² Aᵀ y)
+                v = ddm.dd_add_w(v, boost * y)
+                r = ddm.dd_add_w(ddm.dd_neg(v), g).to_working()
+                y = y + raw_solve(r)
+            return jnp.where(ok, y, jnp.zeros_like(y))
+
+        return solve_fn, ok
+
+    def solve_normal_ell(self, E, ET, d, g, row_boost=None, refine_steps=0):
+        """(A·D)(A·D)ᵀ y = g entirely from sparse operands (see
+        prepare_normal_ell)."""
+        solve_fn, ok = self.prepare_normal_ell(
+            E, ET, d, g.shape[0], row_boost=row_boost, refine_steps=refine_steps
+        )
+        return solve_fn(g), ok
 
     def prepare_normal(self, A, d, row_boost=None, refine_steps=0):
         """Assemble + factor once; return (solve_fn, ok) — the engine's

@@ -1,0 +1,92 @@
+"""The fully sparse at-scale pipeline: SparseKKTLP + ELL products +
+pair-schedule tile engine, end-to-end through pdas_dd.
+
+No dense (m, n) operand exists anywhere on this path — the memory story
+for production scales (dense A alone is 2 GB at m = 16k)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cholesky_is_magic_tpu as cim
+from cholesky_is_magic_tpu.ingest import to_device_lp
+from cholesky_is_magic_tpu.ingest.mps import read_mps_string
+from cholesky_is_magic_tpu.solvers import PDASConfig
+from cholesky_is_magic_tpu.solvers.pdas_dd import (
+    make_pdas_dd,
+    make_pdas_dd_sparse,
+    pdas_dd,
+)
+from cholesky_is_magic_tpu.utils.testing import (
+    random_lp,
+    scipy_reference_solution,
+    write_mps,
+)
+
+
+def problem(seed=2):
+    ineq = random_lp(seed, n_ub=24, n_eq=6, n=32, bounded=True)
+    _, fun, _ = scipy_reference_solution(ineq)
+    sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+    return sf, fun
+
+
+@pytest.mark.parametrize("seed", [2, 4])
+def test_sparse_pdas_dd_tight_gap(seed):
+    """Fully sparse pdas_dd reaches the same tight gaps as the dense path."""
+    sf, fun = problem(seed)
+    st, eng = make_pdas_dd_sparse(sf, block=16, dtype=jnp.float32)
+    cfg = PDASConfig(max_iters=300, gap_tol=1e-8, refine_steps=2)
+    res = pdas_dd(st, cfg, engine=eng)
+    assert float(res.extra["gap"]) < 1e-7
+    assert float(res.objective) == pytest.approx(fun, rel=1e-4, abs=1e-4)
+
+
+def test_sparse_matches_dense_path():
+    """Same LP through SparseKKTLP and the padded-dense DeviceLP: both
+    reach the optimum; iterates agree to f32-trajectory tolerance."""
+    sf, fun = problem(6)
+    st_s, eng = make_pdas_dd_sparse(sf, block=16, dtype=jnp.float32)
+    cfg = PDASConfig(max_iters=300, gap_tol=1e-8, refine_steps=2)
+    r_sparse = pdas_dd(st_s, cfg, engine=eng)
+    lp32 = to_device_lp(sf, pad_multiple=16, dtype=jnp.float32)
+    r_dense = pdas_dd(make_pdas_dd(lp32), cfg)
+    assert float(r_sparse.objective) == pytest.approx(
+        float(r_dense.objective), rel=1e-5, abs=1e-5
+    )
+    n = sf.nvars
+    np.testing.assert_allclose(
+        np.asarray(r_sparse.x), np.asarray(r_dense.x)[:n], rtol=1e-3, atol=1e-4
+    )
+
+
+def test_sparse_pipeline_on_afiro():
+    """The real Netlib instance through the fully sparse path (two-phase:
+    a few dense-pdas warm iterations for feasibility, then sparse dd)."""
+    import os
+
+    from cholesky_is_magic_tpu.ops import dd as ddm
+    from cholesky_is_magic_tpu.solvers import make_pdas, pdas
+    from cholesky_is_magic_tpu.solvers.pdas_dd import PDASDDState
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    sf = cim.to_standard_form(cim.read_mps_file(os.path.join(fixtures, "afiro.mps")))
+    st_s, eng = make_pdas_dd_sparse(sf, block=16, dtype=jnp.float32)
+    # Warm from the dense robust phase (repair/recenter), then finish
+    # sparse.  NOTE the warm iterates come from the equilibrated dense lp;
+    # both paths use the same scale-constraints equilibration.
+    lp32 = to_device_lp(sf, pad_multiple=16, dtype=jnp.float32)
+    phase1 = pdas(make_pdas(lp32), PDASConfig(max_iters=300, refine_steps=2))
+    n, m = sf.nvars, sf.ncons
+    to_dd = lambda v: ddm.dd_from(jnp.asarray(np.asarray(v), jnp.float32))
+    st_warm = PDASDDState(
+        x=to_dd(np.asarray(phase1.x)[:n]),
+        y=to_dd(np.asarray(phase1.extra["y"])[:m]),
+        w=to_dd(np.maximum(np.asarray(phase1.extra["w"])[:n], 1e-8)),
+        z=to_dd(np.maximum(np.asarray(phase1.extra["z"])[:n], 1e-8)),
+        lp=st_s.lp,
+    )
+    res = pdas_dd(st_warm, PDASConfig(max_iters=300, gap_tol=1e-9, refine_steps=2),
+                  engine=eng)
+    assert float(res.extra["gap"]) < 1e-8
+    assert float(res.objective) == pytest.approx(-464.75314285714285, rel=1e-6)

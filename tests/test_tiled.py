@@ -196,6 +196,95 @@ def test_refinement_recovers_f32_accuracy():
     assert err2 < err0 / 10  # refinement genuinely helps
 
 
+class TestELLPath:
+    """The fully sparse pipeline: pair-schedule assembly + ELL solve."""
+
+    def _problem(self, seed=9, m=72, n=120, density=0.12):
+        rng = np.random.default_rng(seed)
+        A = (rng.random((m, n)) < density) * rng.normal(size=(m, n))
+        A[np.arange(m), np.arange(m)] += 2.0
+        d = rng.random(n) + 0.5
+        g = rng.normal(size=m)
+        return A, d, g
+
+    def test_assemble_pairs_matches_dense(self):
+        from cholesky_is_magic_tpu.sparse.tiled import engine_for_sparse
+
+        A, d, g = self._problem()
+        eng = engine_for_sparse(A, block=16, dtype=jnp.float64)
+        t_pairs = eng.assemble_pairs(jnp.asarray(d), jnp.zeros(A.shape[0]))
+        t_dense = eng.assemble(jnp.asarray(A), jnp.asarray(d), jnp.zeros(A.shape[0]))
+        np.testing.assert_allclose(
+            np.asarray(t_pairs), np.asarray(t_dense), rtol=1e-12, atol=1e-13
+        )
+
+    def test_solve_normal_ell_matches_dense(self):
+        from cholesky_is_magic_tpu.ops import sparse_ops
+        from cholesky_is_magic_tpu.ops.dense import solve_normal
+        from cholesky_is_magic_tpu.sparse.tiled import engine_for_sparse
+
+        A, d, g = self._problem(seed=10)
+        eng = engine_for_sparse(A, block=16, dtype=jnp.float64)
+        E = sparse_ops.from_dense(A, dtype=jnp.float64)
+        ET = sparse_ops.from_dense(A.T, dtype=jnp.float64)
+        y, ok = eng.solve_normal_ell(E, ET, jnp.asarray(d), jnp.asarray(g))
+        y_ref, _ = solve_normal(jnp.asarray(A), jnp.asarray(d), jnp.asarray(g),
+                                refine_steps=0)
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-9, atol=1e-10)
+
+    def test_ell_refinement_recovers_f32(self):
+        from cholesky_is_magic_tpu.ops import sparse_ops
+        from cholesky_is_magic_tpu.ops.dense import solve_normal
+        from cholesky_is_magic_tpu.sparse.tiled import engine_for_sparse
+
+        A, _, g = self._problem(seed=11)
+        rng = np.random.default_rng(3)
+        d = 10.0 ** rng.uniform(-1.5, 1.5, size=A.shape[1])
+        y_ref, _ = solve_normal(jnp.asarray(A), jnp.asarray(d), jnp.asarray(g),
+                                refine_steps=2)  # f64 oracle on CPU tests
+        eng = engine_for_sparse(A, block=16, dtype=jnp.float32)
+        E = sparse_ops.from_dense(A, dtype=jnp.float32)
+        ET = sparse_ops.from_dense(A.T, dtype=jnp.float32)
+        a32 = lambda v: jnp.asarray(v, jnp.float32)
+        y0, ok0 = eng.solve_normal_ell(E, ET, a32(d), a32(g), refine_steps=0)
+        y2, ok2 = eng.solve_normal_ell(E, ET, a32(d), a32(g), refine_steps=2)
+        assert bool(ok0) and bool(ok2)
+        scale = np.abs(np.asarray(y_ref)).max()
+        err0 = np.abs(np.asarray(y0, np.float64) - np.asarray(y_ref)).max()
+        err2 = np.abs(np.asarray(y2, np.float64) - np.asarray(y_ref)).max()
+        assert err2 < 1e-5 * scale
+        assert err2 < err0 / 10
+
+    def test_padded_rows_inert_in_ell_path(self):
+        """Rows beyond the true count (boost=1) and gap slots stay exact."""
+        from cholesky_is_magic_tpu.ops import sparse_ops
+        from cholesky_is_magic_tpu.ops.dense import solve_normal
+        from cholesky_is_magic_tpu.sparse.tiled import engine_for_sparse
+
+        A, d, g = self._problem(seed=12, m=60)
+        M = 72  # padded row count: 12 zero rows with boost
+        Ap = np.zeros((M, A.shape[1]))
+        Ap[:60] = A
+        gp = np.concatenate([g, np.zeros(M - 60)])
+        boost = np.concatenate([np.zeros(60), np.ones(M - 60)])
+        eng = engine_for_sparse(Ap, block=16, dtype=jnp.float64)
+        E = sparse_ops.from_dense(Ap, dtype=jnp.float64)
+        ET = sparse_ops.from_dense(Ap.T, dtype=jnp.float64)
+        y, ok = eng.solve_normal_ell(
+            E, ET, jnp.asarray(d), jnp.asarray(gp), row_boost=jnp.asarray(boost)
+        )
+        y_ref, _ = solve_normal(
+            jnp.asarray(Ap), jnp.asarray(d), jnp.asarray(gp),
+            row_boost=jnp.asarray(boost), refine_steps=0,
+        )
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-9, atol=1e-10)
+        np.testing.assert_array_equal(np.asarray(y)[60:], 0.0)
+
+
 def test_pdas_with_tiled_engine():
     """End-to-end PDAS through the tiled sparse backend == dense backend."""
     import cholesky_is_magic_tpu as cim

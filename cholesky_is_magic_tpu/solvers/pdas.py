@@ -164,6 +164,90 @@ def make_pdas(
     return PDASState(x=x, y=jnp.zeros_like(b), w=w, z=z, lp=new_lp)
 
 
+def make_pdas_sparse(
+    sf,
+    block: int = 128,
+    config: Optional[PDASConfig] = None,
+    dtype=None,
+    snode_align: bool = True,
+):
+    """StandardForm -> (PDASState over a fully sparse SparseKKTLP, engine).
+
+    The at-scale construction: host-side row equilibration
+    (scale-constraints, primal-dual-affine-scaling.lisp:50-73) and the
+    make-pdas initialization (:75-133) on the raw arrays, ELL operands for
+    A and Aᵀ, and a pair-schedule tile engine (sparse.tiled
+    engine_for_sparse) — no dense (m, n) operand is ever materialized.
+    Pass the returned engine to pdas(..., engine=...) /
+    pdas_dd(..., engine=...).
+    """
+    import scipy.sparse as sp
+
+    from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
+    from cholesky_is_magic_tpu.ingest.standard_form import scale_constraints
+    from cholesky_is_magic_tpu.ops import sparse_ops
+    from cholesky_is_magic_tpu.sparse.tiled import engine_for_sparse
+
+    if dtype is None:
+        dtype = jnp.float32
+    cfg = config or PDASConfig()
+    m, n = sf.ncons, sf.nvars
+    vals, b = scale_constraints(sf.a_rows, sf.a_vals, sf.b)
+    A = sp.csc_matrix((vals, (sf.a_rows, sf.a_cols)), shape=(m, n))
+    engine = engine_for_sparse(A, block=block, snode_align=snode_align, dtype=dtype)
+    E = sparse_ops.from_coo(sf.a_rows, sf.a_cols, vals, (m, n), dtype=dtype)
+    ET = sparse_ops.from_coo(sf.a_cols, sf.a_rows, vals, (n, m), dtype=dtype)
+
+    # Clamp/widen + primal/dual init, identical to make_pdas (:75-133),
+    # computed host-side in f64 before the dtype cast.
+    big = 1e30
+    raw_l = np.clip(np.asarray(sf.l, np.float64), -big, big)
+    raw_u = np.clip(np.asarray(sf.u, np.float64), -big, big)
+    l = np.clip(raw_l, -cfg.clamp, cfg.clamp)
+    u = np.clip(raw_u, -cfg.clamp, cfg.clamp)
+    degenerate = (u - l) < 1e-6
+    l = np.where(degenerate, l - 5e-7, l)
+    u = np.where(degenerate, u + 5e7, u)
+    delta = raw_u - raw_l
+    x = np.where(
+        (raw_l < -1e10) & (raw_u > 1e10),
+        0.0,
+        np.where(
+            raw_l < -1e6,
+            raw_u - np.minimum(delta / 2, 1.0 + 0.1 * np.abs(raw_u)),
+            np.where(
+                raw_u > 1e6,
+                raw_l + np.minimum(delta / 2, 1.0 + 0.1 * np.abs(raw_l)),
+                (raw_l + raw_u) / 2,
+            ),
+        ),
+    )
+    c = np.asarray(sf.c, np.float64)
+    z = np.where(c > 0, 1.0 + c, 1.0)
+    w = np.where(c < 0, 1.0 - c, 1.0)
+
+    lp = SparseKKTLP(
+        E=E,
+        ET=ET,
+        c=jnp.asarray(c, dtype),
+        b=jnp.asarray(b, dtype),
+        l=jnp.asarray(l, dtype),
+        u=jnp.asarray(u, dtype),
+        row_mask=jnp.ones(m, bool),
+        col_mask=jnp.ones(n, bool),
+        m=m,
+        n=n,
+    )
+    st = PDASState(
+        x=jnp.asarray(x, dtype),
+        y=jnp.zeros(m, dtype),
+        w=jnp.asarray(w, dtype),
+        z=jnp.asarray(z, dtype),
+        lp=lp,
+    )
+    return st, engine
+
+
 def _slack_floor(dtype) -> float:
     """Smallest slack the KKT scaling may see.  The reference *asserts*
     slacks positive (:323-324) and dies when rounding drives one to zero;
@@ -171,18 +255,38 @@ def _slack_floor(dtype) -> float:
     return 1e-14 if dtype == jnp.float64 else 1e-7
 
 
+def _mv_rmv(lp):
+    """(A@v, A^T@v) for the operand set: dense DeviceLP or the fully
+    sparse SparseKKTLP (ELL products)."""
+    from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
+
+    if isinstance(lp, SparseKKTLP):
+        from cholesky_is_magic_tpu.ops import sparse_ops as so
+
+        return (lambda v: so.matvec(lp.E, v), lambda v: so.matvec(lp.ET, v))
+    return (lambda v: lp.A @ v, lambda v: lp.A.T @ v)
+
+
+def _row_boost(lp):
+    from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
+
+    dt = lp.c.dtype if isinstance(lp, SparseKKTLP) else lp.A.dtype
+    return (~lp.row_mask).astype(dt)
+
+
 def _violation(state: PDASState):
     """Slacks, complementarities, primal and dual residuals (:135-150),
     masked so padded entries are inert (sl = su = 1, rest 0)."""
     lp = state.lp
+    mv, rmv = _mv_rmv(lp)
     mask = lp.col_mask
     floor = _slack_floor(state.x.dtype)
     sl = jnp.where(mask, jnp.maximum(state.x - lp.l, floor), 1.0)
     su = jnp.where(mask, jnp.maximum(lp.u - state.x, floor), 1.0)
     wu = jnp.where(mask, state.w * su, 0.0)
     zl = jnp.where(mask, state.z * sl, 0.0)
-    primal = lp.A @ state.x - lp.b
-    dual = jnp.where(mask, (lp.A.T @ state.y + state.z) - (state.w + lp.c), 0.0)
+    primal = mv(state.x) - lp.b
+    dual = jnp.where(mask, (rmv(state.y) + state.z) - (state.w + lp.c), 0.0)
     return sl, su, wu, zl, primal, dual
 
 
@@ -238,15 +342,17 @@ def _repair(state: PDASState, cfg: PDASConfig, engine=None, mesh=None):
     boundary) but respects the box: x >= min(l + 1e-4, u), which reduces
     to the reference's floor exactly when l = 0."""
     lp = state.lp
+    mv, rmv = _mv_rmv(lp)
     x = state.x
     slack = _slack(lp.l, x, lp.u, cfg.repair_slack_cap, lp.col_mask)
-    residual = lp.b - lp.A @ x
-    boost = (~lp.row_mask).astype(lp.A.dtype)
+    residual = lp.b - mv(x)
+    boost = _row_boost(lp)
     yv, ok = _solve_normal_backend(
-        engine, lp.A, slack, residual, boost, cfg.refine_steps, mesh,
+        lp, engine, slack, residual, boost, cfg.refine_steps, mesh,
         cfg.dbound,
     )
-    dg = jnp.where(lp.col_mask, (lp.A * slack[None, :]).T @ yv, 0.0)
+    # (A diag s)^T yv = s (A^T yv) — operand-agnostic form.
+    dg = jnp.where(lp.col_mask, slack * rmv(yv), 0.0)
     g = dg * slack
     step = cfg.gamma * jnp.minimum(
         _max_step(lp.l, x, lp.u, g, lp.col_mask), 1.0 / cfg.gamma
@@ -267,16 +373,17 @@ def _recenter(state: PDASState, cfg: PDASConfig, engine=None, mesh=None):
     w = state.w + 1e-4 * mask
     z = state.z + 1e-4 * mask
     x = state.x
+    mv, rmv = _mv_rmv(lp)
     slack = _slack(lp.l, x, lp.u, cfg.repair_slack_cap, lp.col_mask)
     c_dir = _centering_direction(lp.l, x, lp.u, lp.col_mask)
     sc = -(slack * c_dir)
-    AD = lp.A * slack[None, :]
-    boost = (~lp.row_mask).astype(lp.A.dtype)
+    boost = _row_boost(lp)
     proj, ok = _solve_normal_backend(
-        engine, lp.A, slack, AD @ sc, boost, cfg.refine_steps, mesh,
+        lp, engine, slack, mv(slack * sc), boost, cfg.refine_steps, mesh,
         cfg.dbound,
     )
-    dx = jnp.where(lp.col_mask, sc - AD.T @ proj, 0.0) * slack
+    # AD^T proj = s (A^T proj) — operand-agnostic.
+    dx = jnp.where(lp.col_mask, sc - slack * rmv(proj), 0.0) * slack
     step = 0.5 * _max_step(lp.l, x, lp.u, dx, lp.col_mask)
     new_x = jnp.where(ok, _into_interior(x + step * dx, lp.l, lp.u, lp.col_mask), x)
     return new_x, w, z, ok
@@ -306,21 +413,27 @@ def pdas(
     return _pdas_jit(state, cfg, engine, mesh)
 
 
-def _solve_normal_backend(engine, A, d, g, row_boost, refine_steps, mesh=None,
+def _solve_normal_backend(lp, engine, d, g, row_boost, refine_steps, mesh=None,
                           dbound=0.0):
+    from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
+
+    if isinstance(lp, SparseKKTLP):
+        return engine.solve_normal_ell(
+            lp.E, lp.ET, d, g, row_boost=row_boost, refine_steps=refine_steps
+        )
     if mesh is not None:
         from cholesky_is_magic_tpu.parallel.sharded import sharded_solve_normal
 
         return sharded_solve_normal(
-            mesh, A, d, g, row_boost=row_boost, refine_steps=refine_steps
+            mesh, lp.A, d, g, row_boost=row_boost, refine_steps=refine_steps
         )
     if engine is None:
         return dense_ops.solve_normal(
-            A, d, g, row_boost=row_boost, refine_steps=refine_steps,
+            lp.A, d, g, row_boost=row_boost, refine_steps=refine_steps,
             dbound=dbound,
         )
     return engine.solve_normal(
-        A, d, g, row_boost=row_boost, refine_steps=refine_steps
+        lp.A, d, g, row_boost=row_boost, refine_steps=refine_steps
     )
 
 
@@ -360,8 +473,16 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
             )
 
         def do_newton():
-            boost = (~lp.row_mask).astype(lp.A.dtype)
-            if mesh is not None:
+            boost = _row_boost(lp)
+            from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
+
+            if isinstance(lp, SparseKKTLP):
+                from cholesky_is_magic_tpu.kkt.newton import ell_kkt_operator
+
+                op = ell_kkt_operator(
+                    lp, engine, row_boost=boost, refine_steps=cfg.refine_steps
+                )
+            elif mesh is not None:
                 from cholesky_is_magic_tpu.parallel.sharded import (
                     sharded_kkt_operator,
                 )
@@ -469,7 +590,8 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
     st = jax.tree.map(lambda b, c: jnp.where(use_best, b, c), best_st, st)
     gap = jnp.minimum(best_gap, gap)
     pobj, dobj = _objectives(st, cfg.clamp)
-    resid = jnp.linalg.norm(lp.A @ st.x - lp.b)
+    mv_f, _ = _mv_rmv(lp)
+    resid = jnp.linalg.norm(mv_f(st.x) - lp.b)
     final_status = jnp.where(
         status != Status.RUNNING,
         status,

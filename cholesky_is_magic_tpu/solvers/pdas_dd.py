@@ -63,7 +63,10 @@ class PDASDDState:
 
 
 def make_pdas_dd(
-    lp: DeviceLP, config: Optional[PDASConfig] = None, warm=None
+    lp: DeviceLP,
+    config: Optional[PDASConfig] = None,
+    warm=None,
+    recenter_duals: bool = True,
 ) -> PDASDDState:
     """Promote the standard f32 initialization to double-word.
 
@@ -73,6 +76,15 @@ def make_pdas_dd(
     the intended flow is: pdas() to feasibility/centering at its 1e-4
     gap, then this solver to the tight gap (the reference reaches both
     with one fp64 path; the TPU build splits robustness and precision).
+
+    ``recenter_duals`` (warm starts only): reset the bound duals to the
+    complementarity-balanced point w = mu/su, z = mu/sl with mu the warm
+    iterates' average complementarity over PRESENT bounds (slack below
+    the KKT filter threshold).  Newton-only affine steps can diverge from
+    unbalanced warm duals (w_i su_i spread over decades); the mu-reset
+    puts the start on the central path — the standard IPM warm-start
+    recipe.  Measured on afiro/f32: diverging warm start -> gap 1.7e-10
+    in 17 iterations.
     """
     from cholesky_is_magic_tpu.solvers.result import SolveResult
 
@@ -82,13 +94,36 @@ def make_pdas_dd(
             lp=None,
         )
     st = make_pdas(lp, config, warm=warm)
+    w, z = st.w, st.z
+    if warm is not None and recenter_duals:
+        w, z = mu_recentered_duals(st.x, st.lp.l, st.lp.u, w, z, st.lp.col_mask)
     return PDASDDState(
         x=ddm.dd_from(st.x),
         y=ddm.dd_from(st.y),
-        w=ddm.dd_from(st.w),
-        z=ddm.dd_from(st.z),
+        w=ddm.dd_from(w),
+        z=ddm.dd_from(z),
         lp=st.lp,
     )
+
+
+def mu_recentered_duals(x, l, u, w, z, mask):
+    """Complementarity-balanced dual reset (see make_pdas_dd): w = mu/su,
+    z = mu/sl with mu the average complementarity over present bounds."""
+    from cholesky_is_magic_tpu.kkt.newton import FILTER_THRESHOLD
+
+    floor = 1e-7 if x.dtype == jnp.float32 else 1e-14
+    sl = jnp.where(mask, jnp.maximum(x - l, floor), 1.0)
+    su = jnp.where(mask, jnp.maximum(u - x, floor), 1.0)
+    pu = mask & (su <= FILTER_THRESHOLD)
+    pl = mask & (sl <= FILTER_THRESHOLD)
+    terms = jnp.sum(jnp.where(pu, w * su, 0.0)) + jnp.sum(
+        jnp.where(pl, z * sl, 0.0)
+    )
+    count = jnp.maximum(jnp.sum(pu) + jnp.sum(pl), 1)
+    mu = jnp.maximum(terms / count, 1e-12)
+    w = jnp.where(mask, jnp.clip(mu / su, 1e-8, 1e8), 1.0)
+    z = jnp.where(mask, jnp.clip(mu / sl, 1e-8, 1e8), 1.0)
+    return w, z
 
 
 def make_pdas_dd_sparse(
@@ -98,81 +133,27 @@ def make_pdas_dd_sparse(
     dtype=None,
     snode_align: bool = True,
 ):
-    """StandardForm -> (state over a fully sparse SparseKKTLP, engine).
+    """StandardForm -> (dd state over a fully sparse SparseKKTLP, engine).
 
-    The at-scale construction: host-side row equilibration
-    (scale-constraints, primal-dual-affine-scaling.lisp:50-73) and
-    make-pdas initialization (:75-133) on the raw arrays, ELL operands
-    for A and Aᵀ, and a pair-schedule tile engine (engine_for_sparse) —
-    no dense (m, n) operand is ever materialized, so memory follows
-    nnz(A) + nnz(L) tiles.  Returns (PDASDDState, TiledCholesky); pass
-    the engine to pdas_dd(..., engine=...).
+    The double-word promotion of solvers.pdas.make_pdas_sparse: no dense
+    (m, n) operand is ever materialized — memory follows nnz(A) + nnz(L)
+    tiles.  Pass the engine to pdas_dd(..., engine=...).
     """
-    import scipy.sparse as sp
+    from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse
 
-    from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
-    from cholesky_is_magic_tpu.ingest.standard_form import scale_constraints
-    from cholesky_is_magic_tpu.ops import sparse_ops
-    from cholesky_is_magic_tpu.sparse.tiled import engine_for_sparse
-
-    if dtype is None:
-        dtype = jnp.float32
-    cfg = config or PDASConfig()
-    m, n = sf.ncons, sf.nvars
-    vals, b = scale_constraints(sf.a_rows, sf.a_vals, sf.b)
-    A = sp.csc_matrix((vals, (sf.a_rows, sf.a_cols)), shape=(m, n))
-    engine = engine_for_sparse(A, block=block, snode_align=snode_align, dtype=dtype)
-    E = sparse_ops.from_coo(sf.a_rows, sf.a_cols, vals, (m, n), dtype=dtype)
-    ET = sparse_ops.from_coo(sf.a_cols, sf.a_rows, vals, (n, m), dtype=dtype)
-
-    # Clamp/widen + primal/dual init, identical to make_pdas (:75-133),
-    # computed host-side in f64 before the dtype cast.
-    big = 1e30
-    raw_l = np.clip(np.asarray(sf.l, np.float64), -big, big)
-    raw_u = np.clip(np.asarray(sf.u, np.float64), -big, big)
-    l = np.clip(raw_l, -cfg.clamp, cfg.clamp)
-    u = np.clip(raw_u, -cfg.clamp, cfg.clamp)
-    degenerate = (u - l) < 1e-6
-    l = np.where(degenerate, l - 5e-7, l)
-    u = np.where(degenerate, u + 5e7, u)
-    delta = raw_u - raw_l
-    x = np.where(
-        (raw_l < -1e10) & (raw_u > 1e10),
-        0.0,
-        np.where(
-            raw_l < -1e6,
-            raw_u - np.minimum(delta / 2, 1.0 + 0.1 * np.abs(raw_u)),
-            np.where(
-                raw_u > 1e6,
-                raw_l + np.minimum(delta / 2, 1.0 + 0.1 * np.abs(raw_l)),
-                (raw_l + raw_u) / 2,
-            ),
+    st, engine = make_pdas_sparse(
+        sf, block=block, config=config, dtype=dtype, snode_align=snode_align
+    )
+    return (
+        PDASDDState(
+            x=ddm.dd_from(st.x),
+            y=ddm.dd_from(st.y),
+            w=ddm.dd_from(st.w),
+            z=ddm.dd_from(st.z),
+            lp=st.lp,
         ),
+        engine,
     )
-    c = np.asarray(sf.c, np.float64)
-    z = np.where(c > 0, 1.0 + c, 1.0)
-    w = np.where(c < 0, 1.0 - c, 1.0)
-
-    lp = SparseKKTLP(
-        E=E,
-        ET=ET,
-        c=jnp.asarray(c, dtype),
-        b=jnp.asarray(b, dtype),
-        l=jnp.asarray(l, dtype),
-        u=jnp.asarray(u, dtype),
-        row_mask=jnp.ones(m, bool),
-        col_mask=jnp.ones(n, bool),
-        m=m,
-        n=n,
-    )
-    st = PDASDDState(
-        x=ddm.dd_from(jnp.asarray(x, dtype)),
-        y=ddm.dd_from(jnp.zeros(m, dtype)),
-        w=ddm.dd_from(jnp.asarray(w, dtype)),
-        z=ddm.dd_from(jnp.asarray(z, dtype)),
-        lp=lp,
-    )
-    return st, engine
 
 
 def _linops(lp):

@@ -74,16 +74,25 @@ def test_sparse_pipeline_on_afiro():
     st_s, eng = make_pdas_dd_sparse(sf, block=16, dtype=jnp.float32)
     # Warm from the dense robust phase (repair/recenter), then finish
     # sparse.  NOTE the warm iterates come from the equilibrated dense lp;
-    # both paths use the same scale-constraints equilibration.
+    # both paths use the same scale-constraints equilibration.  Duals are
+    # mu-recentered (the Newton-only solver's warm-start recipe).
     lp32 = to_device_lp(sf, pad_multiple=16, dtype=jnp.float32)
     phase1 = pdas(make_pdas(lp32), PDASConfig(max_iters=300, refine_steps=2))
     n, m = sf.nvars, sf.ncons
+    from cholesky_is_magic_tpu.solvers.pdas_dd import mu_recentered_duals
+
+    x = jnp.asarray(np.asarray(phase1.x)[:n], jnp.float32)
+    w0 = jnp.asarray(np.asarray(phase1.extra["w"])[:n], jnp.float32)
+    z0 = jnp.asarray(np.asarray(phase1.extra["z"])[:n], jnp.float32)
+    w, z = mu_recentered_duals(
+        x, st_s.lp.l, st_s.lp.u, w0, z0, st_s.lp.col_mask
+    )
     to_dd = lambda v: ddm.dd_from(jnp.asarray(np.asarray(v), jnp.float32))
     st_warm = PDASDDState(
-        x=to_dd(np.asarray(phase1.x)[:n]),
+        x=to_dd(x),
         y=to_dd(np.asarray(phase1.extra["y"])[:m]),
-        w=to_dd(np.maximum(np.asarray(phase1.extra["w"])[:n], 1e-8)),
-        z=to_dd(np.maximum(np.asarray(phase1.extra["z"])[:n], 1e-8)),
+        w=to_dd(w),
+        z=to_dd(z),
         lp=st_s.lp,
     )
     res = pdas_dd(st_warm, PDASConfig(max_iters=300, gap_tol=1e-9, refine_steps=2),

@@ -525,7 +525,7 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
         )
 
     def body(carry):
-        (st, i, repair_flag, prev_gap, bad_count, _status, trace,
+        (st, i, repair_flag, prev_gap, _prev_pviol, bad_count, _status, trace,
          best_gap, best_st, since_best) = carry
         new_st, gap, pviol, step, ok = one_iteration(st, repair_flag)
         if cfg.record_trace or cfg.record_iterates:
@@ -555,13 +555,19 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
         new_repair = stalled | (bad_count >= 4)
         bad_count = jnp.where(new_repair, 0, bad_count)
         status = jnp.where(ok, Status.RUNNING, Status.SINGULAR).astype(jnp.int32)
-        return (new_st, i + 1, new_repair, gap, bad_count, status, trace,
+        return (new_st, i + 1, new_repair, gap, pviol, bad_count, status, trace,
                 best_gap, best_st, since_best)
 
     def cond(carry):
-        _st, i, _rflag, gap, _badc, status, _trace, _bg, _bst, since_best = carry
+        (_st, i, _rflag, gap, pviol, _badc, status, _trace, _bg, _bst,
+         since_best) = carry
+        # The duality-gap stop only counts at a primal-feasible iterate:
+        # an infeasible point's gap is meaningless (its pobj is not
+        # attained), and exiting on it returned "optimal" with residual 25
+        # on the sparse afiro cold start.
+        converged = (gap < cfg.gap_tol) & (pviol < cfg.primal_feasible_tol)
         return (
-            (gap >= cfg.gap_tol)
+            ~converged
             & (status == Status.RUNNING)
             & (i < cfg.max_iters)
             & (since_best < cfg.stall_exit_iters)
@@ -576,27 +582,35 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
     )
     if cfg.record_iterates:
         trace0 = trace0 + (jnp.full((cfg.max_iters, state.x.shape[0]), np.nan, dt),)
-    (st, iters, _rflag2, gap, _badc2, status, trace, best_gap, best_st,
-     since_best) = jax.lax.while_loop(
+    (st, iters, _rflag2, gap, _pviol2, _badc2, status, trace, best_gap,
+     best_st, since_best) = jax.lax.while_loop(
         cond,
         body,
         (state, jnp.asarray(0, jnp.int32), jnp.asarray(False), init_gap,
-         jnp.asarray(0, jnp.int32), jnp.asarray(Status.RUNNING, jnp.int32),
+         init_gap, jnp.asarray(0, jnp.int32),
+         jnp.asarray(Status.RUNNING, jnp.int32),
          trace0, init_gap, state, jnp.asarray(0, jnp.int32)),
     )
     # Return the best-seen iterate: continuing past the working-precision
     # floor makes the LAST iterate worse than the best one.
-    use_best = best_gap < gap
+    # <= (not <): on convergence the loop exits with `gap` belonging to
+    # the PRE-step iterate (recorded as best) while the carry holds the
+    # post-step state — a strict < returned the state one step PAST the
+    # converged one (observed: "optimal" with primal residual 25 on the
+    # sparse afiro cold start).
+    use_best = best_gap <= gap
     st = jax.tree.map(lambda b, c: jnp.where(use_best, b, c), best_st, st)
     gap = jnp.minimum(best_gap, gap)
     pobj, dobj = _objectives(st, cfg.clamp)
     mv_f, _ = _mv_rmv(lp)
-    resid = jnp.linalg.norm(mv_f(st.x) - lp.b)
+    primal_final = mv_f(st.x) - lp.b
+    resid = jnp.linalg.norm(primal_final)
+    feasible = jnp.max(jnp.abs(primal_final)) < cfg.primal_feasible_tol
     final_status = jnp.where(
         status != Status.RUNNING,
         status,
         jnp.where(
-            gap < cfg.gap_tol,
+            (gap < cfg.gap_tol) & feasible,
             Status.OPTIMAL,
             jnp.where(
                 since_best >= cfg.stall_exit_iters,

@@ -430,7 +430,8 @@ def _pdas_dd_jit(
         return new, gap, pviol, step_dd.to_working(), ok
 
     def body(carry):
-        st, i, _gap, best_gap, best_st, since_best, _status, trace = carry
+        (st, i, _gap, _pviol, best_gap, best_st, since_best, _status,
+         trace) = carry
         new_st, gap, pviol, step, ok = one_iteration(st)
         if cfg.record_trace or cfg.record_iterates:
             # Per-iteration trace, as the reference prints every solver
@@ -447,12 +448,15 @@ def _pdas_dd_jit(
         best_gap = jnp.where(improved, gap, best_gap)
         since_best = jnp.where(improved, 0, since_best + 1)
         status = jnp.where(ok, Status.RUNNING, Status.SINGULAR).astype(jnp.int32)
-        return new_st, i + 1, gap, best_gap, best_st, since_best, status, trace
+        return (new_st, i + 1, gap, pviol, best_gap, best_st, since_best,
+                status, trace)
 
     def cond(carry):
-        _st, i, gap, _bg, _bst, since_best, status, _trace = carry
+        _st, i, gap, pviol, _bg, _bst, since_best, status, _trace = carry
+        # Gap stop only at a primal-feasible iterate (see pdas.py).
+        converged = (gap < cfg.gap_tol) & (pviol < cfg.primal_feasible_tol)
         return (
-            (gap >= cfg.gap_tol)
+            ~converged
             & (status == Status.RUNNING)
             & (i < cfg.max_iters)
             & (since_best < cfg.stall_exit_iters)
@@ -467,15 +471,20 @@ def _pdas_dd_jit(
     )
     if cfg.record_iterates:
         trace0 = trace0 + (jnp.full((cfg.max_iters, n), np.nan, jnp.float32),) * 2
-    (st, iters, gap, best_gap, best_st, since_best, status,
+    (st, iters, gap, _pviol_f, best_gap, best_st, since_best, status,
      trace) = jax.lax.while_loop(
         cond,
         body,
-        (state, jnp.asarray(0, jnp.int32), inf, inf, state,
+        (state, jnp.asarray(0, jnp.int32), inf, inf, inf, state,
          jnp.asarray(0, jnp.int32), jnp.asarray(Status.RUNNING, jnp.int32),
          trace0),
     )
-    use_best = best_gap < gap
+    # <= (not <): on convergence the loop exits with `gap` belonging to
+    # the PRE-step iterate (recorded as best) while the carry holds the
+    # post-step state — a strict < returned the state one step PAST the
+    # converged one (observed: "optimal" with primal residual 25 on the
+    # sparse afiro cold start).
+    use_best = best_gap <= gap
     st = jax.tree.map(lambda b, c: jnp.where(use_best, b, c), best_st, st)
     gap = jnp.minimum(best_gap, gap)
     pobj_dd, dobj_dd = _dd_objectives(st, cfg.clamp)

@@ -60,6 +60,42 @@ def test_sparse_matches_dense_path():
     )
 
 
+def test_sparse_robust_pdas_cold_start():
+    """The ROBUST phase (pdas with repair/recenter) through the fully
+    sparse operand set: cold start on afiro (primal-infeasible init,
+    repair iterations fire), then the sparse dd finisher — a completely
+    dense-free two-phase solve of a real Netlib instance."""
+    import os
+
+    from cholesky_is_magic_tpu.ops import dd as ddm
+    from cholesky_is_magic_tpu.solvers import pdas
+    from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse
+    from cholesky_is_magic_tpu.solvers.pdas_dd import (
+        PDASDDState,
+        mu_recentered_duals,
+    )
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    sf = cim.to_standard_form(cim.read_mps_file(os.path.join(fixtures, "afiro.mps")))
+    st, eng = make_pdas_sparse(sf, block=16, dtype=jnp.float32)
+    cfg = PDASConfig(max_iters=300, refine_steps=2)
+    phase1 = pdas(st, cfg, engine=eng)
+    assert float(phase1.residual_norm) < 1e-2  # repair reached feasibility
+    w, z = mu_recentered_duals(
+        phase1.x, st.lp.l, st.lp.u, phase1.extra["w"], phase1.extra["z"],
+        st.lp.col_mask,
+    )
+    to_dd = lambda v: ddm.dd_from(jnp.asarray(v, jnp.float32))
+    st2 = PDASDDState(
+        x=to_dd(phase1.x), y=to_dd(phase1.extra["y"]), w=to_dd(w), z=to_dd(z),
+        lp=st.lp,
+    )
+    res = pdas_dd(st2, PDASConfig(max_iters=300, gap_tol=1e-9, refine_steps=2),
+                  engine=eng)
+    assert float(res.extra["gap"]) < 1e-8
+    assert float(res.objective) == pytest.approx(-464.75314285714285, rel=1e-6)
+
+
 def test_sparse_pipeline_on_afiro():
     """The real Netlib instance through the fully sparse path (two-phase:
     a few dense-pdas warm iterations for feasibility, then sparse dd)."""

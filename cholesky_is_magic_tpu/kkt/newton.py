@@ -97,6 +97,7 @@ def sparse_kkt_operator(
     engine,
     row_boost: Optional[jax.Array] = None,
     refine_steps: int = 0,
+    dbound: float = 0.0,
 ) -> KKTOperator:
     """Operator backed by a sparse.BlockSparseCholesky / TiledCholesky
     engine — the sparse-newton-solve.lisp backend: same elimination, the
@@ -113,12 +114,14 @@ def sparse_kkt_operator(
 
     def solve_scaled_normal(s, g):
         return engine.solve_normal(
-            A, s, g, row_boost=row_boost, refine_steps=refine_steps
+            A, s, g, row_boost=row_boost, refine_steps=refine_steps,
+            dbound=dbound,
         )
 
     def prepare_scaled_normal(s):
         return engine.prepare_normal(
-            A, s, row_boost=row_boost, refine_steps=refine_steps
+            A, s, row_boost=row_boost, refine_steps=refine_steps,
+            dbound=dbound,
         )
 
     return KKTOperator(
@@ -134,6 +137,7 @@ def ell_kkt_operator(
     engine,
     row_boost: Optional[jax.Array] = None,
     refine_steps: int = 0,
+    dbound: float = 0.0,
 ) -> KKTOperator:
     """Fully sparse operator: ELL SpMVs (ops.sparse_ops — the
     cholmod_sdmult analogue) + the tile engine's pair-schedule assembly
@@ -143,7 +147,8 @@ def ell_kkt_operator(
 
     def prepare_scaled_normal(s):
         return engine.prepare_normal_ell(
-            lp.E, lp.ET, s, lp.m, row_boost=row_boost, refine_steps=refine_steps
+            lp.E, lp.ET, s, lp.m, row_boost=row_boost,
+            refine_steps=refine_steps, dbound=dbound,
         )
 
     def solve_scaled_normal(s, g):

@@ -419,7 +419,8 @@ def _solve_normal_backend(lp, engine, d, g, row_boost, refine_steps, mesh=None,
 
     if isinstance(lp, SparseKKTLP):
         return engine.solve_normal_ell(
-            lp.E, lp.ET, d, g, row_boost=row_boost, refine_steps=refine_steps
+            lp.E, lp.ET, d, g, row_boost=row_boost, refine_steps=refine_steps,
+            dbound=dbound,
         )
     if mesh is not None:
         from cholesky_is_magic_tpu.parallel.sharded import sharded_solve_normal
@@ -480,7 +481,8 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
                 from cholesky_is_magic_tpu.kkt.newton import ell_kkt_operator
 
                 op = ell_kkt_operator(
-                    lp, engine, row_boost=boost, refine_steps=cfg.refine_steps
+                    lp, engine, row_boost=boost, refine_steps=cfg.refine_steps,
+                    dbound=cfg.dbound,
                 )
             elif mesh is not None:
                 from cholesky_is_magic_tpu.parallel.sharded import (
@@ -497,7 +499,8 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
                 )
             else:
                 op = sparse_kkt_operator(
-                    lp.A, engine, row_boost=boost, refine_steps=cfg.refine_steps
+                    lp.A, engine, row_boost=boost, refine_steps=cfg.refine_steps,
+                    dbound=cfg.dbound,
                 )
             d = solve_kkt_newton(sl, su, st.w, st.z, op, wu, zl, primal, dual)
             # Ratio tests on the TRUE slacks (not the KKT-scaling floored

@@ -380,7 +380,8 @@ def _pdas_dd_jit(
             from cholesky_is_magic_tpu.kkt.newton import ell_kkt_operator
 
             op = ell_kkt_operator(
-                lp, engine, row_boost=boost, refine_steps=cfg.refine_steps
+                lp, engine, row_boost=boost, refine_steps=cfg.refine_steps,
+                dbound=cfg.dbound,
             )
         elif mesh is not None:
             from cholesky_is_magic_tpu.parallel.sharded import sharded_kkt_operator
@@ -403,7 +404,8 @@ def _pdas_dd_jit(
             # sparse-path rendering of true_residual above, required for
             # the direction accuracy the dd iterates need near gap 1e-8.
             op = sparse_kkt_operator(
-                lp.A, engine, row_boost=boost, refine_steps=cfg.refine_steps
+                lp.A, engine, row_boost=boost, refine_steps=cfg.refine_steps,
+                dbound=cfg.dbound,
             )
         dw_dd, dx_dd, dy_dd, dz_dd, ok = kkt_dd(
             st, sl_dd, su_dd, sl, su, primal_dd, dual_dd, op

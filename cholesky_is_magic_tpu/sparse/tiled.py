@@ -485,7 +485,25 @@ class TiledCholesky:
         eye = jnp.eye(b, dtype=dt)
         return tiles.at[self.diag_ids].add(eye[None] * boost_p[:, :, None])
 
-    def prepare_normal_ell(self, E, ET, d, m, row_boost=None, refine_steps=0):
+    def _factorize_dbound(self, tiles, dbound):
+        """factorize with the CHOLMOD-dbound singular retry: on failure,
+        refactor once with dbound*max(diag) added to the diagonal tiles
+        (see ops.dense.prepare_normal; wrapper.c binds the same knob)."""
+        L, invd, ok = self.factorize(tiles)
+        if dbound <= 0.0:
+            return L, invd, ok
+        eye = jnp.eye(self.b, dtype=tiles.dtype)
+
+        def retry():
+            diags = jnp.diagonal(tiles[self.diag_ids], axis1=1, axis2=2)
+            jitter = dbound * jnp.max(diags)
+            tiles2 = tiles.at[self.diag_ids].add(jitter * eye[None])
+            return self.factorize(tiles2)
+
+        return jax.lax.cond(ok, lambda: (L, invd, ok), retry)
+
+    def prepare_normal_ell(self, E, ET, d, m, row_boost=None, refine_steps=0,
+                           dbound: float = 0.0):
         """Factor-once / solve-many for the fully sparse path: pair-schedule
         assembly + planned tile factorization; each solve_fn(g) adds ELL
         double-word refinement.  ``E``/``ET`` are the ELLMatrix forms of A
@@ -497,7 +515,7 @@ class TiledCholesky:
         n_pad = self.B * self.b
         boost = row_boost if row_boost is not None else jnp.zeros(m, d.dtype)
         tiles = self.assemble_pairs(d, boost)
-        L, invd, ok = self.factorize(tiles)
+        L, invd, ok = self._factorize_dbound(tiles, dbound)
         d2 = ddm.two_prod(d, d) if refine_steps else None
 
         def raw_solve(r):
@@ -518,15 +536,18 @@ class TiledCholesky:
 
         return solve_fn, ok
 
-    def solve_normal_ell(self, E, ET, d, g, row_boost=None, refine_steps=0):
+    def solve_normal_ell(self, E, ET, d, g, row_boost=None, refine_steps=0,
+                         dbound: float = 0.0):
         """(A·D)(A·D)ᵀ y = g entirely from sparse operands (see
         prepare_normal_ell)."""
         solve_fn, ok = self.prepare_normal_ell(
-            E, ET, d, g.shape[0], row_boost=row_boost, refine_steps=refine_steps
+            E, ET, d, g.shape[0], row_boost=row_boost,
+            refine_steps=refine_steps, dbound=dbound,
         )
         return solve_fn(g), ok
 
-    def prepare_normal(self, A, d, row_boost=None, refine_steps=0):
+    def prepare_normal(self, A, d, row_boost=None, refine_steps=0,
+                       dbound: float = 0.0):
         """Assemble + factor once; return (solve_fn, ok) — the engine's
         factor-once/solve-many split (solve-sparse-recycle analogue)."""
         from cholesky_is_magic_tpu.ops.dense import operator_residual
@@ -534,7 +555,7 @@ class TiledCholesky:
         n_pad = self.B * self.b
         m = A.shape[0]
         tiles = self.assemble(A, d, row_boost, mode=self.assemble_mode)
-        L, invd, ok = self.factorize(tiles)
+        L, invd, ok = self._factorize_dbound(tiles, dbound)
         AD = A * d[None, :] if refine_steps else None
 
         def raw_solve(r):
@@ -551,7 +572,8 @@ class TiledCholesky:
 
         return solve_fn, ok
 
-    def solve_normal(self, A, d, g, row_boost=None, refine_steps=0):
+    def solve_normal(self, A, d, g, row_boost=None, refine_steps=0,
+                     dbound: float = 0.0):
         """Drop-in for ops.dense.solve_normal via the tile engine.
 
         ``refine_steps`` adds double-word iterative refinement against the
@@ -560,6 +582,7 @@ class TiledCholesky:
         the reference's sparse path is fp64 CHOLMOD and gets this for free
         (sparse-cholesky.lisp:524-560)."""
         solve_fn, ok = self.prepare_normal(
-            A, d, row_boost=row_boost, refine_steps=refine_steps
+            A, d, row_boost=row_boost, refine_steps=refine_steps,
+            dbound=dbound,
         )
         return solve_fn(g), ok

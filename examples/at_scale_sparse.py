@@ -1,0 +1,157 @@
+"""At-scale demo: a 16384-row LP solved FULLY SPARSE on one TPU chip.
+
+Two-phase flow over the ELL pipeline (no dense (m, n) operand anywhere —
+dense A alone would be 2.1 GB):
+
+  phase 1: robust sparse pdas (repair/recenter, ELL KKT backend) to its
+           1e-4 duality gap;
+  phase 2: the double-word finisher from mu-recentered warm duals.
+
+Measured on v5e (2026-08): phase 1 reaches `optimal` (gap 8.4e-5, primal
+residual 4.9e-4) in 39 iterations / 802 ms warm; phase 2 floors at gap
+3.6e-6 after 71 iterations / 4.2 s, objective matching HiGHS to 3.6e-6
+relative.  Context: HiGHS (host dual simplex) solves the same instance
+in ~0.7 s — at this scale the per-iteration factor+solve is 15.8x faster
+than the host sparse oracle (24 ms vs 380 ms splu), but simplex needs no
+iterations-to-gap tradeoff; the TPU pipeline's advantage compounds in
+batched/warm-started settings (re-solves amortize the 48 s analysis and
+the compile).  The f32 tight-gap floor grows with conditioning at this
+scale (the dd solver reaches 1.7e-10 at m=1536); a split-scaled
+factorization is the known next lever (PARITY.md).
+
+Run: python examples/at_scale_sparse.py [m]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def build_lp(m: int, seed: int = 0):
+    """Feasible staircase LP at (m, 2m) with ~6 nnz/row + slack identity."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    n = 2 * m
+    n_eq = m // 3
+    n_ub = m - n_eq
+
+    def staircase(rows):
+        width = max(6, n // max(rows, 1) + 4)
+        ri, ci, vi = [], [], []
+        for i in range(rows):
+            start = int(i * max(n - width, 1) / max(rows, 1))
+            k = rng.integers(3, width)
+            cols = np.clip(
+                start + rng.choice(width, size=min(k, width), replace=False),
+                0, n - 1,
+            )
+            ri += [i] * len(cols)
+            ci += list(cols)
+            vi += list(rng.normal(size=len(cols)))
+        return sp.csr_matrix((vi, (ri, ci)), shape=(rows, n))
+
+    l = np.where(rng.random(n) < 0.7, 0.0, -1.0 - rng.random(n))
+    u = l + 1.0 + 4.0 * rng.random(n)
+    x0 = l + (u - l) * (0.2 + 0.6 * rng.random(n))
+    A_ub = staircase(n_ub)
+    b_ub = A_ub @ x0 + 0.05 + rng.random(n_ub)
+    A_eq = staircase(n_eq)
+    b_eq = A_eq @ x0
+    c = rng.normal(size=n)
+    return A_ub, b_ub, A_eq, b_eq, c, l, u
+
+
+def to_standard_form(A_ub, b_ub, A_eq, b_eq, c, l, u):
+    """Direct slack insertion (standard-form.lisp:48-86) on sparse data —
+    the triplet-level twin of ingest.to_standard_form for LPs too large
+    to round-trip through MPS text."""
+    from cholesky_is_magic_tpu.ingest.standard_form import StandardForm
+
+    n_ub, n = A_ub.shape
+    n_eq = A_eq.shape[0]
+    ub, eq = A_ub.tocoo(), A_eq.tocoo()
+    rows = np.concatenate([ub.row, eq.row + n_ub, np.arange(n_ub)])
+    cols = np.concatenate([ub.col, eq.col, n + np.arange(n_ub)])
+    vals = np.concatenate([ub.data, eq.data, np.ones(n_ub)])
+    return StandardForm(
+        nvars=n + n_ub,
+        ncons=n_ub + n_eq,
+        c=np.concatenate([c, np.zeros(n_ub)]),
+        a_rows=rows.astype(np.int32),
+        a_cols=cols.astype(np.int32),
+        a_vals=vals.astype(np.float64),
+        b=np.concatenate([b_ub, b_eq]),
+        row_type=np.concatenate(
+            [np.full(n_ub, StandardForm.ROW_LE, np.int8),
+             np.full(n_eq, StandardForm.ROW_EQ, np.int8)]
+        ),
+        l=np.concatenate([l, np.zeros(n_ub)]),
+        u=np.concatenate([u, np.full(n_ub, np.inf)]),
+        initial_vars=n,
+    )
+
+
+def main(m: int = 16384):
+    import jax.numpy as jnp
+
+    from cholesky_is_magic_tpu.ops import dd as ddm
+    from cholesky_is_magic_tpu.solvers import PDASConfig, pdas
+    from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse
+    from cholesky_is_magic_tpu.solvers.pdas_dd import (
+        PDASDDState,
+        mu_recentered_duals,
+        pdas_dd,
+    )
+
+    A_ub, b_ub, A_eq, b_eq, c, l, u = build_lp(m)
+    sf = to_standard_form(A_ub, b_ub, A_eq, b_eq, c, l, u)
+    print(f"LP: m={sf.ncons} n={sf.nvars} nnz={len(sf.a_vals)}")
+
+    t0 = time.time()
+    from scipy.optimize import linprog
+
+    ref = linprog(c, A_ub=A_ub, b_ub=b_ub, A_eq=A_eq, b_eq=b_eq,
+                  bounds=np.stack([l, u], axis=1), method="highs")
+    print(f"HiGHS (host): {ref.fun:.4f} in {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    st, eng = make_pdas_sparse(sf, block=128)
+    print(f"analyze + pair schedule: {time.time() - t0:.1f}s "
+          f"(B={eng.B} NT={eng.NT} pairs={eng.n_pairs})")
+
+    cfg1 = PDASConfig(max_iters=100, refine_steps=1)
+    p1 = pdas(st, cfg1, engine=eng)
+    float(p1.extra["gap"])  # compile + run
+    t0 = time.time()
+    p1 = pdas(st, cfg1, engine=eng)
+    g1 = float(p1.extra["gap"])
+    t1 = time.time() - t0
+    print(f"phase 1 (sparse pdas): {p1.status_name} gap {g1:.2e} "
+          f"resid {float(p1.residual_norm):.2e} "
+          f"iters {int(p1.iterations)} warm {t1 * 1e3:.0f} ms")
+
+    w, z = mu_recentered_duals(
+        p1.x, st.lp.l, st.lp.u, p1.extra["w"], p1.extra["z"], st.lp.col_mask
+    )
+    to_dd = lambda v: ddm.dd_from(jnp.asarray(v, jnp.float32))
+    st2 = PDASDDState(x=to_dd(p1.x), y=to_dd(p1.extra["y"]), w=to_dd(w),
+                      z=to_dd(z), lp=st.lp)
+    cfg2 = PDASConfig(max_iters=100, gap_tol=1e-9, refine_steps=2)
+    r = pdas_dd(st2, cfg2, engine=eng)
+    float(r.extra["gap"])
+    t0 = time.time()
+    r = pdas_dd(st2, cfg2, engine=eng)
+    g2 = float(r.extra["gap"])
+    t2 = time.time() - t0
+    obj = float(r.objective)
+    print(f"phase 2 (sparse dd): {r.status_name} gap {g2:.2e} "
+          f"iters {int(r.iterations)} warm {t2 * 1e3:.0f} ms")
+    print(f"objective {obj:.4f} vs HiGHS {ref.fun:.4f} "
+          f"(rel err {abs(obj - ref.fun) / abs(ref.fun):.2e})")
+    print(f"total warm solve: {(t1 + t2) * 1e3:.0f} ms")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 16384)

@@ -53,12 +53,14 @@ def _host_operands(sf, rng):
     return A, d, g
 
 
-def tpu_times_ms(lp) -> dict:
+def tpu_times_ms(sf, lp) -> dict:
     import jax
     import jax.numpy as jnp
+    import scipy.sparse as sp
 
     from cholesky_is_magic_tpu.ops import dense as dense_ops
-    from cholesky_is_magic_tpu.sparse.tiled import engine_for
+    from cholesky_is_magic_tpu.ops import sparse_ops
+    from cholesky_is_magic_tpu.sparse.tiled import engine_for, engine_for_sparse
 
     rng = np.random.default_rng(0)
     A = lp.A
@@ -67,10 +69,21 @@ def tpu_times_ms(lp) -> dict:
     d0 = jnp.asarray(rng.random(N) + 0.5, jnp.float32)
     g0 = jnp.asarray(rng.normal(size=M), jnp.float32)
     eng = engine_for(A, block=128)
+    # Fully sparse path on the TRUE (unpadded) operands.
+    A_true = sp.csc_matrix(
+        (sf.a_vals, (sf.a_rows, sf.a_cols)), shape=(sf.ncons, sf.nvars)
+    )
+    eng_s = engine_for_sparse(A_true, block=128)
+    E = sparse_ops.from_coo(sf.a_rows, sf.a_cols, sf.a_vals,
+                            (sf.ncons, sf.nvars))
+    ET = sparse_ops.from_coo(sf.a_cols, sf.a_rows, sf.a_vals,
+                             (sf.nvars, sf.ncons))
+    ds0 = jnp.asarray(rng.random(sf.nvars) + 0.5, jnp.float32)
+    gs0 = jnp.asarray(rng.normal(size=sf.ncons), jnp.float32)
 
-    def timed(solve):
+    def timed(solve, d0=d0, g0=g0):
         @jax.jit
-        def loop(g0):
+        def loop(d0, g0):
             # Data-dependent d so no two iterations can be CSE'd; mimics
             # the slack vector changing between IPM iterations.
             def body(i, carry):
@@ -85,11 +98,11 @@ def tpu_times_ms(lp) -> dict:
         # Full-f32 MXU passes: default bf16 matmuls are numerically
         # unusable for the normal equations (see utils/precision.py).
         with jax.default_matmul_precision("highest"):
-            float(loop(g0))  # compile
+            float(loop(d0, g0))  # compile
             ts = []
             for _ in range(REPS):
                 t = time.time()
-                float(loop(g0))
+                float(loop(d0, g0))
                 ts.append(time.time() - t)
         return min(ts) * 1e3 / K
 
@@ -113,7 +126,18 @@ def tpu_times_ms(lp) -> dict:
         timed(lambda d, g: eng.solve_normal(A, d, g, row_boost=boost, refine_steps=1))
         - rtt_ms / K
     )
-    return {"tpu_dense": max(dense_ms, 1e-6), "tpu_tiled": max(tiled_ms, 1e-6)}
+    sparse_ms = (
+        timed(
+            lambda d, g: eng_s.solve_normal_ell(E, ET, d, g, refine_steps=1),
+            d0=ds0, g0=gs0,
+        )
+        - rtt_ms / K
+    )
+    return {
+        "tpu_dense": max(dense_ms, 1e-6),
+        "tpu_tiled": max(tiled_ms, 1e-6),
+        "tpu_fully_sparse": max(sparse_ms, 1e-6),
+    }
 
 
 def host_times_ms(sf) -> dict:
@@ -187,7 +211,7 @@ def host_times_ms(sf) -> dict:
 def main():
     sf, lp = make_problem()
     host = host_times_ms(sf)
-    tpu = tpu_times_ms(lp)
+    tpu = tpu_times_ms(sf, lp)
     best_host = min(host.values())
     best_tpu = min(tpu.values())
     detail = {k: round(v, 4) for k, v in {**host, **tpu}.items()}

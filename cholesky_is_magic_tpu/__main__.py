@@ -28,6 +28,11 @@ def main(argv=None) -> int:
              "its 1e-4 gap, then the double-word finisher to 1e-8+",
     )
     ap.add_argument("--f64", action="store_true", help="solve in float64")
+    ap.add_argument("--sparse", action="store_true",
+                    help="fully sparse pipeline (ELL operands + pair-schedule "
+                         "tile engine; pdas/pdas_dd only) — no dense A on device")
+    ap.add_argument("--block", type=int, default=128,
+                    help="tile width for the sparse engine")
     ap.add_argument("--rescale", action="store_true", help="row-equilibrate (rescale-sf)")
     ap.add_argument("--max-iters", type=int, default=500)
     ap.add_argument("--refine-steps", type=int, default=1)
@@ -52,7 +57,9 @@ def main(argv=None) -> int:
     sf = cim.to_standard_form(cim.read_mps_file(args.mps))
     if args.rescale:
         cim.rescale_sf(sf)
-    lp = to_device_lp(sf, pad_multiple=args.pad, dtype=dtype)
+    lp = None if args.sparse else to_device_lp(sf, pad_multiple=args.pad, dtype=dtype)
+    if args.sparse and args.solver not in ("pdas", "pdas_dd"):
+        ap.error("--sparse supports --solver pdas or pdas_dd")
 
     if args.report:
         import scipy.sparse as sp
@@ -94,11 +101,15 @@ def main(argv=None) -> int:
     elif args.solver == "pdas":
         from cholesky_is_magic_tpu.solvers import PDASConfig, make_pdas, pdas
 
-        res = pdas(
-            make_pdas(lp),
-            PDASConfig(max_iters=args.max_iters, refine_steps=args.refine_steps,
-                       record_trace=args.trace),
-        )
+        cfg = PDASConfig(max_iters=args.max_iters, refine_steps=args.refine_steps,
+                         record_trace=args.trace)
+        if args.sparse:
+            from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse
+
+            st, engine = make_pdas_sparse(sf, block=args.block, dtype=dtype)
+            res = pdas(st, cfg, engine=engine)
+        else:
+            res = pdas(make_pdas(lp), cfg)
         if args.trace:
             print_trace(res.extra["trace"], int(res.iterations))
         out = dict(status=res.status_name, objective=float(res.objective),
@@ -107,18 +118,38 @@ def main(argv=None) -> int:
                    residual=float(res.residual_norm))
     elif args.solver == "pdas_dd":
         from cholesky_is_magic_tpu.solvers import PDASConfig, make_pdas, pdas
-        from cholesky_is_magic_tpu.solvers.pdas_dd import make_pdas_dd, pdas_dd
 
-        phase1 = pdas(
-            make_pdas(lp),
-            PDASConfig(max_iters=args.max_iters, refine_steps=max(args.refine_steps, 2)),
-        )
-        res = pdas_dd(
-            make_pdas_dd(lp, warm=phase1),
-            PDASConfig(max_iters=args.max_iters, gap_tol=1e-9,
-                       refine_steps=max(args.refine_steps, 2),
-                       record_trace=args.trace),
-        )
+        cfg1 = PDASConfig(max_iters=args.max_iters,
+                          refine_steps=max(args.refine_steps, 2))
+        cfg2 = PDASConfig(max_iters=args.max_iters, gap_tol=1e-9,
+                          refine_steps=max(args.refine_steps, 2),
+                          record_trace=args.trace)
+        if args.sparse:
+            import jax.numpy as _jnp
+
+            from cholesky_is_magic_tpu.ops import dd as _ddm
+            from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse
+            from cholesky_is_magic_tpu.solvers.pdas_dd import (
+                PDASDDState,
+                mu_recentered_duals,
+                pdas_dd,
+            )
+
+            st, engine = make_pdas_sparse(sf, block=args.block, dtype=dtype)
+            phase1 = pdas(st, cfg1, engine=engine)
+            w, z = mu_recentered_duals(
+                phase1.x, st.lp.l, st.lp.u, phase1.extra["w"],
+                phase1.extra["z"], st.lp.col_mask,
+            )
+            to_dd = lambda v: _ddm.dd_from(_jnp.asarray(v, dtype))
+            st2 = PDASDDState(x=to_dd(phase1.x), y=to_dd(phase1.extra["y"]),
+                              w=to_dd(w), z=to_dd(z), lp=st.lp)
+            res = pdas_dd(st2, cfg2, engine=engine)
+        else:
+            from cholesky_is_magic_tpu.solvers.pdas_dd import make_pdas_dd, pdas_dd
+
+            phase1 = pdas(make_pdas(lp), cfg1)
+            res = pdas_dd(make_pdas_dd(lp, warm=phase1), cfg2)
         if args.trace:
             print_trace(res.extra["trace"], int(res.iterations))
         out = dict(status=res.status_name, objective=float(res.objective),

@@ -96,6 +96,22 @@ def test_sparse_robust_pdas_cold_start():
     assert float(res.objective) == pytest.approx(-464.75314285714285, rel=1e-6)
 
 
+def test_cli_sparse_flag(capsys):
+    import os
+
+    from cholesky_is_magic_tpu.__main__ import main
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    rc = main([os.path.join(fixtures, "afiro.mps"), "--solver", "pdas_dd",
+               "--sparse", "--block", "16", "--max-iters", "300", "--json"])
+    assert rc == 0
+    import json
+
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "optimal"
+    assert abs(out["objective"] + 464.75314285714285) < 1e-3
+
+
 def test_sparse_pipeline_on_afiro():
     """The real Netlib instance through the fully sparse path (two-phase:
     a few dense-pdas warm iterations for feasibility, then sparse dd)."""

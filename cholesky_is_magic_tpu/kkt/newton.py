@@ -66,6 +66,7 @@ def dense_kkt_operator(
     refine_steps: int = 1,
     true_residual: bool = False,
     dbound: float = 0.0,
+    krylov_steps: int = 0,
 ) -> KKTOperator:
     """Dense MXU-backed operator (newton-solve.lisp's backend, minus the
     explicit diag matrix it builds at :112-116 — XLA fuses the column scale
@@ -76,12 +77,14 @@ def dense_kkt_operator(
         return dense_ops.solve_normal(
             A, s, g, row_boost=row_boost, refine_steps=refine_steps,
             true_residual=true_residual, dbound=dbound,
+            krylov_steps=krylov_steps,
         )
 
     def prepare_scaled_normal(s):
         return dense_ops.prepare_normal(
             A, s, row_boost=row_boost, refine_steps=refine_steps,
             true_residual=true_residual, dbound=dbound,
+            krylov_steps=krylov_steps,
         )
 
     return KKTOperator(
@@ -98,6 +101,7 @@ def sparse_kkt_operator(
     row_boost: Optional[jax.Array] = None,
     refine_steps: int = 0,
     dbound: float = 0.0,
+    krylov_steps: int = 0,
 ) -> KKTOperator:
     """Operator backed by a sparse.BlockSparseCholesky / TiledCholesky
     engine — the sparse-newton-solve.lisp backend: same elimination, the
@@ -113,15 +117,14 @@ def sparse_kkt_operator(
     """
 
     def solve_scaled_normal(s, g):
-        return engine.solve_normal(
-            A, s, g, row_boost=row_boost, refine_steps=refine_steps,
-            dbound=dbound,
-        )
+        solve_fn, ok = prepare_scaled_normal(s)
+        return solve_fn(g), ok
 
     def prepare_scaled_normal(s):
+        kw = {"krylov_steps": krylov_steps} if krylov_steps else {}
         return engine.prepare_normal(
             A, s, row_boost=row_boost, refine_steps=refine_steps,
-            dbound=dbound,
+            dbound=dbound, **kw,
         )
 
     return KKTOperator(
@@ -138,6 +141,7 @@ def ell_kkt_operator(
     row_boost: Optional[jax.Array] = None,
     refine_steps: int = 0,
     dbound: float = 0.0,
+    krylov_steps: int = 0,
 ) -> KKTOperator:
     """Fully sparse operator: ELL SpMVs (ops.sparse_ops — the
     cholmod_sdmult analogue) + the tile engine's pair-schedule assembly
@@ -149,6 +153,7 @@ def ell_kkt_operator(
         return engine.prepare_normal_ell(
             lp.E, lp.ET, s, lp.m, row_boost=row_boost,
             refine_steps=refine_steps, dbound=dbound,
+            krylov_steps=krylov_steps,
         )
 
     def solve_scaled_normal(s, g):

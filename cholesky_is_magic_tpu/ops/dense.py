@@ -143,6 +143,7 @@ def prepare_normal(
     refine_steps: int = 1,
     true_residual: bool = False,
     dbound: float = 0.0,
+    krylov_steps: int = 0,
 ):
     """Assemble and factor N = (A·diag(d))(A·diag(d))ᵀ ONCE; return
     (solve_fn, ok) where solve_fn(g) runs the refined triangular solves.
@@ -158,7 +159,14 @@ def prepare_normal(
     dbound diagonal floor, which the reference exposes as a knob
     (wrapper.c dbound accessor; sparse-cholesky.lisp:20-27).  The
     refinement steps run against the UNregularized operator, so the
-    jitter perturbs only the preconditioner, not the solved system."""
+    jitter perturbs only the preconditioner, not the solved system.
+
+    ``krylov_steps`` > 0 replaces Richardson refinement with flexible
+    preconditioned CG (ops.krylov.pcg_refine): the f32 factor stays the
+    preconditioner, residuals are explicit double-word, and the iterate
+    accumulates in double-word — converges where plain refinement diverges
+    (kappa(N) beyond ~1/eps_f32; the reference's fp64 CHOLMOD hits the
+    same wall only at kappa ~ 1e16)."""
     AD = A * d[None, :]
     N = jnp.matmul(AD, AD.T, preferred_element_type=AD.dtype,
                    precision=jax.lax.Precision.HIGHEST)
@@ -174,6 +182,22 @@ def prepare_normal(
             return factorize(N + jitter * eye)
 
         f = jax.lax.cond(f.ok, lambda: f, retry)
+
+    if krylov_steps > 0:
+        from cholesky_is_magic_tpu.ops import krylov
+
+        def solve_fn(g):
+            x = krylov.pcg_refine(
+                precond=lambda r: chol_solve(f.L, r),
+                apply_n=krylov.dense_normal_apply(AD, row_boost),
+                residual_dd=krylov.dense_residual_dd(AD, g, row_boost),
+                b=g,
+                iters=krylov_steps,
+            )
+            y = x.to_working()
+            return jnp.where(f.ok, y, jnp.zeros_like(y))
+
+        return solve_fn, f.ok
 
     def solve_fn(g):
         y = chol_solve(f.L, g)
@@ -196,6 +220,7 @@ def solve_normal(
     refine_steps: int = 1,
     true_residual: bool = False,
     dbound: float = 0.0,
+    krylov_steps: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Solve (A·diag(d))·(A·diag(d))ᵀ y = g with double-word refinement.
 
@@ -213,5 +238,6 @@ def solve_normal(
     solve_fn, ok = prepare_normal(
         A, d, row_boost=row_boost, refine_steps=refine_steps,
         true_residual=true_residual, dbound=dbound,
+        krylov_steps=krylov_steps,
     )
     return solve_fn(g), ok

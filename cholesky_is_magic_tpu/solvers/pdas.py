@@ -69,6 +69,14 @@ class PDASConfig:
     # behavior on a singular factor is to stop, affine-scaling.lisp:178).
     # 0 disables (exact reference semantics).
     dbound: float = 1e-6
+    # Krylov-accelerated refinement (ops.krylov): > 0 replaces the
+    # Richardson refinement inside every normal solve with that many
+    # flexible-PCG iterations (f32 factor as preconditioner, explicit
+    # double-word residuals).  Converges where plain refinement diverges —
+    # kappa(N) beyond ~1/eps_f32, i.e. gaps tight enough that slack ratios
+    # overwhelm the f32 factor.  Costs one extra N-apply per step; 0 keeps
+    # the default Richardson refinement.
+    krylov_steps: int = 0
     # Record per-iteration (gap, pobj, step) into result.extra["trace"] —
     # the TPU rendering of the reference's per-iteration stdout lines
     # (one-pdas-iteration :336-338, :376).
@@ -482,7 +490,7 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
 
                 op = ell_kkt_operator(
                     lp, engine, row_boost=boost, refine_steps=cfg.refine_steps,
-                    dbound=cfg.dbound,
+                    dbound=cfg.dbound, krylov_steps=cfg.krylov_steps,
                 )
             elif mesh is not None:
                 from cholesky_is_magic_tpu.parallel.sharded import (
@@ -495,12 +503,12 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
             elif engine is None:
                 op = dense_kkt_operator(
                     lp.A, row_boost=boost, refine_steps=cfg.refine_steps,
-                    dbound=cfg.dbound,
+                    dbound=cfg.dbound, krylov_steps=cfg.krylov_steps,
                 )
             else:
                 op = sparse_kkt_operator(
                     lp.A, engine, row_boost=boost, refine_steps=cfg.refine_steps,
-                    dbound=cfg.dbound,
+                    dbound=cfg.dbound, krylov_steps=cfg.krylov_steps,
                 )
             d = solve_kkt_newton(sl, su, st.w, st.z, op, wu, zl, primal, dual)
             # Ratio tests on the TRUE slacks (not the KKT-scaling floored

@@ -381,7 +381,7 @@ def _pdas_dd_jit(
 
             op = ell_kkt_operator(
                 lp, engine, row_boost=boost, refine_steps=cfg.refine_steps,
-                dbound=cfg.dbound,
+                dbound=cfg.dbound, krylov_steps=cfg.krylov_steps,
             )
         elif mesh is not None:
             from cholesky_is_magic_tpu.parallel.sharded import sharded_kkt_operator
@@ -396,6 +396,7 @@ def _pdas_dd_jit(
             op = dense_kkt_operator(
                 lp.A, row_boost=boost, refine_steps=cfg.refine_steps,
                 true_residual=True, dbound=cfg.dbound,
+                krylov_steps=cfg.krylov_steps,
             )
         else:
             from cholesky_is_magic_tpu.kkt.newton import sparse_kkt_operator
@@ -405,7 +406,7 @@ def _pdas_dd_jit(
             # the direction accuracy the dd iterates need near gap 1e-8.
             op = sparse_kkt_operator(
                 lp.A, engine, row_boost=boost, refine_steps=cfg.refine_steps,
-                dbound=cfg.dbound,
+                dbound=cfg.dbound, krylov_steps=cfg.krylov_steps,
             )
         dw_dd, dx_dd, dy_dd, dz_dd, ok = kkt_dd(
             st, sl_dd, su_dd, sl, su, primal_dd, dual_dd, op

@@ -155,23 +155,41 @@ class BlockSparseCholesky:
             N = N + jnp.diag(row_boost[self.pperm].astype(N.dtype))
         return N
 
+    def _check(self, L: jax.Array) -> jax.Array:
+        diag = jnp.diagonal(L)
+        return jnp.all(jnp.isfinite(L)) & jnp.all(diag > 0)
+
     def prepare_normal(
         self,
         A: jax.Array,
         d: jax.Array,
         row_boost: Optional[jax.Array] = None,
         refine_steps: int = 0,
+        dbound: float = 0.0,
     ):
         """Assemble + factor once; return (solve_fn, ok) — the engine's
-        factor-once/solve-many split (solve-sparse-recycle analogue)."""
+        factor-once/solve-many split (solve-sparse-recycle analogue).
+
+        ``dbound`` > 0 arms the CHOLMOD-dbound singular retry: on a failed
+        factorization, refactor once with dbound*max(diag N) added to the
+        diagonal (see ops.dense.prepare_normal; wrapper.c binds the knob).
+        Refinement still runs against the unregularized operator."""
         from cholesky_is_magic_tpu.ops.dense import operator_residual
 
         n_pad = self.plan.n_padded
         m = A.shape[0]
         N = self.assemble_normal(A, d, row_boost)
         L = self.factorize(N)
-        diag = jnp.diagonal(L)
-        ok = jnp.all(jnp.isfinite(L)) & jnp.all(diag > 0)
+        ok = self._check(L)
+        if dbound > 0.0:
+            eye = jnp.eye(n_pad, dtype=N.dtype)
+
+            def retry():
+                jitter = dbound * jnp.max(jnp.diagonal(N))
+                L2 = self.factorize(N + jitter * eye)
+                return L2, self._check(L2)
+
+            L, ok = jax.lax.cond(ok, lambda: (L, ok), retry)
         AD = A * d[None, :] if refine_steps else None
 
         def raw_solve(r):
@@ -196,6 +214,7 @@ class BlockSparseCholesky:
         g: jax.Array,
         row_boost: Optional[jax.Array] = None,
         refine_steps: int = 0,
+        dbound: float = 0.0,
     ):
         """Solve (A·D)(A·D)ᵀ y = g using the planned sparse factorization.
 
@@ -204,9 +223,11 @@ class BlockSparseCholesky:
         ``refine_steps`` adds double-word refinement against the unassembled
         operator (see ops.dense.operator_residual), matching the dense
         path's accuracy — the reference's sparse path is fp64 CHOLMOD
-        (sparse-cholesky.lisp:524-560).
+        (sparse-cholesky.lisp:524-560).  ``dbound`` arms the singular retry
+        (see prepare_normal).
         """
         solve_fn, ok = self.prepare_normal(
-            A, d, row_boost=row_boost, refine_steps=refine_steps
+            A, d, row_boost=row_boost, refine_steps=refine_steps,
+            dbound=dbound,
         )
         return solve_fn(g), ok

@@ -503,12 +503,16 @@ class TiledCholesky:
         return jax.lax.cond(ok, lambda: (L, invd, ok), retry)
 
     def prepare_normal_ell(self, E, ET, d, m, row_boost=None, refine_steps=0,
-                           dbound: float = 0.0):
+                           dbound: float = 0.0, krylov_steps: int = 0):
         """Factor-once / solve-many for the fully sparse path: pair-schedule
         assembly + planned tile factorization; each solve_fn(g) adds ELL
         double-word refinement.  ``E``/``ET`` are the ELLMatrix forms of A
         and Aᵀ (ops.sparse_ops); requires build_ell_assembly
-        (engine_for_sparse).  ``m`` is the row count (g length)."""
+        (engine_for_sparse).  ``m`` is the row count (g length).
+
+        ``krylov_steps`` > 0 switches refinement to flexible PCG with the
+        tile factor as preconditioner and explicit double-word residuals
+        (ops.krylov) — the ill-conditioned-N escape hatch."""
         from cholesky_is_magic_tpu.ops import dd as ddm
         from cholesky_is_magic_tpu.ops import sparse_ops
 
@@ -522,6 +526,22 @@ class TiledCholesky:
             rp = jnp.pad(r, (0, n_pad - m))[self.pperm]
             yp = self.solve(L, invd, rp)
             return jnp.zeros_like(yp).at[self.pperm].set(yp)[:m]
+
+        if krylov_steps > 0:
+            from cholesky_is_magic_tpu.ops import krylov
+
+            def solve_fn(g):
+                x = krylov.pcg_refine(
+                    precond=raw_solve,
+                    apply_n=krylov.ell_normal_apply(E, ET, d, boost),
+                    residual_dd=krylov.ell_residual_dd(E, ET, d, g, boost),
+                    b=g,
+                    iters=krylov_steps,
+                )
+                y = x.to_working()
+                return jnp.where(ok, y, jnp.zeros_like(y))
+
+            return solve_fn, ok
 
         def solve_fn(g):
             y = raw_solve(g)
@@ -537,31 +557,49 @@ class TiledCholesky:
         return solve_fn, ok
 
     def solve_normal_ell(self, E, ET, d, g, row_boost=None, refine_steps=0,
-                         dbound: float = 0.0):
+                         dbound: float = 0.0, krylov_steps: int = 0):
         """(A·D)(A·D)ᵀ y = g entirely from sparse operands (see
         prepare_normal_ell)."""
         solve_fn, ok = self.prepare_normal_ell(
             E, ET, d, g.shape[0], row_boost=row_boost,
             refine_steps=refine_steps, dbound=dbound,
+            krylov_steps=krylov_steps,
         )
         return solve_fn(g), ok
 
     def prepare_normal(self, A, d, row_boost=None, refine_steps=0,
-                       dbound: float = 0.0):
+                       dbound: float = 0.0, krylov_steps: int = 0):
         """Assemble + factor once; return (solve_fn, ok) — the engine's
-        factor-once/solve-many split (solve-sparse-recycle analogue)."""
+        factor-once/solve-many split (solve-sparse-recycle analogue).
+        ``krylov_steps`` > 0: flexible-PCG refinement (ops.krylov)."""
         from cholesky_is_magic_tpu.ops.dense import operator_residual
 
         n_pad = self.B * self.b
         m = A.shape[0]
         tiles = self.assemble(A, d, row_boost, mode=self.assemble_mode)
         L, invd, ok = self._factorize_dbound(tiles, dbound)
-        AD = A * d[None, :] if refine_steps else None
+        AD = A * d[None, :] if (refine_steps or krylov_steps) else None
 
         def raw_solve(r):
             rp = jnp.pad(r, (0, n_pad - m))[self.pperm]
             yp = self.solve(L, invd, rp)
             return jnp.zeros_like(yp).at[self.pperm].set(yp)[:m]
+
+        if krylov_steps > 0:
+            from cholesky_is_magic_tpu.ops import krylov
+
+            def solve_fn(g):
+                x = krylov.pcg_refine(
+                    precond=raw_solve,
+                    apply_n=krylov.dense_normal_apply(AD, row_boost),
+                    residual_dd=krylov.dense_residual_dd(AD, g, row_boost),
+                    b=g,
+                    iters=krylov_steps,
+                )
+                y = x.to_working()
+                return jnp.where(ok, y, jnp.zeros_like(y))
+
+            return solve_fn, ok
 
         def solve_fn(g):
             y = raw_solve(g)
@@ -573,7 +611,7 @@ class TiledCholesky:
         return solve_fn, ok
 
     def solve_normal(self, A, d, g, row_boost=None, refine_steps=0,
-                     dbound: float = 0.0):
+                     dbound: float = 0.0, krylov_steps: int = 0):
         """Drop-in for ops.dense.solve_normal via the tile engine.
 
         ``refine_steps`` adds double-word iterative refinement against the
@@ -583,6 +621,6 @@ class TiledCholesky:
         (sparse-cholesky.lisp:524-560)."""
         solve_fn, ok = self.prepare_normal(
             A, d, row_boost=row_boost, refine_steps=refine_steps,
-            dbound=dbound,
+            dbound=dbound, krylov_steps=krylov_steps,
         )
         return solve_fn(g), ok

@@ -47,7 +47,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from cholesky_is_magic_tpu.ingest.device import DeviceLP
-from cholesky_is_magic_tpu.ops import dense as dense_ops
+from cholesky_is_magic_tpu.solvers.backend import (
+    mv_rmv as _mv_rmv,
+    row_boost as _row_boost,
+    solve_normal_backend as _solve_normal_backend,
+)
 from cholesky_is_magic_tpu.solvers.result import SolveResult, Status
 from cholesky_is_magic_tpu.utils.precision import highest_precision
 
@@ -120,6 +124,57 @@ def make_affine_state(lp: DeviceLP, x0: Optional[jax.Array] = None) -> AffineSta
     return AffineState(x=x, lp=lp)
 
 
+def make_affine_state_sparse(
+    sf,
+    block: int = 128,
+    dtype=None,
+    snode_align: bool = True,
+    x0: Optional[jax.Array] = None,
+):
+    """StandardForm -> (AffineState over a fully sparse SparseKKTLP, engine).
+
+    The at-scale construction for the reference's FIRST solver family
+    (affine-scaling.lisp drives CHOLMOD on sparse operands end-to-end):
+    ELL operands for A and Aᵀ, a pair-schedule tile engine
+    (sparse.tiled.engine_for_sparse), and the make-affine-state interior
+    init (:52-90) — no dense (m, n) operand is ever materialized.  Pass
+    the returned engine to affine_scaling(..., engine=...).  Unlike
+    make_pdas_sparse there is NO row equilibration: the reference's
+    affine driver runs on the raw standard form (scale-constraints is
+    pdas-only, primal-dual-affine-scaling.lisp:50-73).
+    """
+    import scipy.sparse as sp
+
+    from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
+    from cholesky_is_magic_tpu.ops import sparse_ops
+    from cholesky_is_magic_tpu.sparse.tiled import engine_for_sparse
+
+    if dtype is None:
+        dtype = jnp.float32
+    m, n = sf.ncons, sf.nvars
+    A = sp.csc_matrix((sf.a_vals, (sf.a_rows, sf.a_cols)), shape=(m, n))
+    engine = engine_for_sparse(A, block=block, snode_align=snode_align,
+                               dtype=dtype)
+    E = sparse_ops.from_coo(sf.a_rows, sf.a_cols, sf.a_vals, (m, n),
+                            dtype=dtype)
+    ET = sparse_ops.from_coo(sf.a_cols, sf.a_rows, sf.a_vals, (n, m),
+                             dtype=dtype)
+    big = 1e30
+    lp = SparseKKTLP(
+        E=E,
+        ET=ET,
+        c=jnp.asarray(sf.c, dtype),
+        b=jnp.asarray(sf.b, dtype),
+        l=jnp.asarray(np.clip(sf.l, -big, big), dtype),
+        u=jnp.asarray(np.clip(sf.u, -big, big), dtype),
+        row_mask=jnp.ones(m, bool),
+        col_mask=jnp.ones(n, bool),
+        m=m,
+        n=n,
+    )
+    return make_affine_state(lp, x0), engine
+
+
 def _into_interior(x, l, u, mask):
     """Pull x strictly inside [l, u] by a relative epsilon.
 
@@ -178,27 +233,33 @@ def _max_step(l, x, u, g, mask):
     return jnp.min(step)
 
 
-def _project(lp: DeviceLP, scale, c_dir, refine_steps):
+def _project(lp, scale, c_dir, refine_steps, engine=None, mesh=None):
     """min ||x + [scale]c||  s.t. A[scale]x = 0  (project, :98-116).
 
     Returns (dg, ok): dg = sc - (AD)ᵀ N⁻¹ (AD) sc with sc = -scale*c and
-    N = (AD)(AD)ᵀ, computed via ops.dense.solve_normal (one MXU Cholesky
-    + dd refinement — the cholmod-factorize/solve2 hot spot of §3.1).
+    N = (AD)(AD)ᵀ (the cholmod-factorize/solve2 hot spot of §3.1),
+    solved on whichever backend the operand set selects
+    (solvers.backend.solve_normal_backend): dense MXU, tile engine,
+    fully sparse ELL, or the tensor-parallel shard_map pipeline.  The
+    algebra is operand-agnostic: AD·v = A(scale∘v), (AD)ᵀy = scale∘(Aᵀy).
     """
+    mv, rmv = _mv_rmv(lp)
     sc = -(scale * c_dir)
-    AD = lp.A * scale[None, :]
-    v = AD @ sc
-    boost = (~lp.row_mask).astype(lp.A.dtype)
-    y, ok = dense_ops.solve_normal(lp.A, scale, v, row_boost=boost, refine_steps=refine_steps)
-    dg = sc - AD.T @ y
+    v = mv(scale * sc)
+    boost = _row_boost(lp)
+    y, ok = _solve_normal_backend(lp, engine, scale, v, boost, refine_steps,
+                                  mesh)
+    dg = sc - scale * rmv(y)
     return jnp.where(lp.col_mask, dg, 0.0), ok
 
 
-def _residual(lp: DeviceLP, x):
-    return lp.b - lp.A @ x
+def _residual(lp, x):
+    mv, _ = _mv_rmv(lp)
+    return lp.b - mv(x)
 
 
-def _scaling_step(state: AffineState, centering, cfg: AffineConfig):
+def _scaling_step(state: AffineState, centering, cfg: AffineConfig,
+                  engine=None, mesh=None):
     """one-affine-scaling-iteration (:165-207) minus the recursion; returns
     (new_x, continue, status, step_norm_g, norm_dg, descent, ok)."""
     lp = state.lp
@@ -209,7 +270,7 @@ def _scaling_step(state: AffineState, centering, cfg: AffineConfig):
         lambda: lp.c,
     )
     slack = _slack(lp.l, x, lp.u, cfg.max_slack, lp.col_mask)
-    dg, ok = _project(lp, slack, c_dir, cfg.refine_steps)
+    dg, ok = _project(lp, slack, c_dir, cfg.refine_steps, engine, mesh)
 
     # Adaptive slack-cap fallback (TPU-build safeguard): with free
     # variables the *max-slack* = 1e8 cap scales their normal-matrix
@@ -219,7 +280,7 @@ def _scaling_step(state: AffineState, centering, cfg: AffineConfig):
     # before giving up.
     def retry():
         slack2 = _slack(lp.l, x, lp.u, np.sqrt(cfg.max_slack), lp.col_mask)
-        dg2, ok2 = _project(lp, slack2, c_dir, cfg.refine_steps)
+        dg2, ok2 = _project(lp, slack2, c_dir, cfg.refine_steps, engine, mesh)
         return slack2, dg2, ok2
 
     slack, dg, ok = jax.lax.cond(ok, lambda: (slack, dg, ok), retry)
@@ -234,13 +295,14 @@ def _scaling_step(state: AffineState, centering, cfg: AffineConfig):
     return new_x, ok, unbounded, step, norm_g, norm_dg, descent
 
 
-def _optimize_iteration(state: AffineState, centering, cfg: AffineConfig):
+def _optimize_iteration(state: AffineState, centering, cfg: AffineConfig,
+                        engine=None, mesh=None):
     """The optimize/recenter path with the stall-retry: when a non-centering
     step stalls (step*||g|| < tol), retry once as a centering step (:200-204)."""
     lp = state.lp
     x0 = state.x
     new_x, ok, unbounded, step, norm_g, norm_dg, descent = _scaling_step(
-        state, centering, cfg
+        state, centering, cfg, engine, mesh
     )
 
     # True variable count, not the padded length (affine-scaling.lisp:193-194
@@ -257,7 +319,8 @@ def _optimize_iteration(state: AffineState, centering, cfg: AffineConfig):
 
         def retry_centering():
             # " ... " retry (:200-204): redo the iteration as centering.
-            rx, rok, runb, *_ = _scaling_step(state, jnp.asarray(True), cfg)
+            rx, rok, runb, *_ = _scaling_step(
+                state, jnp.asarray(True), cfg, engine, mesh)
             return rx, rok, runb, jnp.asarray(True)
 
         def accept():
@@ -289,18 +352,19 @@ def _optimize_iteration(state: AffineState, centering, cfg: AffineConfig):
     return rx, cont, status
 
 
-def _repair_iteration(state: AffineState, residual, cfg: AffineConfig):
+def _repair_iteration(state: AffineState, residual, cfg: AffineConfig,
+                      engine=None, mesh=None):
     """Least-squares step back toward Ax = b (one-repair-iteration, :226-243):
     dg = (AD)ᵀ N⁻¹ r, step = gamma * min(max-step, 1/gamma)."""
     lp = state.lp
     x = state.x
     slack = _slack(lp.l, x, lp.u, np.sqrt(cfg.max_slack), lp.col_mask)
-    AD = lp.A * slack[None, :]
-    boost = (~lp.row_mask).astype(lp.A.dtype)
-    y, ok = dense_ops.solve_normal(
-        lp.A, slack, residual, row_boost=boost, refine_steps=cfg.refine_steps
+    _, rmv = _mv_rmv(lp)
+    boost = _row_boost(lp)
+    y, ok = _solve_normal_backend(
+        lp, engine, slack, residual, boost, cfg.refine_steps, mesh
     )
-    dg = jnp.where(lp.col_mask, AD.T @ y, 0.0)
+    dg = jnp.where(lp.col_mask, slack * rmv(y), 0.0)
     g = dg * slack
     step = cfg.gamma * jnp.minimum(
         _max_step(lp.l, x, lp.u, g, lp.col_mask), 1.0 / cfg.gamma
@@ -313,22 +377,32 @@ def _repair_iteration(state: AffineState, residual, cfg: AffineConfig):
 def affine_scaling(
     state: AffineState,
     config: Optional[AffineConfig] = None,
+    engine=None,
+    mesh=None,
 ) -> SolveResult:
     """The driver loop (affine-scaling, :265-297) as lax.while_loop.
 
     The symbolic-analysis-once / numeric-factor-per-iteration split
     (cholmod-analyze at :271) is XLA's jit cache here: the factorization
     graph is compiled once and re-executed with recycled buffers.
+
+    ``engine`` swaps every normal-equations solve in the loop onto a
+    planned tile factorization (sparse.tiled / sparse.factor); with a
+    fully sparse state (make_affine_state_sparse) it is required and all
+    matvecs run over ELL operands — no dense (m, n) operand exists.
+    ``mesh`` runs the solves column-sharded over the mesh's 'tp' axis
+    (parallel.sharded) — same modes as pdas.
     """
     cfg = config or AffineConfig()
-    return _affine_scaling_jit(state, cfg)
+    return _affine_scaling_jit(state, cfg, engine, mesh)
 
 
 @highest_precision
-@partial(jax.jit, static_argnames=("cfg",))
-def _affine_scaling_jit(state: AffineState, cfg: AffineConfig) -> SolveResult:
+@partial(jax.jit, static_argnames=("cfg", "engine", "mesh"))
+def _affine_scaling_jit(state: AffineState, cfg: AffineConfig, engine=None,
+                        mesh=None) -> SolveResult:
     lp = state.lp
-    m_real = jnp.asarray(lp.m, dtype=lp.A.dtype)
+    m_real = jnp.asarray(lp.m, dtype=lp.c.dtype)
 
     def body(carry):
         x, i, _cont, _status, trace = carry
@@ -340,8 +414,8 @@ def _affine_scaling_jit(state: AffineState, cfg: AffineConfig) -> SolveResult:
 
         new_x, cont, status = jax.lax.cond(
             needs_repair,
-            lambda: _repair_iteration(st, residual, cfg),
-            lambda: _optimize_iteration(st, centering, cfg),
+            lambda: _repair_iteration(st, residual, cfg, engine, mesh),
+            lambda: _optimize_iteration(st, centering, cfg, engine, mesh),
         )
         if cfg.record_trace:
             vals = (jnp.dot(x, lp.c), norm, jnp.linalg.norm(new_x - x))

@@ -1,0 +1,68 @@
+"""Operand/backend dispatch shared by the solver loops.
+
+Every solver family in the reference bottoms out in the same CHOLMOD
+pipeline regardless of caller (sparse-cholesky.lisp:562-565 dispatches
+solve-sparse; sparse-m* serves all matvecs).  Here the equivalent seam is
+this module: a solver asks for (A@v, Aᵀ@v) products and a scaled
+normal-equations solve, and the operand set decides the implementation —
+
+- dense ``DeviceLP``: MXU matmuls + ops.dense (optionally a tile engine
+  via ``engine=``, or the tensor-parallel shard_map pipeline via
+  ``mesh=``);
+- fully sparse ``SparseKKTLP``: ELL SpMVs (ops.sparse_ops) + the tile
+  engine's pair-schedule assembly (requires ``engine=`` from
+  sparse.tiled.engine_for_sparse).
+"""
+
+from __future__ import annotations
+
+from cholesky_is_magic_tpu.ops import dense as dense_ops
+
+
+def mv_rmv(lp):
+    """(A@v, Aᵀ@v) for the operand set: dense DeviceLP or the fully
+    sparse SparseKKTLP (ELL products — the cholmod_sdmult analogue)."""
+    from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
+
+    if isinstance(lp, SparseKKTLP):
+        from cholesky_is_magic_tpu.ops import sparse_ops as so
+
+        return (lambda v: so.matvec(lp.E, v), lambda v: so.matvec(lp.ET, v))
+    return (lambda v: lp.A @ v, lambda v: lp.A.T @ v)
+
+
+def row_boost(lp):
+    """Unit diagonal boost on padded rows (keeps padding inert in N)."""
+    from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
+
+    dt = lp.c.dtype if isinstance(lp, SparseKKTLP) else lp.A.dtype
+    return (~lp.row_mask).astype(dt)
+
+
+def solve_normal_backend(lp, engine, d, g, row_boost, refine_steps,
+                         mesh=None, dbound=0.0, krylov_steps=0):
+    """(A·diag(d))(A·diag(d))ᵀ y = g on whichever backend the operand set
+    and options select (see module docstring).  Returns (y, ok)."""
+    from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
+
+    if isinstance(lp, SparseKKTLP):
+        return engine.solve_normal_ell(
+            lp.E, lp.ET, d, g, row_boost=row_boost,
+            refine_steps=refine_steps, dbound=dbound,
+            krylov_steps=krylov_steps,
+        )
+    if mesh is not None:
+        from cholesky_is_magic_tpu.parallel.sharded import sharded_solve_normal
+
+        return sharded_solve_normal(
+            mesh, lp.A, d, g, row_boost=row_boost, refine_steps=refine_steps
+        )
+    if engine is None:
+        return dense_ops.solve_normal(
+            lp.A, d, g, row_boost=row_boost, refine_steps=refine_steps,
+            dbound=dbound, krylov_steps=krylov_steps,
+        )
+    return engine.solve_normal(
+        lp.A, d, g, row_boost=row_boost, refine_steps=refine_steps,
+        dbound=dbound, krylov_steps=krylov_steps,
+    )

@@ -263,23 +263,12 @@ def _slack_floor(dtype) -> float:
     return 1e-14 if dtype == jnp.float64 else 1e-7
 
 
-def _mv_rmv(lp):
-    """(A@v, A^T@v) for the operand set: dense DeviceLP or the fully
-    sparse SparseKKTLP (ELL products)."""
-    from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
-
-    if isinstance(lp, SparseKKTLP):
-        from cholesky_is_magic_tpu.ops import sparse_ops as so
-
-        return (lambda v: so.matvec(lp.E, v), lambda v: so.matvec(lp.ET, v))
-    return (lambda v: lp.A @ v, lambda v: lp.A.T @ v)
-
-
-def _row_boost(lp):
-    from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
-
-    dt = lp.c.dtype if isinstance(lp, SparseKKTLP) else lp.A.dtype
-    return (~lp.row_mask).astype(dt)
+# Operand/backend dispatch shared with the other solver loops.
+from cholesky_is_magic_tpu.solvers.backend import (  # noqa: E402
+    mv_rmv as _mv_rmv,
+    row_boost as _row_boost,
+    solve_normal_backend as _solve_normal_backend,
+)
 
 
 def _violation(state: PDASState):
@@ -419,31 +408,6 @@ def pdas(
     """
     cfg = config or PDASConfig()
     return _pdas_jit(state, cfg, engine, mesh)
-
-
-def _solve_normal_backend(lp, engine, d, g, row_boost, refine_steps, mesh=None,
-                          dbound=0.0):
-    from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
-
-    if isinstance(lp, SparseKKTLP):
-        return engine.solve_normal_ell(
-            lp.E, lp.ET, d, g, row_boost=row_boost, refine_steps=refine_steps,
-            dbound=dbound,
-        )
-    if mesh is not None:
-        from cholesky_is_magic_tpu.parallel.sharded import sharded_solve_normal
-
-        return sharded_solve_normal(
-            mesh, lp.A, d, g, row_boost=row_boost, refine_steps=refine_steps
-        )
-    if engine is None:
-        return dense_ops.solve_normal(
-            lp.A, d, g, row_boost=row_boost, refine_steps=refine_steps,
-            dbound=dbound,
-        )
-    return engine.solve_normal(
-        lp.A, d, g, row_boost=row_boost, refine_steps=refine_steps
-    )
 
 
 @highest_precision

@@ -166,6 +166,7 @@ class BlockSparseCholesky:
         row_boost: Optional[jax.Array] = None,
         refine_steps: int = 0,
         dbound: float = 0.0,
+        krylov_steps: int = 0,
     ):
         """Assemble + factor once; return (solve_fn, ok) — the engine's
         factor-once/solve-many split (solve-sparse-recycle analogue).
@@ -190,13 +191,29 @@ class BlockSparseCholesky:
                 return L2, self._check(L2)
 
             L, ok = jax.lax.cond(ok, lambda: (L, ok), retry)
-        AD = A * d[None, :] if refine_steps else None
+        AD = A * d[None, :] if (refine_steps or krylov_steps) else None
 
         def raw_solve(r):
             rp = jnp.pad(r, (0, n_pad - m))[self.pperm]
             t = jax.scipy.linalg.solve_triangular(L, rp, lower=True)
             yp = jax.scipy.linalg.solve_triangular(L.T, t, lower=False)
             return jnp.zeros_like(yp).at[self.pperm].set(yp)[:m]
+
+        if krylov_steps > 0:
+            from cholesky_is_magic_tpu.ops import krylov
+
+            def solve_fn(g):
+                x = krylov.pcg_refine(
+                    precond=raw_solve,
+                    apply_n=krylov.dense_normal_apply(AD, row_boost),
+                    residual_dd=krylov.dense_residual_dd(AD, g, row_boost),
+                    b=g,
+                    iters=krylov_steps,
+                )
+                y = x.to_working()
+                return jnp.where(ok, y, jnp.zeros_like(y))
+
+            return solve_fn, ok
 
         def solve_fn(g):
             y = raw_solve(g)
@@ -215,6 +232,7 @@ class BlockSparseCholesky:
         row_boost: Optional[jax.Array] = None,
         refine_steps: int = 0,
         dbound: float = 0.0,
+        krylov_steps: int = 0,
     ):
         """Solve (A·D)(A·D)ᵀ y = g using the planned sparse factorization.
 
@@ -228,6 +246,6 @@ class BlockSparseCholesky:
         """
         solve_fn, ok = self.prepare_normal(
             A, d, row_boost=row_boost, refine_steps=refine_steps,
-            dbound=dbound,
+            dbound=dbound, krylov_steps=krylov_steps,
         )
         return solve_fn(g), ok

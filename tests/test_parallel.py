@@ -135,3 +135,31 @@ class TestShardedNormal:
         # The sharded A still equals the original.
         np.testing.assert_array_equal(np.asarray(slp.A), np.asarray(lp.A))
         assert "tp" in str(slp.A.sharding.spec)
+
+
+class TestShardedAffine:
+    def test_tp_affine_end_to_end(self):
+        """TP as a mode of the FIRST solver family too: the full
+        affine-scaling loop with every projection/repair solve
+        column-sharded matches the single-chip solve."""
+        import dataclasses
+
+        from cholesky_is_magic_tpu.solvers.affine import (
+            affine_scaling,
+            make_affine_state,
+        )
+
+        mesh = lp_mesh(dp=1, tp=8)
+        ineq = random_lp(5, n_ub=12, n_eq=4, n=24, bounded=True)
+        _, fun, _ = scipy_reference_solution(ineq)
+        sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+        lp = to_device_lp(sf, pad_multiple=8, dtype=jnp.float64)
+        st = make_affine_state(lp)
+        r_single = affine_scaling(st)
+        st_tp = dataclasses.replace(st, lp=shard_lp_columns(st.lp, mesh))
+        r_tp = affine_scaling(st_tp, mesh=mesh)
+        assert float(r_tp.objective) == pytest.approx(fun, rel=1e-3, abs=1e-3)
+        assert int(r_tp.iterations) == int(r_single.iterations)
+        np.testing.assert_allclose(
+            np.asarray(r_tp.x), np.asarray(r_single.x), rtol=1e-6, atol=1e-8
+        )

@@ -151,3 +151,44 @@ def test_sparse_pipeline_on_afiro():
                   engine=eng)
     assert float(res.extra["gap"]) < 1e-8
     assert float(res.objective) == pytest.approx(-464.75314285714285, rel=1e-6)
+
+
+class TestSparseAffine:
+    """The reference's FIRST solver family over the fully sparse operand
+    set: affine_scaling(engine=...) with ELL matvecs and the pair-schedule
+    tile engine (affine-scaling.lisp drives sparse CHOLMOD end-to-end; the
+    dense-only affine here was the last solver family without an at-scale
+    path)."""
+
+    def test_sparse_affine_matches_oracle_and_dense(self):
+        from cholesky_is_magic_tpu.solvers.affine import (
+            affine_scaling,
+            make_affine_state,
+            make_affine_state_sparse,
+        )
+
+        sf, fun = problem(1)
+        st, eng = make_affine_state_sparse(sf, block=16, dtype=jnp.float64)
+        res_s = affine_scaling(st, engine=eng)
+        lp = to_device_lp(sf, pad_multiple=16, dtype=jnp.float64)
+        res_d = affine_scaling(make_affine_state(lp))
+        assert float(res_s.objective) == pytest.approx(fun, rel=1e-3, abs=1e-3)
+        # Same algebra, same trajectory: iteration counts agree.
+        assert int(res_s.iterations) == int(res_d.iterations)
+
+    def test_sparse_affine_afiro(self):
+        import os
+
+        from cholesky_is_magic_tpu.solvers.affine import (
+            AffineConfig,
+            affine_scaling,
+            make_affine_state_sparse,
+        )
+
+        fix = os.path.join(os.path.dirname(__file__), "fixtures", "afiro.mps")
+        sf = cim.to_standard_form(cim.read_mps_file(fix))
+        st, eng = make_affine_state_sparse(sf, block=16, dtype=jnp.float64)
+        res = affine_scaling(st, engine=eng, config=AffineConfig(max_iters=200))
+        assert float(res.objective) == pytest.approx(
+            -464.75314285714285, rel=1e-4
+        )

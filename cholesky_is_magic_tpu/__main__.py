@@ -30,7 +30,7 @@ def main(argv=None) -> int:
     ap.add_argument("--f64", action="store_true", help="solve in float64")
     ap.add_argument("--sparse", action="store_true",
                     help="fully sparse pipeline (ELL operands + pair-schedule "
-                         "tile engine; pdas/pdas_dd only) — no dense A on device")
+                         "tile engine; affine/pdas/pdas_dd) — no dense A on device")
     ap.add_argument("--block", type=int, default=128,
                     help="tile width for the sparse engine")
     ap.add_argument("--rescale", action="store_true", help="row-equilibrate (rescale-sf)")
@@ -58,8 +58,8 @@ def main(argv=None) -> int:
     if args.rescale:
         cim.rescale_sf(sf)
     lp = None if args.sparse else to_device_lp(sf, pad_multiple=args.pad, dtype=dtype)
-    if args.sparse and args.solver not in ("pdas", "pdas_dd"):
-        ap.error("--sparse supports --solver pdas or pdas_dd")
+    if args.sparse and args.solver not in ("affine", "pdas", "pdas_dd"):
+        ap.error("--sparse supports --solver affine, pdas, or pdas_dd")
 
     if args.report:
         import scipy.sparse as sp
@@ -89,11 +89,17 @@ def main(argv=None) -> int:
     if args.solver == "affine":
         from cholesky_is_magic_tpu.solvers import AffineConfig, affine_scaling, make_affine_state
 
-        res = affine_scaling(
-            make_affine_state(lp),
-            AffineConfig(max_iters=args.max_iters, refine_steps=args.refine_steps,
-                         record_trace=args.trace),
-        )
+        cfg = AffineConfig(max_iters=args.max_iters,
+                           refine_steps=args.refine_steps,
+                           record_trace=args.trace)
+        if args.sparse:
+            from cholesky_is_magic_tpu.solvers.affine import make_affine_state_sparse
+
+            st, engine = make_affine_state_sparse(sf, block=args.block,
+                                                  dtype=dtype)
+            res = affine_scaling(st, cfg, engine=engine)
+        else:
+            res = affine_scaling(make_affine_state(lp), cfg)
         if args.trace:
             print_trace(res.extra["trace"], int(res.iterations))
         out = dict(status=res.status_name, objective=float(res.objective),

@@ -97,15 +97,27 @@ def sharded_prepare_normal(
         out_specs=P(),
     )
     def _solve(L_rep, ok_rep, g_rep, A_k, d_k, boost_rep):
+        from cholesky_is_magic_tpu.ops import dd as ddm
+
         AD_k = A_k * d_k[None, :]
         y = dense_ops.chol_solve(L_rep, g_rep)
         for _ in range(refine_steps):
-            # Refinement residual with the matvec sharded the same way:
-            # N y is reassembled via psum each step.
-            t_k = AD_k.T @ y
-            u_part = AD_k @ t_k
-            u = jax.lax.psum(u_part, "tp") + boost_rep * y
-            y = y + dense_ops.chol_solve(L_rep, g_rep - u)
+            # Refinement residual in DOUBLE-WORD, sharded the same way as
+            # the factor: each chip computes its dd partial of N·y
+            # (ops.dd compensated matvecs), the hi and lo words psum
+            # separately (the cross-chip reduction rounds at eps·tp, far
+            # below the eps·n the plain-f32 residual loses), and the
+            # correction solve runs replicated — the same accuracy story
+            # as the single-chip dd refinement (ops.dense.prepare_normal).
+            t_k = ddm.dd_rmatvec(AD_k, y)  # ADᵀy on this shard, dd
+            u_k = ddm.dd_add(
+                ddm.dd_matvec(AD_k, t_k.hi), ddm.dd_matvec(AD_k, t_k.lo)
+            )
+            u_hi = jax.lax.psum(u_k.hi, "tp")
+            u_lo = jax.lax.psum(u_k.lo, "tp")
+            u = ddm.dd_add_w(ddm.DD(u_hi, u_lo), boost_rep * y)
+            r = ddm.dd_add_w(ddm.dd_neg(u), g_rep).to_working()
+            y = y + dense_ops.chol_solve(L_rep, r)
         return jnp.where(ok_rep, y, jnp.zeros_like(y))
 
     with jax.default_matmul_precision("highest"):

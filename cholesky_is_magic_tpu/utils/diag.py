@@ -14,7 +14,12 @@ equivalents:
   resource accounting (the CHOLMOD leak-counter analogue: XLA's allocator
   can't leak per-op, but buffers held alive by Python references can);
 - :func:`nan_debug` — jax_debug_nans toggle, the "sanitizer mode"
-  (SURVEY.md §5 race-detection analog for a numerical code).
+  (SURVEY.md §5 race-detection analog for a numerical code);
+- :func:`profile_trace` / :func:`annotate` — jax.profiler hooks (SURVEY.md
+  §5 names "jax.profiler traces" as the TPU rendering of the reference's
+  stdout instrumentation): capture a device trace around any solve and
+  label regions so factorizations/refinements are identifiable in the
+  trace viewer (tensorboard / xprof).
 """
 
 from __future__ import annotations
@@ -130,3 +135,29 @@ def nan_debug(enable: bool = True):
         yield
     finally:
         jax.config.update("jax_debug_nans", prev)
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str):
+    """Capture a jax.profiler device trace around a block.
+
+    Usage::
+
+        with diag.profile_trace("/tmp/lp-trace"):
+            res = pdas(state, cfg)
+            float(res.objective)   # fetch inside the trace so device
+                                   # execution is captured, not just dispatch
+
+    The trace directory is tensorboard/xprof-compatible.  This is the
+    profiling story SURVEY.md §5 calls for next to the structured
+    per-iteration metrics (record_trace buffers).
+    """
+    with jax.profiler.trace(logdir):
+        yield
+
+
+def annotate(name: str):
+    """Named region for the profiler timeline (TraceAnnotation): wrap a
+    host-side region that dispatches device work so it shows up labeled
+    in the captured trace."""
+    return jax.profiler.TraceAnnotation(name)

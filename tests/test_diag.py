@@ -60,3 +60,26 @@ def test_nan_debug_toggles():
     with diag.nan_debug(True):
         assert jax.config.jax_debug_nans is True
     assert jax.config.jax_debug_nans == before
+
+
+class TestProfiler:
+    def test_profile_trace_writes_a_trace(self, tmp_path):
+        import os
+
+        import jax.numpy as jnp
+
+        from cholesky_is_magic_tpu.ops import dense as dense_ops
+        from cholesky_is_magic_tpu.utils import diag
+
+        logdir = str(tmp_path / "trace")
+        A = jnp.ones((8, 16), jnp.float32)
+        d = jnp.ones(16, jnp.float32)
+        g = jnp.ones(8, jnp.float32)
+        with diag.profile_trace(logdir):
+            with diag.annotate("solve_normal"):
+                y, ok = dense_ops.solve_normal(A, d, g)
+                float(y[0])
+        found = []
+        for root, _dirs, files in os.walk(logdir):
+            found.extend(files)
+        assert found, "profiler trace directory is empty"

@@ -8,16 +8,18 @@ dense A alone would be 2.1 GB):
   phase 2: the double-word finisher from mu-recentered warm duals.
 
 Measured on v5e (2026-08): phase 1 reaches `optimal` (gap 8.4e-5, primal
-residual 4.9e-4) in 39 iterations / 802 ms warm; phase 2 floors at gap
-3.6e-6 after 71 iterations / 4.2 s, objective matching HiGHS to 3.6e-6
-relative.  Context: HiGHS (host dual simplex) solves the same instance
-in ~0.7 s — at this scale the per-iteration factor+solve is 15.8x faster
-than the host sparse oracle (24 ms vs 380 ms splu), but simplex needs no
+residual 4.9e-4) in 39 iterations / 802 ms warm; phase 2 with the
+Krylov-refined solves (krylov_steps=8, ops.krylov) reaches gap 1.28e-7
+in 100 iterations — the plain Richardson-refined run floors at 3.55e-6,
+because kappa(N) has crossed the f32 Richardson wall at this scale
+(docs/DEVNOTES.md "The Richardson wall and the Krylov escape"); at
+m=8192 the same switch moves the floor 2.1e-6 -> 1.0e-7.  Context:
+HiGHS (host dual simplex) solves the same instance in ~0.7 s — at this
+scale the per-iteration factor+solve is 15.8x faster than the host
+sparse oracle (24 ms vs 380 ms splu), but simplex needs no
 iterations-to-gap tradeoff; the TPU pipeline's advantage compounds in
-batched/warm-started settings (re-solves amortize the 48 s analysis and
-the compile).  The f32 tight-gap floor grows with conditioning at this
-scale (the dd solver reaches 1.7e-10 at m=1536); a split-scaled
-factorization is the known next lever (PARITY.md).
+batched/warm-started settings (re-solves amortize the one-time symbolic
+analysis and the compile).
 
 Run: python examples/at_scale_sparse.py [m]
 """
@@ -138,7 +140,11 @@ def main(m: int = 16384):
     to_dd = lambda v: ddm.dd_from(jnp.asarray(v, jnp.float32))
     st2 = PDASDDState(x=to_dd(p1.x), y=to_dd(p1.extra["y"]), w=to_dd(w),
                       z=to_dd(z), lp=st.lp)
-    cfg2 = PDASConfig(max_iters=100, gap_tol=1e-9, refine_steps=2)
+    # krylov_steps: flexible-PCG refinement (ops.krylov) — past the
+    # Richardson wall the f32-factor-preconditioned CG keeps converging;
+    # measured here it moves the phase-2 floor from gap ~2e-6 to ~1e-7.
+    cfg2 = PDASConfig(max_iters=100, gap_tol=1e-9, refine_steps=2,
+                      krylov_steps=8)
     r = pdas_dd(st2, cfg2, engine=eng)
     float(r.extra["gap"])
     t0 = time.time()

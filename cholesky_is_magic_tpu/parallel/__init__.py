@@ -25,6 +25,7 @@ from cholesky_is_magic_tpu.parallel.batched import (
     shard_batched_pdas,
     batched_pdas,
     batched_affine,
+    batched_normal_solves,
 )
 from cholesky_is_magic_tpu.parallel.sharded import (
     shard_lp_columns,
@@ -39,6 +40,7 @@ __all__ = [
     "shard_batched_pdas",
     "batched_pdas",
     "batched_affine",
+    "batched_normal_solves",
     "shard_lp_columns",
     "sharded_solve_normal",
     "sharded_prepare_normal",

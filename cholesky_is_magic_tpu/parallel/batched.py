@@ -70,3 +70,47 @@ def shard_batched_pdas(states: PDASState, mesh: Mesh) -> PDASState:
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree.map(shard, states)
+
+
+def batched_normal_solves(
+    engine,
+    E,
+    ET,
+    D: jax.Array,
+    G: jax.Array,
+    mesh: Optional[Mesh] = None,
+    refine_steps: int = 1,
+    dbound: float = 0.0,
+    krylov_steps: int = 0,
+):
+    """Batch of same-pattern fully sparse normal solves, vmapped over the
+    scale vectors: y_i solves (A·diag(D_i))(A·diag(D_i))ᵀ y_i = G_i.
+
+    The serving primitive for scenario sweeps / warm re-solves: one LP
+    pattern (one symbolic analysis, one compile), many value sets — the
+    pair-schedule assembly, tile factorization, triangular solves, and dd
+    refinement all batch cleanly because the schedule is static.  With
+    ``mesh`` the batch dimension is sharded over 'dp' (independent
+    problems, zero cross-chip communication).  Returns (Y, ok) with
+    leading batch dimension.
+    """
+    if mesh is not None:
+        def shard(leaf):
+            return jax.device_put(
+                leaf, NamedSharding(mesh, P("dp", *([None] * (leaf.ndim - 1))))
+            )
+
+        D, G = shard(D), shard(G)
+
+    @highest_precision
+    @jax.jit
+    def run(D, G):
+        def one(d, g):
+            return engine.solve_normal_ell(
+                E, ET, d, g, refine_steps=refine_steps, dbound=dbound,
+                krylov_steps=krylov_steps,
+            )
+
+        return jax.vmap(one)(D, G)
+
+    return run(D, G)

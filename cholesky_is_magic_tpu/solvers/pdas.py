@@ -107,16 +107,43 @@ class PDASState:
     lp: DeviceLP  # with clamped/widened bounds and equilibrated (A, b)
 
 
+def push_interior(x, l, u, mask, delta):
+    """Pull x at least ``delta`` inside [l, u] (absolute, capped at the
+    interval width; intervals narrower than 2*delta center).
+
+    The IPM warm-start push: a warm point from a NEARBY LP sits jammed
+    against the old active set (slacks ~gap), where Newton-only steps
+    stall — the ratio tests cap every step by slack/|dx|.  Re-opening the
+    slacks to ~delta restores a centered-enough start; the cost on a
+    same-LP continuation is a few extra iterations (measured: +4 at
+    delta=1e-2), the gain on a perturbed re-solve is convergence at all
+    (measured: 2%-drifted objective, delta=0 stalls at gap 3e-2;
+    delta=1e-2 reaches 7e-9 in 2/3 of the cold iteration count; over a
+    chain of five 2%-drift re-solves delta=3e-2 converges every step
+    where 1e-2 stalls once — size the push to the perturbation).
+    """
+    margin = delta * jnp.minimum(1.0, u - l)
+    xi = jnp.clip(x, l + margin, u - margin)
+    xi = jnp.where(u - l < 2 * margin, 0.5 * (l + u), xi)
+    return jnp.where(mask, xi, x)
+
+
 def make_pdas(
     lp: DeviceLP,
     config: Optional[PDASConfig] = None,
     warm: Optional["PDASState"] = None,
+    warm_push: float = 0.0,
 ) -> PDASState:
     """Construct the primal-dual state (make-pdas, :75-133).
 
     ``warm`` restarts from a prior state's iterates (x, y, w, z) — e.g. a
     checkpoint (utils.checkpoint) or the solution of a nearby LP — while
     rebuilding the equilibrated problem data from ``lp``.
+
+    ``warm_push`` > 0 re-opens the warm iterate's bound slacks to at
+    least that margin (push_interior) — use ~1e-2 when the warm point
+    solves a *different* (perturbed) instance; leave 0 when continuing
+    the same LP (e.g. the pdas -> pdas_dd finisher flow).
     """
     cfg = config or PDASConfig()
     mask = lp.col_mask
@@ -161,7 +188,10 @@ def make_pdas(
 
     new_lp = dataclasses.replace(lp, A=A, b=b, l=l, u=u)
     if warm is not None:
-        x = _into_interior(warm.x, l, u, mask)
+        wx = warm.x
+        if warm_push > 0.0:
+            wx = push_interior(wx, l, u, mask, warm_push)
+        x = _into_interior(wx, l, u, mask)
         return PDASState(
             x=x,
             y=warm.y,

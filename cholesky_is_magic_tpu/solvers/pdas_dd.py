@@ -67,6 +67,7 @@ def make_pdas_dd(
     config: Optional[PDASConfig] = None,
     warm=None,
     recenter_duals: bool = True,
+    warm_push: float = 0.0,
 ) -> PDASDDState:
     """Promote the standard f32 initialization to double-word.
 
@@ -85,6 +86,16 @@ def make_pdas_dd(
     puts the start on the central path — the standard IPM warm-start
     recipe.  Measured on afiro/f32: diverging warm start -> gap 1.7e-10
     in 17 iterations.
+
+    ``warm_push`` (warm starts only): re-open the warm iterate's bound
+    slacks to at least this margin before recentering
+    (solvers.pdas.push_interior).  Required (~1e-2) when the warm point
+    comes from a *perturbed* instance of the LP — this solver is
+    Newton-only, and a point jammed on a now-wrong active set stalls the
+    ratio tests (measured: 2%-drifted c, push 0 stalls at gap 3e-2; push
+    1e-2 converges in 2/3 of the cold iteration count).  Leave 0 for
+    same-LP continuations (the pdas -> pdas_dd finisher flow), where the
+    push only costs iterations.
     """
     from cholesky_is_magic_tpu.solvers.result import SolveResult
 
@@ -93,7 +104,7 @@ def make_pdas_dd(
             x=warm.x, y=warm.extra["y"], w=warm.extra["w"], z=warm.extra["z"],
             lp=None,
         )
-    st = make_pdas(lp, config, warm=warm)
+    st = make_pdas(lp, config, warm=warm, warm_push=warm_push)
     w, z = st.w, st.z
     if warm is not None and recenter_duals:
         w, z = mu_recentered_duals(st.x, st.lp.l, st.lp.u, w, z, st.lp.col_mask)

@@ -70,6 +70,31 @@ class TestCheckpoint:
         assert int(res2.iterations) <= int(res1.iterations)
         assert float(res2.objective) == pytest.approx(-7.0, abs=1e-3)
 
+    def test_warm_push_resolve_perturbed_instance(self):
+        """Cross-instance warm start (the serving re-solve pattern): a 2%
+        objective drift moves the optimum; warm-starting pdas_dd from the
+        old optimum WITHOUT re-opening the slacks stalls on the old
+        active set, with warm_push it converges faster than cold."""
+        import dataclasses
+
+        from cholesky_is_magic_tpu.solvers.pdas_dd import make_pdas_dd, pdas_dd
+
+        rng = np.random.default_rng(7)
+        ineq = random_lp(5, n_ub=48, n_eq=12, n=96, density=0.15)
+        sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+        lp = to_device_lp(sf, pad_multiple=64, dtype=jnp.float32)
+        cfg = PDASConfig(gap_tol=1e-8, max_iters=200, refine_steps=2)
+        res = pdas_dd(make_pdas_dd(lp), cfg)
+        assert float(res.extra["gap"]) < 1e-8
+
+        c = np.asarray(lp.c)
+        drift = 1.0 + 0.02 * rng.standard_normal(c.shape).astype(c.dtype)
+        lp2 = dataclasses.replace(lp, c=jnp.asarray(c * drift))
+        warm = pdas_dd(make_pdas_dd(lp2, warm=res, warm_push=1e-2), cfg)
+        assert float(warm.extra["gap"]) < 1e-8
+        cold = pdas_dd(make_pdas_dd(lp2), cfg)
+        assert int(warm.iterations) < int(cold.iterations)
+
 
 class TestSparseALM:
     def test_ell_alm_matches_dense(self):

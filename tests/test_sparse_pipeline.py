@@ -192,3 +192,44 @@ class TestSparseAffine:
         assert float(res.objective) == pytest.approx(
             -464.75314285714285, rel=1e-4
         )
+
+
+class TestBatchedSparseSolves:
+    def test_vmapped_ell_solves_match_singles(self):
+        """Same-pattern batched normal solves (the serving primitive):
+        one engine/schedule, vmapped over scale vectors; sharded over
+        'dp' on the virtual mesh."""
+        import scipy.sparse as sp
+
+        from cholesky_is_magic_tpu.ops import sparse_ops
+        from cholesky_is_magic_tpu.parallel import lp_mesh
+        from cholesky_is_magic_tpu.parallel.batched import batched_normal_solves
+        from cholesky_is_magic_tpu.sparse.tiled import engine_for_sparse
+
+        rng = np.random.default_rng(3)
+        m, band = 192, 6
+        n = 2 * m
+        rows, cols, vals = [], [], []
+        for i in range(m):
+            for k in range(band):
+                rows.append(i)
+                cols.append((2 * i + k) % n)
+                vals.append(rng.normal())
+        A = sp.csc_matrix((vals, (rows, cols)), shape=(m, n))
+        eng = engine_for_sparse(A, block=64)
+        coo = A.tocoo()
+        E = sparse_ops.from_coo(coo.row, coo.col,
+                                coo.data.astype(np.float32), (m, n))
+        ET = sparse_ops.from_coo(coo.col, coo.row,
+                                 coo.data.astype(np.float32), (n, m))
+        B = 8
+        D = jnp.asarray(rng.random((B, n)) + 0.5, jnp.float32)
+        G = jnp.asarray(rng.normal(size=(B, m)), jnp.float32)
+        mesh = lp_mesh(dp=8, tp=1)
+        Y, ok = batched_normal_solves(eng, E, ET, D, G, mesh=mesh,
+                                      refine_steps=1)
+        assert bool(jnp.all(ok))
+        for i in range(B):
+            y1, ok1 = eng.solve_normal_ell(E, ET, D[i], G[i], refine_steps=1)
+            np.testing.assert_allclose(np.asarray(Y[i]), np.asarray(y1),
+                                       rtol=1e-5, atol=1e-6)

@@ -32,6 +32,16 @@ from cholesky_is_magic_tpu.ingest.standard_form import (
     rescale_sf,
 )
 
+
+def solve(problem, solver="pdas", **kwargs):
+    """Solve an LP end-to-end (lazy re-export of :func:`api.solve`, kept
+    lazy so ``import cholesky_is_magic_tpu`` stays jax-free for pure
+    ingest use)."""
+    from cholesky_is_magic_tpu.api import solve as _solve
+
+    return _solve(problem, solver, **kwargs)
+
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -41,4 +51,5 @@ __all__ = [
     "StandardForm",
     "to_standard_form",
     "rescale_sf",
+    "solve",
 ]

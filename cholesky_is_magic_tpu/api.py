@@ -1,0 +1,230 @@
+"""One-call library front door: ``solve(problem) -> SolveReport``.
+
+The reference is driven interactively — load the files, call
+``affine-scaling`` / ``pdas`` / ``alm`` by hand on a ``standard-form``
+(SURVEY.md §1 "user REPL").  This module is the programmatic equivalent for
+library users; ``__main__`` is the same dispatch behind a command line.
+
+``solve`` accepts an MPS path, an :class:`~cholesky_is_magic_tpu.MPSData`,
+or a :class:`~cholesky_is_magic_tpu.StandardForm`, runs the chosen solver
+family, and returns a :class:`SolveReport` carrying
+
+- ``summary`` — the solver-family-specific scalar metrics (objective, gap,
+  iterations, ...);
+- ``result`` — the raw solver result (``SolveResult`` / ``ALMResult`` /
+  ``ApproxResult``) with every diagnostic the solver recorded;
+- ``solution`` — the standard-form solution split back into the original
+  MPS variables and slacks (``ingest.extract_solution``), with the
+  original-sense objective.
+
+Solver names match the reference's drivers: ``affine``
+(affine-scaling.lisp:265), ``pdas`` (primal-dual-affine-scaling.lisp:385),
+``pdas_dd`` (the two-phase tight-gap flow: pdas to its native 1e-4 gap,
+then the double-word finisher), ``alm`` (alm-approx.lisp:539), and
+``selfdual`` (approx.lisp:195's self-dual APPROX form).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Union
+
+
+@dataclasses.dataclass
+class SolveReport:
+    """What :func:`solve` returns."""
+
+    solver: str
+    status: str
+    objective: float  # original-sense objective (obj_sign applied)
+    summary: dict  # solver-family scalar metrics (the CLI's output dict)
+    result: Any  # raw solver result object
+    sf: Any  # the StandardForm that was solved
+    solution: dict  # extract_solution(sf, result.x): x, slacks, objective
+
+
+def _to_standard_form(problem, rescale: bool):
+    import cholesky_is_magic_tpu as cim
+    from cholesky_is_magic_tpu.ingest.mps import MPSData
+    from cholesky_is_magic_tpu.ingest.standard_form import StandardForm
+
+    if isinstance(problem, StandardForm):
+        sf = problem
+    elif isinstance(problem, MPSData):
+        sf = cim.to_standard_form(problem)
+    elif isinstance(problem, str):
+        sf = cim.to_standard_form(cim.read_mps_file(problem))
+    else:
+        raise TypeError(
+            f"problem must be a path, MPSData, or StandardForm; got {type(problem)}"
+        )
+    if rescale:
+        cim.rescale_sf(sf)
+    return sf
+
+
+def solve(
+    problem: Union[str, "MPSData", "StandardForm"],  # noqa: F821
+    solver: str = "pdas",
+    *,
+    sparse: bool = False,
+    dtype=None,
+    rescale: bool = False,
+    pad_multiple: int = 128,
+    block: int = 128,
+    max_iters: int = 500,
+    refine_steps: int = 1,
+    gap_tol: Optional[float] = None,
+    krylov_steps: int = 0,
+    record_trace: bool = False,
+) -> SolveReport:
+    """Solve an LP end-to-end with any solver family.
+
+    ``sparse=True`` runs the fully sparse pipeline (ELL operands +
+    pair-schedule tile engine; affine/pdas/pdas_dd only) — no dense A is
+    ever materialized on device.  ``gap_tol`` applies to the gap-driven
+    solvers (pdas: default 1e-4 as the reference's stop,
+    primal-dual-affine-scaling.lisp:394; pdas_dd finisher: default 1e-9).
+    ``krylov_steps`` > 0 switches refinement to flexible PCG
+    (ops.krylov) for ill-conditioned end-games.
+    """
+    import jax.numpy as jnp
+
+    from cholesky_is_magic_tpu.ingest import to_device_lp
+    from cholesky_is_magic_tpu.ingest.standard_form import extract_solution
+
+    if dtype is None:
+        dtype = jnp.float32
+    sf = _to_standard_form(problem, rescale)
+    if sparse and solver not in ("affine", "pdas", "pdas_dd"):
+        raise ValueError("sparse=True supports solver affine, pdas, or pdas_dd")
+    lp = None if sparse else to_device_lp(sf, pad_multiple=pad_multiple, dtype=dtype)
+
+    if solver == "affine":
+        from cholesky_is_magic_tpu.solvers import (
+            AffineConfig,
+            affine_scaling,
+            make_affine_state,
+        )
+
+        cfg = AffineConfig(
+            max_iters=max_iters, refine_steps=refine_steps,
+            record_trace=record_trace,
+        )
+        if sparse:
+            from cholesky_is_magic_tpu.solvers.affine import make_affine_state_sparse
+
+            st, engine = make_affine_state_sparse(sf, block=block, dtype=dtype)
+            res = affine_scaling(st, cfg, engine=engine)
+        else:
+            res = affine_scaling(make_affine_state(lp), cfg)
+        summary = dict(
+            status=res.status_name, objective=float(res.objective),
+            iterations=int(res.iterations), residual=float(res.residual_norm),
+        )
+    elif solver == "pdas":
+        from cholesky_is_magic_tpu.solvers import PDASConfig, make_pdas, pdas
+
+        kw = {} if gap_tol is None else {"gap_tol": gap_tol}
+        cfg = PDASConfig(
+            max_iters=max_iters, refine_steps=refine_steps,
+            krylov_steps=krylov_steps, record_trace=record_trace, **kw,
+        )
+        if sparse:
+            from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse
+
+            st, engine = make_pdas_sparse(sf, block=block, dtype=dtype)
+            res = pdas(st, cfg, engine=engine)
+        else:
+            res = pdas(make_pdas(lp), cfg)
+        summary = dict(
+            status=res.status_name, objective=float(res.objective),
+            dual_objective=float(res.extra["dual_objective"]),
+            gap=float(res.extra["gap"]), iterations=int(res.iterations),
+            residual=float(res.residual_norm),
+        )
+    elif solver == "pdas_dd":
+        from cholesky_is_magic_tpu.solvers import PDASConfig, make_pdas, pdas
+
+        cfg1 = PDASConfig(
+            max_iters=max_iters, refine_steps=max(refine_steps, 2),
+        )
+        cfg2 = PDASConfig(
+            max_iters=max_iters, gap_tol=1e-9 if gap_tol is None else gap_tol,
+            refine_steps=max(refine_steps, 2), krylov_steps=krylov_steps,
+            record_trace=record_trace,
+        )
+        if sparse:
+            from cholesky_is_magic_tpu.ops import dd as ddm
+            from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse
+            from cholesky_is_magic_tpu.solvers.pdas_dd import (
+                PDASDDState,
+                mu_recentered_duals,
+                pdas_dd,
+            )
+
+            st, engine = make_pdas_sparse(sf, block=block, dtype=dtype)
+            phase1 = pdas(st, cfg1, engine=engine)
+            w, z = mu_recentered_duals(
+                phase1.x, st.lp.l, st.lp.u, phase1.extra["w"],
+                phase1.extra["z"], st.lp.col_mask,
+            )
+            to_dd = lambda v: ddm.dd_from(jnp.asarray(v, dtype))
+            st2 = PDASDDState(
+                x=to_dd(phase1.x), y=to_dd(phase1.extra["y"]),
+                w=to_dd(w), z=to_dd(z), lp=st.lp,
+            )
+            res = pdas_dd(st2, cfg2, engine=engine)
+        else:
+            from cholesky_is_magic_tpu.solvers.pdas_dd import make_pdas_dd, pdas_dd
+
+            phase1 = pdas(make_pdas(lp), cfg1)
+            res = pdas_dd(make_pdas_dd(lp, warm=phase1), cfg2)
+        summary = dict(
+            status=res.status_name, objective=float(res.objective),
+            dual_objective=float(res.extra["dual_objective"]),
+            gap=float(res.extra["gap"]), iterations=int(res.iterations),
+            residual=float(res.residual_norm),
+        )
+    elif solver == "alm":
+        from cholesky_is_magic_tpu.solvers import alm, make_alm
+        from cholesky_is_magic_tpu.solvers.alm import ALMConfig
+
+        res = alm(
+            make_alm(lp),
+            config=ALMConfig(max_outer=max_iters, record_trace=record_trace),
+        )
+        summary = dict(
+            status="optimal" if float(res.violation) < 1e-4 else "max_iters",
+            value=float(res.value), violation=float(res.violation),
+            pg=float(res.pg), outer_iterations=int(res.outer_iterations),
+            inner_iterations=int(res.inner_iterations),
+        )
+    elif solver == "selfdual":
+        import numpy as np
+
+        from cholesky_is_magic_tpu.solvers.approx import approx, make_approx_selfdual
+
+        prob = make_approx_selfdual(
+            lp, complementarity=True, pad_multiple=pad_multiple
+        )
+        res = approx(prob, 1_000_000, accuracy=1e-9)
+        x = np.asarray(res.x)[: lp.n]
+        summary = dict(
+            status="optimal" if float(res.pg) < 1e-6 else "max_iters",
+            objective=float(x @ np.asarray(lp.c)[: lp.n]),
+            pg=float(res.pg), iterations=int(res.iterations),
+        )
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
+
+    solution = extract_solution(sf, res.x)
+    return SolveReport(
+        solver=solver,
+        status=summary.get("status", "?"),
+        objective=solution["objective"],
+        summary=summary,
+        result=res,
+        sf=sf,
+        solution=solution,
+    )

@@ -66,6 +66,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64, i64p,
             ctypes.c_int64, u8p,
         ]
+    if hasattr(lib, "cim_pair_schedule"):  # older .so may lack it
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.cim_pair_schedule.argtypes = [
+            ctypes.c_int64, i64p, i64p, f64p, i64p, ctypes.c_int64, i64p,
+            ctypes.c_int64, f64p, i64p, i64p,
+        ]
+        lib.cim_pair_schedule.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -147,6 +154,45 @@ def block_mask_slots(
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
     )
     return mask.astype(bool)
+
+
+def pair_schedule(
+    A_csc: sp.csc_matrix,
+    slot_of: np.ndarray,
+    b: int,
+    tilemap: np.ndarray,
+):
+    """Assembly pair schedule (see cim_pair_schedule / TiledCholesky.
+    build_ell_assembly).  Returns (ws, ks, dst) unsorted, or None when the
+    native library is unavailable.  Raises if a pair lands outside the
+    resident tile set (mirrors the Python path's assertion)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "cim_pair_schedule"):
+        return None
+    C = sp.csc_matrix(A_csc)
+    C.sort_indices()
+    indptr = np.ascontiguousarray(C.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(C.indices, dtype=np.int64)
+    data = np.ascontiguousarray(C.data, dtype=np.float64)
+    slot_of = np.ascontiguousarray(slot_of, dtype=np.int64)
+    tilemap = np.ascontiguousarray(tilemap, dtype=np.int64)
+    B = tilemap.shape[0]
+    nnz_k = np.diff(indptr)
+    cap = int(2 * (nnz_k * (nnz_k + 1) // 2).sum())
+    cap = max(cap, 1)
+    ws = np.empty(cap, dtype=np.float64)
+    ks = np.empty(cap, dtype=np.int64)
+    dst = np.empty(cap, dtype=np.int64)
+    cnt = lib.cim_pair_schedule(
+        C.shape[1], _ptr(indptr), _ptr(indices),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        _ptr(slot_of), b, _ptr(tilemap), B,
+        ws.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        _ptr(ks), _ptr(dst),
+    )
+    if cnt < 0:
+        raise AssertionError("N entry outside the resident tile set")
+    return ws[:cnt], ks[:cnt], dst[:cnt]
 
 
 def block_mask(N: sp.spmatrix, parent: np.ndarray, block: int):

@@ -414,8 +414,12 @@ class TiledCholesky:
         Pair count is Σ_k nnz_k(nnz_k+1)/2 — O(nnz·avg column count), the
         same work CHOLMOD's cholmod_aat does once per pattern.  Every pair
         lands in a resident tile (the mask contains tril(N) by
-        construction)."""
+        construction).  The enumeration runs in C++ when available
+        (native/symbolic.cpp cim_pair_schedule) with this Python loop as
+        the fallback."""
         import scipy.sparse as sp
+
+        from cholesky_is_magic_tpu.sparse import native
 
         if dtype is None:
             dtype = jnp.float32
@@ -429,31 +433,36 @@ class TiledCholesky:
         tilemap = np.full((B, B), -1, np.int64)
         for t, (i, j) in enumerate(self.tiles):
             tilemap[i, j] = t
-        ws, ks, dst = [], [], []
-        for k in range(A_csc.shape[1]):
-            lo, hi = A_csc.indptr[k], A_csc.indptr[k + 1]
-            rows = A_csc.indices[lo:hi]
-            vals = A_csc.data[lo:hi]
-            slots = slot_of[rows]
-            for a in range(len(rows)):
-                for c in range(a + 1):
-                    sa, sc = int(slots[a]), int(slots[c])
-                    shi, slo_ = (sa, sc) if sa >= sc else (sc, sa)
-                    t = tilemap[shi // b, slo_ // b]
-                    assert t >= 0, "N entry outside the resident tile set"
-                    w = vals[a] * vals[c]
-                    ws.append(w)
-                    ks.append(k)
-                    dst.append(t * b * b + (shi % b) * b + (slo_ % b))
-                    if shi != slo_ and shi // b == slo_ // b:
-                        # jnp.linalg.cholesky reads the FULL tile: mirror
-                        # off-diagonal elements inside diagonal tiles.
+        sched = native.pair_schedule(A_csc, slot_of, b, tilemap)
+        if sched is not None:
+            ws, ks, dst = sched
+            ks = ks.astype(np.int32)
+        else:
+            ws, ks, dst = [], [], []
+            for k in range(A_csc.shape[1]):
+                lo, hi = A_csc.indptr[k], A_csc.indptr[k + 1]
+                rows = A_csc.indices[lo:hi]
+                vals = A_csc.data[lo:hi]
+                slots = slot_of[rows]
+                for a in range(len(rows)):
+                    for c in range(a + 1):
+                        sa, sc = int(slots[a]), int(slots[c])
+                        shi, slo_ = (sa, sc) if sa >= sc else (sc, sa)
+                        t = tilemap[shi // b, slo_ // b]
+                        assert t >= 0, "N entry outside the resident tile set"
+                        w = vals[a] * vals[c]
                         ws.append(w)
                         ks.append(k)
-                        dst.append(t * b * b + (slo_ % b) * b + (shi % b))
-        ws = np.asarray(ws, np.float64)
-        ks = np.asarray(ks, np.int32)
-        dst = np.asarray(dst, np.int64)
+                        dst.append(t * b * b + (shi % b) * b + (slo_ % b))
+                        if shi != slo_ and shi // b == slo_ // b:
+                            # jnp.linalg.cholesky reads the FULL tile:
+                            # mirror off-diagonals inside diagonal tiles.
+                            ws.append(w)
+                            ks.append(k)
+                            dst.append(t * b * b + (slo_ % b) * b + (shi % b))
+            ws = np.asarray(ws, np.float64)
+            ks = np.asarray(ks, np.int32)
+            dst = np.asarray(dst, np.int64)
         order = np.argsort(dst, kind="stable")
         self.asm_w = jnp.asarray(ws[order], dtype)
         self.asm_k = jnp.asarray(ks[order])

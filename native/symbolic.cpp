@@ -172,6 +172,53 @@ void cim_block_mask(int64_t n, const int64_t* indptr, const int64_t* indices,
   }
 }
 
+// Pair schedule for O(nnz) device-side normal-equation assembly
+// (TiledCholesky.build_ell_assembly): N = (A D)(A D)^T expands as
+// N[p, q] = sum_k A[p,k] A[q,k] d_k^2; for every column k of A (CSC) and
+// every unordered row pair sharing it, emit
+//   weight = A[p,k]*A[q,k], source column k, and the flat destination in
+//   the compact tile array: t*b*b + (shi%b)*b + (slo%b)
+// where (shi, slo) are the pair's slot indices (slot_of[] maps matrix row
+// -> supernode-aligned slot) and t = tilemap[shi/b, slo/b] (row-major,
+// -1 = non-resident).  Off-diagonal entries inside DIAGONAL tiles are
+// mirrored (device cholesky reads the full tile).  Returns the entry
+// count, or -1 if any pair lands outside the resident tile set (the
+// Python caller's assertion analog).  Caller allocates ws/ks/dst with
+// capacity 2 * sum_k nnz_k (nnz_k + 1) / 2.
+int64_t cim_pair_schedule(int64_t ncols, const int64_t* indptr,
+                          const int64_t* indices, const double* data,
+                          const int64_t* slot_of, int64_t b,
+                          const int64_t* tilemap, int64_t B,
+                          double* ws, int64_t* ks, int64_t* dst) {
+  int64_t cnt = 0;
+  for (int64_t k = 0; k < ncols; ++k) {
+    int64_t lo = indptr[k], hi = indptr[k + 1];
+    for (int64_t a = lo; a < hi; ++a) {
+      int64_t sa = slot_of[indices[a]];
+      double va = data[a];
+      for (int64_t c = lo; c <= a; ++c) {
+        int64_t sc = slot_of[indices[c]];
+        int64_t shi = sa >= sc ? sa : sc;
+        int64_t slo = sa >= sc ? sc : sa;
+        int64_t t = tilemap[(shi / b) * B + (slo / b)];
+        if (t < 0) return -1;
+        double w = va * data[c];
+        ws[cnt] = w;
+        ks[cnt] = k;
+        dst[cnt] = t * b * b + (shi % b) * b + (slo % b);
+        ++cnt;
+        if (shi != slo && shi / b == slo / b) {
+          ws[cnt] = w;
+          ks[cnt] = k;
+          dst[cnt] = t * b * b + (slo % b) * b + (shi % b);
+          ++cnt;
+        }
+      }
+    }
+  }
+  return cnt;
+}
+
 // Slot-grid variant of cim_block_mask: tile of element i is
 // slots[i] / block, where slots[] is the (gapped) supernode-aligned slot
 // assignment from pack_supernodes.  out_mask is row-major (B x B), B given

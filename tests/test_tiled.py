@@ -218,6 +218,29 @@ class TestELLPath:
             np.asarray(t_pairs), np.asarray(t_dense), rtol=1e-12, atol=1e-13
         )
 
+    def test_native_pair_schedule_matches_python(self, monkeypatch):
+        """cim_pair_schedule enumerates columns/pairs in the same order as
+        the Python fallback, so the schedules must be identical arrays."""
+        from cholesky_is_magic_tpu.sparse import native
+        from cholesky_is_magic_tpu.sparse.tiled import engine_for_sparse
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        A, _, _ = self._problem(seed=12)
+        eng_nat = engine_for_sparse(A, block=16, dtype=jnp.float64)
+        monkeypatch.setattr(
+            "cholesky_is_magic_tpu.sparse.native.pair_schedule",
+            lambda *a, **k: None,
+        )
+        eng_py = engine_for_sparse(A, block=16, dtype=jnp.float64)
+        assert eng_nat.n_pairs == eng_py.n_pairs
+        np.testing.assert_array_equal(np.asarray(eng_nat.asm_dst_flat),
+                                      np.asarray(eng_py.asm_dst_flat))
+        np.testing.assert_array_equal(np.asarray(eng_nat.asm_k),
+                                      np.asarray(eng_py.asm_k))
+        np.testing.assert_array_equal(np.asarray(eng_nat.asm_w),
+                                      np.asarray(eng_py.asm_w))
+
     def test_solve_normal_ell_matches_dense(self):
         from cholesky_is_magic_tpu.ops import sparse_ops
         from cholesky_is_magic_tpu.ops.dense import solve_normal

@@ -17,7 +17,11 @@ Four contenders; the reported ratio is strongest-host / strongest-TPU:
 
 Timing notes: on the axon TPU tunnel, block_until_ready() returns before
 device execution completes, so we chain K data-dependent iterations inside
-one jit, fetch a scalar (which does wait), and subtract the measured RTT.
+one jit and fetch a scalar (which does wait).  The per-iteration time is
+the TWO-K DIFFERENCE (t(2K) - t(K)) / K, which cancels every fixed
+per-call overhead (tunnel RTT, dispatch, transfer) exactly — a separate
+RTT probe under-corrects by whatever the loop's own launch costs, which
+at sub-ms per-iteration scales was a 30-60% error.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
@@ -27,7 +31,7 @@ import time
 
 import numpy as np
 
-K = 64  # chained iterations per timed run (amortizes ~25ms tunnel RTT noise)
+K = 64  # base chained-iteration count; timed at K and 2K, difference used
 REPS = 5
 
 
@@ -83,55 +87,43 @@ def tpu_times_ms(sf, lp) -> dict:
 
     def timed(solve, d0=d0, g0=g0):
         @jax.jit
-        def loop(d0, g0):
+        def loop(d0, g0, k):
             # Data-dependent d so no two iterations can be CSE'd; mimics
-            # the slack vector changing between IPM iterations.
+            # the slack vector changing between IPM iterations.  The trip
+            # count k is a TRACED argument (lowers to while_loop), so one
+            # compile serves both K and 2K runs.
             def body(i, carry):
                 acc, g = carry
                 d = d0 * (1.0 + 1e-6 * acc)
                 y, ok = solve(d, g)
                 return acc + y[0], g + 1e-6 * y
 
-            acc, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0.0), g0))
+            acc, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), g0))
             return acc
 
         # Full-f32 MXU passes: default bf16 matmuls are numerically
         # unusable for the normal equations (see utils/precision.py).
+        totals = {}
         with jax.default_matmul_precision("highest"):
-            float(loop(d0, g0))  # compile
-            ts = []
-            for _ in range(REPS):
-                t = time.time()
-                float(loop(d0, g0))
-                ts.append(time.time() - t)
-        return min(ts) * 1e3 / K
+            float(loop(d0, g0, jnp.int32(K)))  # compile
+            for k in (K, 2 * K):
+                ts = []
+                for _ in range(REPS):
+                    t = time.time()
+                    float(loop(d0, g0, jnp.int32(k)))
+                    ts.append(time.time() - t)
+                totals[k] = min(ts)
+        return (totals[2 * K] - totals[K]) * 1e3 / K
 
-    @jax.jit
-    def rtt_probe(x):
-        return jnp.sum(x[:2, :2])
-
-    float(rtt_probe(A))
-    rtts = []
-    for _ in range(REPS):
-        t = time.time()
-        float(rtt_probe(A))
-        rtts.append(time.time() - t)
-    rtt_ms = min(rtts) * 1e3
-
-    dense_ms = (
-        timed(lambda d, g: dense_ops.solve_normal(A, d, g, row_boost=boost, refine_steps=1))
-        - rtt_ms / K
+    dense_ms = timed(
+        lambda d, g: dense_ops.solve_normal(A, d, g, row_boost=boost, refine_steps=1)
     )
-    tiled_ms = (
-        timed(lambda d, g: eng.solve_normal(A, d, g, row_boost=boost, refine_steps=1))
-        - rtt_ms / K
+    tiled_ms = timed(
+        lambda d, g: eng.solve_normal(A, d, g, row_boost=boost, refine_steps=1)
     )
-    sparse_ms = (
-        timed(
-            lambda d, g: eng_s.solve_normal_ell(E, ET, d, g, refine_steps=1),
-            d0=ds0, g0=gs0,
-        )
-        - rtt_ms / K
+    sparse_ms = timed(
+        lambda d, g: eng_s.solve_normal_ell(E, ET, d, g, refine_steps=1),
+        d0=ds0, g0=gs0,
     )
     return {
         "tpu_dense": max(dense_ms, 1e-6),

@@ -351,8 +351,20 @@ def analyze(
         # Best-of orderings, CHOLMOD-style: AMD is not universally better
         # than the natural order (e.g. banded structure, where min-degree
         # scatters the band: measured 2x the resident tiles and 1.5x the
-        # iteration time at m=4096).  Compute the fill of both, keep less.
+        # iteration time at m=4096).  RCM re-bands scattered structures
+        # cheaply.  Compute the exact fill of each candidate, keep least.
         cands = [amd_order(Np, use_native=use_native), np.arange(m)]
+        try:
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            cands.append(
+                np.asarray(
+                    reverse_cuthill_mckee(sp.csr_matrix(Np), symmetric_mode=True),
+                    dtype=np.int64,
+                )
+            )
+        except ImportError:
+            pass
         best = None
         for cand in cands:
             par = elimination_tree(Np, cand, use_native=use_native)

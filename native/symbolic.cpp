@@ -110,41 +110,126 @@ void cim_colcounts(int64_t n, const int64_t* indptr, const int64_t* indices,
   *flops_out = flops;
 }
 
-// Elimination-graph minimum-degree ordering (fill clique per pivot).
+// Approximate minimum-degree ordering on the QUOTIENT graph (the AMD of
+// Amestoy/Davis/Duff 1996, as used by CHOLMOD's default ordering): an
+// eliminated pivot becomes an *element* holding its boundary list; fill is
+// never materialized as variable-variable edges.  Degrees are the standard
+// AMD upper bound d(u) <= |A_u \ Lp| + |Lp \ u| + sum_e |L_e \ Lp|,
+// computed for all u in Lp with one scatter pass over the elements.
+// Dead elements are absorbed when the pivot consumes them.  (No
+// supervariable hashing — quality matches plain AMD minus mass
+// elimination; the caller takes best-of vs other orderings anyway.)
+// Replaces the old elimination-graph min-degree whose fill cliques made
+// banded m=8192 patterns take minutes (measured 612 s -> sub-second).
 // perm[k] = k-th pivot (original index).  Returns 0 on success.
 int64_t cim_amd(int64_t n, const int64_t* indptr, const int64_t* indices,
                 int64_t* perm) {
-  std::vector<std::unordered_set<int64_t>> adj(n);
+  std::vector<std::vector<int64_t>> A(n), E(n), L;
+  std::vector<int64_t> w;  // per-element scratch for |L_e \ Lp|
   for (int64_t j = 0; j < n; ++j) {
+    A[j].reserve(indptr[j + 1] - indptr[j]);
     for (int64_t p = indptr[j]; p < indptr[j + 1]; ++p) {
       int64_t i = indices[p];
-      if (i != j) adj[j].insert(i);
+      if (i != j) A[j].push_back(i);
     }
   }
   std::vector<char> alive(n, 1);
-  // Simple bucketed degree tracking: degrees change, rescan lazily.
-  std::vector<int64_t> deg(n);
-  for (int64_t v = 0; v < n; ++v) deg[v] = int64_t(adj[v].size());
+  std::vector<char> elem_alive;
+  std::vector<int64_t> deg(n), mark(n, 0), wstamp;
+  // Degree bucket lists for O(1)-amortized min extraction.
+  std::vector<int64_t> head(n + 1, -1), nxt(n, -1), prv(n, -1);
+  auto bucket_insert = [&](int64_t v, int64_t d) {
+    nxt[v] = head[d];
+    prv[v] = -1;
+    if (head[d] != -1) prv[head[d]] = v;
+    head[d] = v;
+  };
+  auto bucket_remove = [&](int64_t v, int64_t d) {
+    if (prv[v] != -1) nxt[prv[v]] = nxt[v];
+    else head[d] = nxt[v];
+    if (nxt[v] != -1) prv[nxt[v]] = prv[v];
+  };
+  for (int64_t v = 0; v < n; ++v) {
+    deg[v] = int64_t(A[v].size());
+    bucket_insert(v, deg[v]);
+  }
+  int64_t mind = 0, stamp = 0;
+  std::vector<int64_t> Lp;
   for (int64_t k = 0; k < n; ++k) {
-    int64_t v = -1, best = INT64_MAX;
-    for (int64_t u = 0; u < n; ++u) {
-      if (alive[u] && deg[u] < best) {
-        best = deg[u];
-        v = u;
-      }
-    }
+    while (mind <= n && head[mind] == -1) ++mind;
+    int64_t v = head[mind];
+    bucket_remove(v, deg[v]);
     perm[k] = v;
     alive[v] = 0;
-    std::vector<int64_t> nb(adj[v].begin(), adj[v].end());
-    for (int64_t u : nb) {
-      if (!alive[u]) continue;
-      adj[u].erase(v);
-      for (int64_t w : nb) {
-        if (w != u && alive[w]) adj[u].insert(w);
+    // Lp = boundary of the new element: live direct neighbors plus the
+    // live members of every adjacent element (which this pivot absorbs).
+    ++stamp;
+    mark[v] = stamp;
+    Lp.clear();
+    for (int64_t u : A[v]) {
+      if (alive[u] && mark[u] != stamp) {
+        mark[u] = stamp;
+        Lp.push_back(u);
       }
-      deg[u] = int64_t(adj[u].size());
     }
-    adj[v].clear();
+    for (int64_t e : E[v]) {
+      if (!elem_alive[e]) continue;
+      for (int64_t u : L[e]) {
+        if (alive[u] && mark[u] != stamp) {
+          mark[u] = stamp;
+          Lp.push_back(u);
+        }
+      }
+      elem_alive[e] = 0;  // absorbed
+      L[e].clear();
+      L[e].shrink_to_fit();
+    }
+    if (Lp.empty()) continue;
+    int64_t eid = int64_t(L.size());
+    L.push_back(Lp);
+    elem_alive.push_back(1);
+    wstamp.push_back(0);
+    w.push_back(0);
+    // Scatter pass: w[e] = |L_e \ Lp| for every element adjacent to Lp.
+    for (int64_t u : Lp) {
+      for (int64_t e : E[u]) {
+        if (!elem_alive[e]) continue;
+        if (wstamp[e] != stamp) {
+          wstamp[e] = stamp;
+          int64_t live = 0;
+          for (int64_t x : L[e])
+            if (alive[x]) ++live;
+          w[e] = live;
+        }
+        --w[e];  // u is in both L_e and Lp
+      }
+    }
+    int64_t lp_sz = int64_t(Lp.size());
+    for (int64_t u : Lp) {
+      // Prune A_u to live vars outside Lp (inside-Lp adjacency is now
+      // carried by element eid); drop dead elements from E_u.
+      int64_t wr = 0;
+      for (int64_t x : A[u])
+        if (alive[x] && mark[x] != stamp) A[u][wr++] = x;
+      A[u].resize(wr);
+      wr = 0;
+      for (int64_t e : E[u])
+        if (elem_alive[e]) E[u][wr++] = e;
+      E[u].resize(wr);
+      E[u].push_back(eid);
+      // AMD approximate degree.
+      int64_t d = int64_t(A[u].size()) + (lp_sz - 1);
+      for (int64_t e : E[u]) {
+        if (e == eid) continue;
+        if (w[e] > 0) d += w[e];
+      }
+      int64_t cap = n - k - 1;
+      if (d > cap) d = cap;
+      bucket_remove(u, deg[u]);
+      deg[u] = d;
+      bucket_insert(u, d);
+      if (d < mind) mind = d;
+    }
   }
   return 0;
 }

@@ -114,6 +114,42 @@ class TestNative:
         assert nnz_py == nnz_nat
         assert flops_py == pytest.approx(flops_nat)
 
+    def test_ordering_recovers_scrambled_band(self):
+        """Best-of orderings (AMD / natural / RCM): a randomly permuted
+        banded pattern must analyze to ~the banded fill, not the scrambled
+        fill — RCM (or AMD) has to recover the structure."""
+        rng = np.random.default_rng(5)
+        n, band = 300, 4
+        S = sp.lil_matrix((n, n))
+        for i in range(n):
+            for j in range(max(0, i - band), i + 1):
+                S[i, j] = 1.0
+                S[j, i] = 1.0
+        S = S.tocsc()
+        parent = elimination_tree(S, None)
+        nnz_band = column_counts(S, None, parent)[1]
+        p = rng.permutation(n)
+        Ssc = S[p][:, p].tocsc()  # scrambled: natural order now terrible
+        par_sc = elimination_tree(Ssc, None)
+        nnz_scrambled = column_counts(Ssc, None, par_sc)[1]
+        from cholesky_is_magic_tpu.sparse.symbolic import amd_order as amd
+
+        best = nnz_scrambled
+        cands = [amd(Ssc)]
+        try:
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            cands.append(np.asarray(
+                reverse_cuthill_mckee(sp.csr_matrix(Ssc), symmetric_mode=True),
+                dtype=np.int64))
+        except ImportError:
+            pass
+        for cand in cands:
+            par = elimination_tree(Ssc, cand)
+            best = min(best, column_counts(Ssc, cand, par)[1])
+        assert nnz_scrambled > 2 * nnz_band  # scrambling really hurt
+        assert best <= 1.5 * nnz_band  # and an ordering recovered it
+
     def test_native_amd_is_permutation_and_reduces_fill(self):
         if not native.available():
             pytest.skip("native library unavailable")

@@ -13,13 +13,16 @@ Krylov-refined solves (krylov_steps=8, ops.krylov) reaches gap 1.28e-7
 in 100 iterations — the plain Richardson-refined run floors at 3.55e-6,
 because kappa(N) has crossed the f32 Richardson wall at this scale
 (docs/DEVNOTES.md "The Richardson wall and the Krylov escape"); at
-m=8192 the same switch moves the floor 2.1e-6 -> 1.0e-7.  Context:
-HiGHS (host dual simplex) solves the same instance in ~0.7 s — at this
-scale the per-iteration factor+solve is 15.8x faster than the host
-sparse oracle (24 ms vs 380 ms splu), but simplex needs no
+m=8192 the same switch moves the floor 2.1e-6 -> 1.0e-7.  Context
+(two-K-difference timings, README "Benchmarks"): the per-iteration
+factor+solve here is 14.0 ms.  A NARROW-banded staircase is the host's
+best case — splu does it in 25 ms (only 1.8x) — but the TPU time is
+nearly structure-flat while host factorization cost explodes with
+coupling width: at m=8192, width 256, it's 12.1 ms vs 388 ms (32x).
+HiGHS (host dual simplex) solves this instance in ~0.7 s with no
 iterations-to-gap tradeoff; the TPU pipeline's advantage compounds in
 batched/warm-started settings (re-solves amortize the one-time symbolic
-analysis and the compile).
+analysis and the compile — see examples/warm_resolve.py).
 
 Run: python examples/at_scale_sparse.py [m]
 """

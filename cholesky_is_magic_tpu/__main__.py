@@ -35,6 +35,9 @@ def main(argv=None) -> int:
     ap.add_argument("--block", type=int, default=128,
                     help="tile width for the sparse engine")
     ap.add_argument("--rescale", action="store_true", help="row-equilibrate (rescale-sf)")
+    ap.add_argument("--presolve", action="store_true",
+                    help="host-side safe reductions before padding "
+                         "(fixed/singleton/empty elimination, ingest.presolve)")
     ap.add_argument("--max-iters", type=int, default=500)
     ap.add_argument("--refine-steps", type=int, default=1)
     ap.add_argument("--krylov-steps", type=int, default=0,
@@ -95,8 +98,16 @@ def main(argv=None) -> int:
         refine_steps=args.refine_steps,
         krylov_steps=args.krylov_steps,
         record_trace=args.trace,
+        presolve=args.presolve,
     )
     res = report.result
+    if res is None:  # presolve decided infeasible/unbounded/solved
+        out = dict(report.summary)
+        out["solver"] = args.solver
+        out["wall_seconds"] = round(time.time() - t0, 3)
+        print(json.dumps(out) if args.json else
+              "\n".join(f"{k:>16}: {v}" for k, v in out.items()))
+        return 0
     if args.trace:
         if args.solver == "alm":
             print_trace(res.trace, int(res.outer_iterations))

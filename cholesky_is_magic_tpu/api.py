@@ -77,6 +77,7 @@ def solve(
     gap_tol: Optional[float] = None,
     krylov_steps: int = 0,
     record_trace: bool = False,
+    presolve: bool = False,
 ) -> SolveReport:
     """Solve an LP end-to-end with any solver family.
 
@@ -86,7 +87,10 @@ def solve(
     solvers (pdas: default 1e-4 as the reference's stop,
     primal-dual-affine-scaling.lisp:394; pdas_dd finisher: default 1e-9).
     ``krylov_steps`` > 0 switches refinement to flexible PCG
-    (ops.krylov) for ill-conditioned end-games.
+    (ops.krylov) for ill-conditioned end-games.  ``presolve=True`` applies
+    the safe host-side reductions (ingest.presolve — a capability
+    extension over the reference) before padding; the reported solution is
+    restored to the original variable space.
     """
     import jax.numpy as jnp
 
@@ -98,7 +102,35 @@ def solve(
     sf = _to_standard_form(problem, rescale)
     if sparse and solver not in ("affine", "pdas", "pdas_dd"):
         raise ValueError("sparse=True supports solver affine, pdas, or pdas_dd")
-    lp = None if sparse else to_device_lp(sf, pad_multiple=pad_multiple, dtype=dtype)
+
+    psv = None
+    sf_solve = sf
+    if presolve:
+        from cholesky_is_magic_tpu.ingest.presolve import presolve as _presolve
+
+        sf_red, psv = _presolve(sf)
+        if psv.status in ("infeasible", "unbounded"):
+            return SolveReport(
+                solver=solver, status=psv.status, objective=float("nan"),
+                summary=dict(status=psv.status, detail=psv.detail,
+                             presolve=psv.report()),
+                result=None, sf=sf, solution={},
+            )
+        if psv.status == "solved":
+            solution = extract_solution(sf, psv.restore(None))
+            return SolveReport(
+                solver=solver, status="optimal",
+                objective=solution["objective"],
+                summary=dict(status="optimal", iterations=0,
+                             objective=solution["standard_form_objective"],
+                             presolve=psv.report()),
+                result=None, sf=sf, solution=solution,
+            )
+        sf_solve = sf_red
+    lp = (
+        None if sparse
+        else to_device_lp(sf_solve, pad_multiple=pad_multiple, dtype=dtype)
+    )
 
     if solver == "affine":
         from cholesky_is_magic_tpu.solvers import (
@@ -114,7 +146,7 @@ def solve(
         if sparse:
             from cholesky_is_magic_tpu.solvers.affine import make_affine_state_sparse
 
-            st, engine = make_affine_state_sparse(sf, block=block, dtype=dtype)
+            st, engine = make_affine_state_sparse(sf_solve, block=block, dtype=dtype)
             res = affine_scaling(st, cfg, engine=engine)
         else:
             res = affine_scaling(make_affine_state(lp), cfg)
@@ -133,7 +165,7 @@ def solve(
         if sparse:
             from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse
 
-            st, engine = make_pdas_sparse(sf, block=block, dtype=dtype)
+            st, engine = make_pdas_sparse(sf_solve, block=block, dtype=dtype)
             res = pdas(st, cfg, engine=engine)
         else:
             res = pdas(make_pdas(lp), cfg)
@@ -163,7 +195,7 @@ def solve(
                 pdas_dd,
             )
 
-            st, engine = make_pdas_sparse(sf, block=block, dtype=dtype)
+            st, engine = make_pdas_sparse(sf_solve, block=block, dtype=dtype)
             phase1 = pdas(st, cfg1, engine=engine)
             w, z = mu_recentered_duals(
                 phase1.x, st.lp.l, st.lp.u, phase1.extra["w"],
@@ -218,7 +250,20 @@ def solve(
     else:
         raise ValueError(f"unknown solver {solver!r}")
 
-    solution = extract_solution(sf, res.x)
+    if psv is not None:
+        import numpy as _np
+
+        x_full = psv.restore(_np.asarray(res.x))
+        solution = extract_solution(sf, x_full)
+        summary["presolve"] = psv.report()
+        # Solver metrics are in the REDUCED space; the eliminated columns
+        # contribute the constant c'x_fixed to both primal and dual
+        # objectives — shift so the summary matches `solution`.
+        for key in ("objective", "value", "dual_objective"):
+            if key in summary:
+                summary[key] += psv.obj_offset
+    else:
+        solution = extract_solution(sf, res.x)
     return SolveReport(
         solver=solver,
         status=summary.get("status", "?"),

@@ -15,8 +15,11 @@ from cholesky_is_magic_tpu.ingest.standard_form import (
     extract_solution,
 )
 from cholesky_is_magic_tpu.ingest.device import DeviceLP, to_device_lp
+from cholesky_is_magic_tpu.ingest.presolve import Presolve, presolve
 
 __all__ = [
+    "Presolve",
+    "presolve",
     "MPSData",
     "read_mps",
     "read_mps_file",

@@ -1,0 +1,214 @@
+"""Host-side presolve: shrink a StandardForm before it reaches the device.
+
+The reference has no presolve — every Netlib instance goes to CHOLMOD at
+full size.  This module is a deliberate capability EXTENSION (documented in
+PARITY.md): real MPS files are full of fixed variables, singleton rows, and
+empty rows/columns, and on a TPU every eliminated row/column also shrinks
+the padded static shapes, the normal matrix, and the factor schedule.
+
+Rules applied to fixpoint (the classic safe reductions, e.g. Andersen &
+Andersen 1995, §"simple presolve"):
+
+1. bound infeasibility: l_j > u_j  -> infeasible.
+2. fixed columns (l_j = u_j): substitute x_j, move A[:, j]·x_j into b.
+3. empty rows: b_i must be ~0, else infeasible; drop.
+4. singleton rows (one structural nonzero): a_ij x_j = b_i fixes
+   x_j = b_i / a_ij; out-of-bounds -> infeasible, else rule 2.
+5. empty columns: x_j appears only in the objective; it sits at the bound
+   minimizing c_j x_j (missing bound on that side -> unbounded).
+
+Every elimination is recorded; :meth:`Presolve.restore` maps a reduced
+solution back to the ORIGINAL variable space, so callers keep using the
+original StandardForm (and extract_solution) for reporting.  Equality form
+is preserved — the reduced problem drops straight into to_device_lp /
+make_pdas_sparse.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from cholesky_is_magic_tpu.ingest.standard_form import StandardForm
+
+
+@dataclasses.dataclass
+class Presolve:
+    """Result of :func:`presolve`.
+
+    ``status`` is one of ``"reduced"`` (solve the returned problem, then
+    :meth:`restore`), ``"solved"`` (every variable was eliminated —
+    ``restore(None)`` gives the full solution), ``"infeasible"``, or
+    ``"unbounded"``.
+    """
+
+    status: str
+    nvars_full: int
+    kept_cols: np.ndarray  # original indices of the reduced problem's columns
+    kept_rows: np.ndarray
+    fixed_vals: np.ndarray  # (nvars_full,) values of eliminated columns (0 where kept)
+    detail: str = ""  # human-readable reason for infeasible/unbounded
+    # c'x contribution of the eliminated columns: reduced-space objective
+    # values (primal or dual) + obj_offset = full-space values.
+    obj_offset: float = 0.0
+
+    def restore(self, x_reduced=None) -> np.ndarray:
+        """Lift a reduced-space solution to the original variable space."""
+        x = self.fixed_vals.copy()
+        if len(self.kept_cols):
+            if x_reduced is None:
+                raise ValueError("reduced problem has free variables; pass x_reduced")
+            xr = np.asarray(x_reduced, dtype=np.float64)[: len(self.kept_cols)]
+            x[self.kept_cols] = xr
+        return x
+
+    def report(self) -> str:
+        nk, nr = len(self.kept_cols), len(self.kept_rows)
+        return (
+            f"presolve: {self.status}; cols {self.nvars_full} -> {nk}, "
+            f"rows eliminated down to {nr}"
+        )
+
+
+def presolve(
+    sf: StandardForm, tol: float = 1e-11
+) -> tuple[StandardForm, Presolve]:
+    """Apply the safe reductions to fixpoint.  Returns (reduced_sf, info);
+    ``reduced_sf`` is a NEW StandardForm over the kept rows/columns (the
+    input is not modified).  When ``info.status != "reduced"`` the returned
+    StandardForm is the leftover problem state and should not be solved."""
+    import scipy.sparse as sp
+
+    n, m = sf.nvars, sf.ncons
+    A = sp.csc_matrix(
+        (sf.a_vals, (sf.a_rows, sf.a_cols)), shape=(m, n)
+    )
+    A.sum_duplicates()
+    A.eliminate_zeros()
+    l = sf.l.copy()
+    u = sf.u.copy()
+    c = sf.c.copy()
+    b = sf.b.copy()
+    col_alive = np.ones(n, dtype=bool)
+    row_alive = np.ones(m, dtype=bool)
+    fixed_vals = np.zeros(n, dtype=np.float64)
+
+    def fail(status, detail):
+        kept_cols = np.flatnonzero(col_alive)
+        kept_rows = np.flatnonzero(row_alive)
+        info = Presolve(
+            status=status, nvars_full=n, kept_cols=kept_cols,
+            kept_rows=kept_rows, fixed_vals=fixed_vals, detail=detail,
+            obj_offset=float(sf.c @ fixed_vals),
+        )
+        return _subset(sf, A, b, c, l, u, kept_rows, kept_cols), info
+
+    if np.any(l > u + tol):
+        j = int(np.argmax(l - u))
+        return fail("infeasible", f"bounds cross at column {j}")
+
+    def fix_column(j, val):
+        """Substitute x_j = val: b -= A[:, j] * val, kill the column."""
+        fixed_vals[j] = val
+        col_alive[j] = False
+        sl = slice(A.indptr[j], A.indptr[j + 1])
+        rows_j = A.indices[sl]
+        b[rows_j] -= A.data[sl] * val
+        A.data[sl] = 0.0
+
+    changed = True
+    while changed:
+        changed = False
+        # Rule 2: fixed columns.
+        scale = 1.0 + np.abs(l)
+        fixable = col_alive & np.isfinite(l) & (u - l <= tol * scale)
+        for j in np.flatnonzero(fixable):
+            fix_column(j, 0.5 * (l[j] + u[j]))
+            changed = True
+
+        # Row occupancy over live entries.
+        Ac = sp.csc_matrix(A)  # data zeroed for dead cols
+        Ac.eliminate_zeros()
+        Ar = Ac.tocsr()
+        row_nnz = np.diff(Ar.indptr)
+
+        # Rule 3: empty rows.
+        empty = row_alive & (row_nnz == 0)
+        for i in np.flatnonzero(empty):
+            if abs(b[i]) > 1e-7 * (1.0 + np.abs(sf.b[i])):
+                return fail("infeasible", f"empty row {i} with b={b[i]:.3e}")
+            row_alive[i] = False
+            changed = True
+
+        # Rule 4: singleton rows.
+        singles = row_alive & (row_nnz == 1)
+        for i in np.flatnonzero(singles):
+            sl_ = slice(Ar.indptr[i], Ar.indptr[i + 1])
+            j = int(Ar.indices[sl_][0])
+            aij = float(Ar.data[sl_][0])
+            if not col_alive[j]:
+                continue  # stale occupancy; next sweep re-derives
+            val = b[i] / aij
+            width = 1e-7 * (1.0 + abs(val))
+            if val < l[j] - width or val > u[j] + width:
+                return fail(
+                    "infeasible",
+                    f"singleton row {i} forces x[{j}]={val:.6g} outside "
+                    f"[{l[j]:.6g}, {u[j]:.6g}]",
+                )
+            row_alive[i] = False
+            fix_column(j, float(np.clip(val, l[j], u[j])))
+            changed = True
+
+        # Rule 5: empty columns (objective-only variables).
+        Ac = sp.csc_matrix(A)
+        Ac.eliminate_zeros()
+        col_nnz = np.diff(Ac.indptr)
+        for j in np.flatnonzero(col_alive & (col_nnz == 0)):
+            if c[j] > 0:
+                if not np.isfinite(l[j]):
+                    return fail("unbounded", f"objective column {j} has no lower bound")
+                val = l[j]
+            elif c[j] < 0:
+                if not np.isfinite(u[j]):
+                    return fail("unbounded", f"objective column {j} has no upper bound")
+                val = u[j]
+            else:
+                val = float(np.clip(0.0, l[j], u[j]))
+            fix_column(j, val)
+            changed = True
+
+    kept_cols = np.flatnonzero(col_alive)
+    kept_rows = np.flatnonzero(row_alive)
+    status = "solved" if len(kept_cols) == 0 else "reduced"
+    info = Presolve(
+        status=status, nvars_full=n, kept_cols=kept_cols,
+        kept_rows=kept_rows, fixed_vals=fixed_vals,
+        obj_offset=float(sf.c @ fixed_vals),
+    )
+    return _subset(sf, A, b, c, l, u, kept_rows, kept_cols), info
+
+
+def _subset(sf, A, b, c, l, u, kept_rows, kept_cols) -> StandardForm:
+    """Build the reduced StandardForm over (kept_rows, kept_cols)."""
+    import scipy.sparse as sp
+
+    Ared = sp.csc_matrix(A)
+    Ared.eliminate_zeros()
+    Ared = Ared[kept_rows][:, kept_cols].tocoo()
+    n_orig_kept = int(np.sum(kept_cols < sf.initial_vars))
+    return StandardForm(
+        nvars=len(kept_cols),
+        ncons=len(kept_rows),
+        c=c[kept_cols],
+        a_rows=Ared.row.astype(np.int32),
+        a_cols=Ared.col.astype(np.int32),
+        a_vals=Ared.data.astype(np.float64),
+        b=b[kept_rows],
+        row_type=sf.row_type[kept_rows],
+        l=l[kept_cols],
+        u=u[kept_cols],
+        initial_vars=n_orig_kept,
+        obj_sign=sf.obj_sign,
+    )

@@ -216,15 +216,27 @@ def solve(
             status=res.status_name, objective=float(res.objective),
             dual_objective=float(res.extra["dual_objective"]),
             gap=float(res.extra["gap"]), iterations=int(res.iterations),
+            phase1_iterations=int(phase1.iterations),
             residual=float(res.residual_norm),
         )
     elif solver == "alm":
         from cholesky_is_magic_tpu.solvers import alm, make_alm
         from cholesky_is_magic_tpu.solvers.alm import ALMConfig
 
+        # Dtype-aware tolerances (ALMConfig docstring): the reference's f64
+        # targets sit below f32 resolution — in f32 the inner APPROX loop
+        # would burn its full 1e6-iteration budget every outer step without
+        # converging (long enough to trip device execution watchdogs).
+        f32 = jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+        tol_kw = (
+            dict(violation_tol=1e-4, pg_tol=1e-4, omega_floor=1e-4,
+                 inner_iters=50_000)
+            if f32 else {}
+        )
         res = alm(
             make_alm(lp),
-            config=ALMConfig(max_outer=max_iters, record_trace=record_trace),
+            config=ALMConfig(max_outer=max_iters, record_trace=record_trace,
+                             **tol_kw),
         )
         summary = dict(
             status="optimal" if float(res.violation) < 1e-4 else "max_iters",

@@ -262,6 +262,33 @@ def solve(
     else:
         raise ValueError(f"unknown solver {solver!r}")
 
+    def _duals():
+        """Row duals and reduced costs in the ORIGINAL row space.
+
+        make_pdas / make_pdas_sparse equilibrate rows by
+        s_i = 1 / max_j |a_ij| (scale-constraints,
+        primal-dual-affine-scaling.lisp:50-73); the dual of the scaled row
+        is y'_i = y_i / s_i, so the user-space dual is s_i * y'_i (b'y is
+        invariant).  Reduced costs are z - w = c - Aᵀy (the KKT row 4
+        identity, kkt/newton.py).  The sign convention equals scipy
+        linprog/HiGHS ``eqlin.marginals`` (verified element-for-element
+        in tests/test_api.py).
+        """
+        import numpy as _np
+
+        norm = _np.zeros(sf_solve.ncons)
+        _np.maximum.at(norm, sf_solve.a_rows, _np.abs(sf_solve.a_vals))
+        s = _np.where(norm < 1e-6, 1.0, 1.0 / _np.where(norm == 0, 1.0, norm))
+        y = _np.asarray(res.extra["y"])[: sf_solve.ncons] * s
+        rc = _np.asarray(res.extra["z"] - res.extra["w"])[: sf_solve.nvars]
+        if psv is not None:
+            y_full = _np.full(sf.ncons, _np.nan)
+            y_full[psv.kept_rows] = y
+            rc_full = _np.full(sf.nvars, _np.nan)
+            rc_full[psv.kept_cols] = rc
+            return y_full, rc_full
+        return y, rc
+
     if psv is not None:
         import numpy as _np
 
@@ -276,6 +303,8 @@ def solve(
                 summary[key] += psv.obj_offset
     else:
         solution = extract_solution(sf, res.x)
+    if solver in ("pdas", "pdas_dd") and "y" in res.extra:
+        solution["y"], solution["reduced_costs"] = _duals()
     return SolveReport(
         solver=solver,
         status=summary.get("status", "?"),

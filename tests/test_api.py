@@ -46,6 +46,43 @@ class TestSolve:
         rep2 = cim.solve(SIMPLE, "selfdual", pad_multiple=16)
         assert rep2.summary["objective"] == pytest.approx(-7.0, abs=1e-2)
 
+    def test_duals_match_highs_marginals(self):
+        """Row duals (unscaled back through the equilibration) and reduced
+        costs match scipy/HiGHS's eqlin.marginals convention, and satisfy
+        the dual-feasibility identity c - A'y = rc."""
+        import numpy as np
+        from scipy.optimize import linprog
+
+        from cholesky_is_magic_tpu.ingest.mps import read_mps_string
+        from cholesky_is_magic_tpu.utils.testing import random_lp, write_mps
+
+        ineq = random_lp(2, n_ub=10, n_eq=4, n=20, density=0.5)
+        sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+        ref = linprog(sf.dense_c(), A_eq=sf.dense_A(), b_eq=sf.b,
+                      bounds=list(zip(sf.l, sf.u)), method="highs")
+        rep = cim.solve(sf, "pdas_dd", pad_multiple=16, max_iters=200)
+        assert rep.summary["gap"] < 1e-8
+        y, rc = rep.solution["y"], rep.solution["reduced_costs"]
+        np.testing.assert_allclose(y, ref.eqlin.marginals, atol=1e-5)
+        err = np.abs(sf.dense_c() - sf.dense_A().T @ y - rc).max()
+        assert err < 1e-5
+
+    def test_duals_with_presolve_mark_eliminated_rows(self):
+        import numpy as np
+
+        from cholesky_is_magic_tpu.ingest.mps import read_mps_string
+        from cholesky_is_magic_tpu.utils.testing import random_lp, write_mps
+
+        ineq = random_lp(4, n_ub=10, n_eq=4, n=20, density=0.5)
+        sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+        sf.u[3:6] = sf.l[3:6]  # fixed columns -> eliminated
+        rep = cim.solve(sf, "pdas", pad_multiple=16, max_iters=200,
+                        presolve=True)
+        y, rc = rep.solution["y"], rep.solution["reduced_costs"]
+        assert y.shape[0] == sf.ncons and rc.shape[0] == sf.nvars
+        assert np.all(np.isnan(rc[3:6]))  # eliminated columns flagged
+        assert np.isfinite(y[np.isfinite(y)]).all()
+
     def test_rejects_bad_inputs(self):
         with pytest.raises(ValueError):
             cim.solve(SIMPLE, "no_such_solver")

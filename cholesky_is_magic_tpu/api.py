@@ -78,6 +78,8 @@ def solve(
     krylov_steps: int = 0,
     record_trace: bool = False,
     presolve: bool = False,
+    warm: Optional[SolveReport] = None,
+    warm_push: float = 0.0,
 ) -> SolveReport:
     """Solve an LP end-to-end with any solver family.
 
@@ -87,10 +89,19 @@ def solve(
     solvers (pdas: default 1e-4 as the reference's stop,
     primal-dual-affine-scaling.lisp:394; pdas_dd finisher: default 1e-9).
     ``krylov_steps`` > 0 switches refinement to flexible PCG
-    (ops.krylov) for ill-conditioned end-games.  ``presolve=True`` applies
-    the safe host-side reductions (ingest.presolve — a capability
+    (ops.krylov) for ill-conditioned end-games; with the default 0, the
+    pdas_dd finisher AUTO-ESCALATES to PCG when Richardson refinement hits
+    the f32 precision floor short of the target gap.  ``presolve=True``
+    applies the safe host-side reductions (ingest.presolve — a capability
     extension over the reference) before padding; the reported solution is
     restored to the original variable space.
+
+    ``warm`` (pdas/pdas_dd): restart from a previous :class:`SolveReport`
+    on the same LP pattern — for pdas_dd the phase-1 solve is skipped
+    entirely (the serving re-solve flow, examples/warm_resolve.py).  Set
+    ``warm_push`` ~1e-2 when the warm report solved a *perturbed*
+    instance (solvers.pdas.push_interior).  Not combinable with
+    ``presolve`` (the reduced spaces may differ between solves).
     """
     import jax.numpy as jnp
 
@@ -102,6 +113,14 @@ def solve(
     sf = _to_standard_form(problem, rescale)
     if sparse and solver not in ("affine", "pdas", "pdas_dd"):
         raise ValueError("sparse=True supports solver affine, pdas, or pdas_dd")
+    if warm is not None:
+        if solver not in ("pdas", "pdas_dd"):
+            raise ValueError("warm starts support solver pdas or pdas_dd")
+        if presolve:
+            raise ValueError(
+                "warm + presolve is unsupported: the reduced variable "
+                "spaces of the two solves may differ"
+            )
 
     psv = None
     sf_solve = sf
@@ -162,13 +181,40 @@ def solve(
             max_iters=max_iters, refine_steps=refine_steps,
             krylov_steps=krylov_steps, record_trace=record_trace, **kw,
         )
+        from cholesky_is_magic_tpu.solvers.pdas import PDASState, push_interior
+
+        def warm_state():
+            r = warm.result
+            return PDASState(
+                x=jnp.asarray(r.x, dtype), y=jnp.asarray(r.extra["y"], dtype),
+                w=jnp.asarray(r.extra["w"], dtype),
+                z=jnp.asarray(r.extra["z"], dtype), lp=None,
+            )
+
         if sparse:
             from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse
 
             st, engine = make_pdas_sparse(sf_solve, block=block, dtype=dtype)
+            if warm is not None:
+                from cholesky_is_magic_tpu.solvers.affine import _into_interior
+
+                ws = warm_state()
+                wx = ws.x
+                if warm_push > 0.0:
+                    wx = push_interior(wx, st.lp.l, st.lp.u, st.lp.col_mask,
+                                       warm_push)
+                wx = _into_interior(wx, st.lp.l, st.lp.u, st.lp.col_mask)
+                st = dataclasses.replace(
+                    st, x=wx, y=ws.y, w=jnp.maximum(ws.w, 1e-8),
+                    z=jnp.maximum(ws.z, 1e-8),
+                )
             res = pdas(st, cfg, engine=engine)
         else:
-            res = pdas(make_pdas(lp), cfg)
+            st = make_pdas(
+                lp, cfg, warm=warm_state() if warm is not None else None,
+                warm_push=warm_push,
+            )
+            res = pdas(st, cfg)
         summary = dict(
             status=res.status_name, objective=float(res.objective),
             dual_objective=float(res.extra["dual_objective"]),
@@ -188,7 +234,7 @@ def solve(
         )
         if sparse:
             from cholesky_is_magic_tpu.ops import dd as ddm
-            from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse
+            from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse, push_interior
             from cholesky_is_magic_tpu.solvers.pdas_dd import (
                 PDASDDState,
                 mu_recentered_duals,
@@ -196,29 +242,68 @@ def solve(
             )
 
             st, engine = make_pdas_sparse(sf_solve, block=block, dtype=dtype)
-            phase1 = pdas(st, cfg1, engine=engine)
-            w, z = mu_recentered_duals(
-                phase1.x, st.lp.l, st.lp.u, phase1.extra["w"],
-                phase1.extra["z"], st.lp.col_mask,
+
+            def sparse_dd_state(prior):
+                """dd finisher state from a prior result's iterates
+                (phase 1's, or a warm re-solve's): mu-recentered duals, x
+                pulled (optionally pushed) strictly interior."""
+                from cholesky_is_magic_tpu.solvers.affine import _into_interior
+
+                wx = jnp.asarray(prior.x, dtype)
+                if warm_push > 0.0:
+                    wx = push_interior(wx, st.lp.l, st.lp.u, st.lp.col_mask,
+                                       warm_push)
+                wx = _into_interior(wx, st.lp.l, st.lp.u, st.lp.col_mask)
+                w_, z_ = mu_recentered_duals(
+                    wx, st.lp.l, st.lp.u,
+                    jnp.maximum(jnp.asarray(prior.extra["w"], dtype), 1e-8),
+                    jnp.maximum(jnp.asarray(prior.extra["z"], dtype), 1e-8),
+                    st.lp.col_mask,
+                )
+                to_dd = lambda v: ddm.dd_from(jnp.asarray(v, dtype))
+                return PDASDDState(x=to_dd(wx), y=to_dd(prior.extra["y"]),
+                                   w=to_dd(w_), z=to_dd(z_), lp=st.lp)
+
+            phase1 = warm.result if warm is not None else pdas(
+                st, cfg1, engine=engine
             )
-            to_dd = lambda v: ddm.dd_from(jnp.asarray(v, dtype))
-            st2 = PDASDDState(
-                x=to_dd(phase1.x), y=to_dd(phase1.extra["y"]),
-                w=to_dd(w), z=to_dd(z), lp=st.lp,
-            )
-            res = pdas_dd(st2, cfg2, engine=engine)
+            res = pdas_dd(sparse_dd_state(phase1), cfg2, engine=engine)
+            if (res.status_name == "precision_floor" and krylov_steps == 0
+                    and float(res.extra["gap"]) > cfg2.gap_tol):
+                # Auto-escalation: the Richardson-refined finisher hit the
+                # f32 wall short of the target; retry warm with PCG
+                # refinement (ops.krylov, docs/DEVNOTES.md "Richardson
+                # wall").
+                cfg2k = dataclasses.replace(cfg2, krylov_steps=8)
+                res2 = pdas_dd(sparse_dd_state(res), cfg2k, engine=engine)
+                if float(res2.extra["gap"]) < float(res.extra["gap"]):
+                    res = res2
+                    res.extra["krylov_escalated"] = True
         else:
             from cholesky_is_magic_tpu.solvers.pdas_dd import make_pdas_dd, pdas_dd
 
-            phase1 = pdas(make_pdas(lp), cfg1)
-            res = pdas_dd(make_pdas_dd(lp, warm=phase1), cfg2)
+            phase1 = (warm.result if warm is not None
+                      else pdas(make_pdas(lp), cfg1))
+            res = pdas_dd(
+                make_pdas_dd(lp, warm=phase1, warm_push=warm_push), cfg2
+            )
+            if (res.status_name == "precision_floor" and krylov_steps == 0
+                    and float(res.extra["gap"]) > cfg2.gap_tol):
+                cfg2k = dataclasses.replace(cfg2, krylov_steps=8)
+                res2 = pdas_dd(make_pdas_dd(lp, warm=res), cfg2k)
+                if float(res2.extra["gap"]) < float(res.extra["gap"]):
+                    res = res2
+                    res.extra["krylov_escalated"] = True
         summary = dict(
             status=res.status_name, objective=float(res.objective),
             dual_objective=float(res.extra["dual_objective"]),
             gap=float(res.extra["gap"]), iterations=int(res.iterations),
-            phase1_iterations=int(phase1.iterations),
+            phase1_iterations=(0 if warm is not None
+                               else int(phase1.iterations)),
             residual=float(res.residual_norm),
         )
+        if res.extra.get("krylov_escalated"):
+            summary["krylov_escalated"] = True
     elif solver == "alm":
         from cholesky_is_magic_tpu.solvers import alm, make_alm
         from cholesky_is_magic_tpu.solvers.alm import ALMConfig

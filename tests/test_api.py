@@ -83,6 +83,45 @@ class TestSolve:
         assert np.all(np.isnan(rc[3:6]))  # eliminated columns flagged
         assert np.isfinite(y[np.isfinite(y)]).all()
 
+    def test_warm_resolve_through_api(self):
+        """The serving flow at the front door: warm=prev report skips
+        phase 1 and converges in fewer finisher iterations than cold on a
+        perturbed instance."""
+        import dataclasses
+
+        import numpy as np
+
+        from cholesky_is_magic_tpu.ingest.mps import read_mps_string
+        from cholesky_is_magic_tpu.utils.testing import random_lp, write_mps
+
+        rng = np.random.default_rng(9)
+        ineq = random_lp(6, n_ub=24, n_eq=8, n=48, density=0.3)
+        sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+        cold = cim.solve(sf, "pdas_dd", pad_multiple=16, max_iters=200)
+        assert cold.summary["gap"] < 1e-8
+
+        sf2 = dataclasses.replace(
+            sf, c=sf.c * (1.0 + 0.02 * rng.standard_normal(sf.c.shape))
+        )
+        warm = cim.solve(sf2, "pdas_dd", pad_multiple=16, max_iters=200,
+                         warm=cold, warm_push=1e-2)
+        cold2 = cim.solve(sf2, "pdas_dd", pad_multiple=16, max_iters=200)
+        assert warm.summary["gap"] < 1e-8
+        assert warm.summary["phase1_iterations"] == 0
+        total_warm = warm.summary["iterations"]
+        total_cold = (cold2.summary["iterations"]
+                      + cold2.summary["phase1_iterations"])
+        assert total_warm < total_cold
+
+    def test_krylov_escalation_path_runs(self):
+        """An unreachable gap target drives the finisher to its precision
+        floor and through the PCG auto-escalation branch; the solve still
+        returns a tight gap."""
+        rep = cim.solve(SIMPLE, "pdas_dd", pad_multiple=16, max_iters=120,
+                        gap_tol=0.0)
+        assert rep.status == "precision_floor"
+        assert rep.summary["gap"] < 1e-8
+
     def test_rejects_bad_inputs(self):
         with pytest.raises(ValueError):
             cim.solve(SIMPLE, "no_such_solver")
@@ -90,3 +129,8 @@ class TestSolve:
             cim.solve(SIMPLE, "alm", sparse=True)
         with pytest.raises(TypeError):
             cim.solve(12345)  # not a path/MPSData/StandardForm
+        with pytest.raises(ValueError):
+            cim.solve(SIMPLE, "alm", warm=object())
+        rep = cim.solve(SIMPLE, "pdas", pad_multiple=16)
+        with pytest.raises(ValueError):
+            cim.solve(SIMPLE, "pdas", warm=rep, presolve=True)

@@ -23,7 +23,7 @@ def main(argv=None) -> int:
     ap.add_argument("mps", help="path to an MPS file")
     ap.add_argument(
         "--solver",
-        choices=["affine", "pdas", "pdas_dd", "alm", "selfdual"],
+        choices=["affine", "pdas", "pdas_dd", "alm", "aalm", "selfdual"],
         default="pdas",
         help="pdas_dd = two-phase tight-gap flow: pdas to feasibility at "
              "its 1e-4 gap, then the double-word finisher to 1e-8+",
@@ -109,7 +109,7 @@ def main(argv=None) -> int:
               "\n".join(f"{k:>16}: {v}" for k, v in out.items()))
         return 0
     if args.trace:
-        if args.solver == "alm":
+        if args.solver in ("alm", "aalm"):
             print_trace(res.trace, int(res.outer_iterations))
         else:
             print_trace(res.extra["trace"], int(res.iterations))

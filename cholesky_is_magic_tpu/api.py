@@ -20,8 +20,9 @@ family, and returns a :class:`SolveReport` carrying
 Solver names match the reference's drivers: ``affine``
 (affine-scaling.lisp:265), ``pdas`` (primal-dual-affine-scaling.lisp:385),
 ``pdas_dd`` (the two-phase tight-gap flow: pdas to its native 1e-4 gap,
-then the double-word finisher), ``alm`` (alm-approx.lisp:539), and
-``selfdual`` (approx.lisp:195's self-dual APPROX form).
+then the double-word finisher), ``alm`` (alm-approx.lisp:539), ``aalm``
+(Nesterov-extrapolated ALM, :579), and ``selfdual`` (approx.lisp:195's
+self-dual APPROX form).
 """
 
 from __future__ import annotations
@@ -304,9 +305,9 @@ def solve(
         )
         if res.extra.get("krylov_escalated"):
             summary["krylov_escalated"] = True
-    elif solver == "alm":
+    elif solver in ("alm", "aalm"):
         from cholesky_is_magic_tpu.solvers import alm, make_alm
-        from cholesky_is_magic_tpu.solvers.alm import ALMConfig
+        from cholesky_is_magic_tpu.solvers.alm import ALMConfig, aalm
 
         # Dtype-aware tolerances (ALMConfig docstring): the reference's f64
         # targets sit below f32 resolution — in f32 the inner APPROX loop
@@ -318,7 +319,8 @@ def solve(
                  inner_iters=50_000)
             if f32 else {}
         )
-        res = alm(
+        driver = aalm if solver == "aalm" else alm
+        res = driver(
             make_alm(lp),
             config=ALMConfig(max_outer=max_iters, record_trace=record_trace,
                              **tol_kw),

@@ -140,7 +140,11 @@ def _iteration2(state: ALMState, x, precision, has_x, cfg: ALMConfig):
     viol = quad_violations(prob, res.x)
     viol2 = jnp.linalg.norm(viol)
     value = dual_value(prob, res.x)
-    improvement = viol2 / jnp.maximum(viol0, 1e-300)
+    # Floor must be representable in the WORKING dtype: 1e-300 underflows
+    # to 0.0 in f32, making an exactly-converged subproblem (viol0 = 0,
+    # reachable in f32) produce improvement = 0/0 = NaN and poison mu.
+    tiny = jnp.asarray(jnp.finfo(viol0.dtype).tiny, viol0.dtype)
+    improvement = viol2 / jnp.maximum(viol0, tiny)
     lam = jnp.clip(
         state.multipliers + state.mu * viol, state.mult_l, state.mult_u
     )
@@ -270,7 +274,13 @@ def aalm(
 ) -> ALMResult:
     """Accelerated ALM (aalm, :579-610): Nesterov extrapolation on the
     multiplier sequence.  Kept for parity; the reference notes it under-
-    performs plain alm (:578)."""
+    performs plain alm (:578).
+
+    Deviation (documented in PARITY.md): the extrapolated multipliers are
+    clamped to the row-type sign bounds, exactly as alm-iteration2 clamps
+    its raw update (:516-521) — the reference extrapolates unclamped,
+    which in f32 lets wrong-signed multipliers blow the subproblem up to
+    NaN (measured on the simple.mps fixture at outer step 38)."""
     cfg = config or ALMConfig()
     dtype = state.multipliers.dtype
     x_init = x0 if x0 is not None else jnp.zeros(state.lp.c.shape, dtype)
@@ -298,6 +308,7 @@ def _aalm_jit(state: ALMState, x_init, cfg: ALMConfig) -> ALMResult:
         accuracy = jnp.minimum(accuracy, jnp.maximum(1e-6, v))
         accuracy = jnp.where(v < cfg.violation_tol, 1e-6, accuracy)
         new_mult = extrapolate(weight, prev_mult, prev_accel, st2.multipliers)
+        new_mult = jnp.clip(new_mult, st2.mult_l, st2.mult_u)
         st3 = dataclasses.replace(st2, multipliers=new_mult)
         return (
             st3, res.x, accuracy, i + 1, v, res.pg, value,

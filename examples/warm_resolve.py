@@ -29,13 +29,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def main(m: int = 512, steps: int = 5):
-    import jax.numpy as jnp
+    import dataclasses
 
     import cholesky_is_magic_tpu as cim
-    from cholesky_is_magic_tpu.ingest import to_device_lp
     from cholesky_is_magic_tpu.ingest.mps import read_mps_string
-    from cholesky_is_magic_tpu.solvers import PDASConfig
-    from cholesky_is_magic_tpu.solvers.pdas_dd import make_pdas_dd, pdas_dd
     from cholesky_is_magic_tpu.utils.testing import (
         netlib_like_lp, random_lp, write_mps,
     )
@@ -44,31 +41,27 @@ def main(m: int = 512, steps: int = 5):
     ineq = (netlib_like_lp("25fv47") if m >= 512
             else random_lp(0, n_ub=m, n_eq=m // 4, n=2 * m, density=0.1))
     sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
-    lp = to_device_lp(sf, pad_multiple=128, dtype=jnp.float32)
-    cfg = PDASConfig(gap_tol=1e-8, max_iters=200, refine_steps=2)
     print(f"LP: m={sf.ncons} n={sf.nvars}")
 
     t0 = time.time()
-    res = pdas_dd(make_pdas_dd(lp), cfg)
-    cold_iters = int(res.iterations)
-    print(f"cold solve: gap {float(res.extra['gap']):.2e} "
+    rep = cim.solve(sf, "pdas_dd", max_iters=200, refine_steps=2)
+    cold_iters = rep.summary["phase1_iterations"] + rep.summary["iterations"]
+    print(f"cold solve: gap {rep.summary['gap']:.2e} "
           f"iters {cold_iters} ({time.time() - t0:.1f}s incl compile)")
-
-    import dataclasses
 
     warm_iters = []
     for step in range(steps):
         # Drift the objective ~2% — a new instance of the same pattern.
-        c = np.asarray(lp.c)
-        drift = 1.0 + 0.02 * rng.standard_normal(c.shape).astype(c.dtype)
-        lp = dataclasses.replace(lp, c=jnp.asarray(c * drift))
+        drift = 1.0 + 0.02 * rng.standard_normal(sf.c.shape)
+        sf = dataclasses.replace(sf, c=sf.c * drift)
         t0 = time.time()
-        # warm_push re-opens the bound slacks: the previous optimum sits
-        # on a (slightly) wrong active set for the drifted instance.
-        st = make_pdas_dd(lp, warm=res, warm_push=3e-2)
-        res = pdas_dd(st, cfg)
-        warm_iters.append(int(res.iterations))
-        print(f"warm re-solve {step}: gap {float(res.extra['gap']):.2e} "
+        # warm=prev report skips phase 1; warm_push re-opens the bound
+        # slacks (the previous optimum sits on a slightly wrong active
+        # set for the drifted instance).
+        rep = cim.solve(sf, "pdas_dd", max_iters=200, refine_steps=2,
+                        warm=rep, warm_push=3e-2)
+        warm_iters.append(rep.summary["iterations"])
+        print(f"warm re-solve {step}: gap {rep.summary['gap']:.2e} "
               f"iters {warm_iters[-1]} ({(time.time() - t0) * 1e3:.0f} ms)")
     print(f"cold {cold_iters} iters -> warm avg {np.mean(warm_iters):.1f} "
           f"iters (same compiled program, zero re-analysis)")

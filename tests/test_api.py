@@ -45,6 +45,8 @@ class TestSolve:
         assert rep.summary["value"] == pytest.approx(-7.0, abs=1e-2)
         rep2 = cim.solve(SIMPLE, "selfdual", pad_multiple=16)
         assert rep2.summary["objective"] == pytest.approx(-7.0, abs=1e-2)
+        rep3 = cim.solve(SIMPLE, "aalm", pad_multiple=16, max_iters=60)
+        assert rep3.summary["value"] == pytest.approx(-7.0, abs=5e-2)
 
     def test_duals_match_highs_marginals(self):
         """Row duals (unscaled back through the equilibration) and reduced

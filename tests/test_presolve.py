@@ -118,6 +118,31 @@ class TestEndToEnd:
         resid = np.abs(sf.dense_A() @ x - sf.b).max()
         assert resid < 1e-4
 
+    def test_cli_presolve_flag(self, capsys, tmp_path):
+        import json
+
+        from cholesky_is_magic_tpu.__main__ import main
+
+        mps = (
+            "NAME T\nROWS\n N COST\n E R1\n L R2\n"
+            "COLUMNS\n X1 COST 1.0 R1 2.0\n X2 COST 2.0 R2 1.0\n"
+            " X3 COST -1.0 R2 1.0\n"
+            "RHS\n RHS R1 4.0 R2 5.0\n"
+            "BOUNDS\n UP BND X2 10.0\n UP BND X3 3.0\nENDATA\n"
+        )
+        path = str(tmp_path / "t.mps")
+        with open(path, "w") as f:
+            f.write(mps)
+        rc = main([path, "--solver", "pdas", "--pad", "16", "--presolve",
+                   "--json"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["status"] == "optimal"
+        assert "presolve" in out
+        # objective reported in the FULL space (X1=2 fixed by the
+        # singleton row contributes +2): 2 + 0 - 3 = -1.
+        assert abs(out["objective"] + 1.0) < 1e-3
+
     def test_presolve_detects_infeasible_through_api(self):
         sf = _sf(A=[[1.0, 0.0], [0.0, 1.0]], b=[5.0, 0.5],
                  c=[1.0, 1.0], l=[0.0, 0.0], u=[1.0, 1.0])

@@ -27,10 +27,13 @@ analysis and the compile — see examples/warm_resolve.py).
 Run: python examples/at_scale_sparse.py [m]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def build_lp(m: int, seed: int = 0):

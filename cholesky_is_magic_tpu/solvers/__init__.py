@@ -20,7 +20,7 @@ from cholesky_is_magic_tpu.solvers.approx import (
     make_approx_selfdual,
     approx,
 )
-from cholesky_is_magic_tpu.solvers.alm import ALMConfig, ALMState, make_alm, alm, aalm
+from cholesky_is_magic_tpu.solvers.alm import ALMConfig, ALMState, make_alm, alm, aalm, adcd
 from cholesky_is_magic_tpu.solvers.pdas_dd import (
     PDASDDState,
     make_pdas_dd,
@@ -52,4 +52,5 @@ __all__ = [
     "make_alm",
     "alm",
     "aalm",
+    "adcd",
 ]

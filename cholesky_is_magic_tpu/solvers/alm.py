@@ -340,8 +340,8 @@ def adcd_iteration(state: ALMState, x, has_x, cfg: Optional[ALMConfig] = None):
     :612-656): short inner solves far from feasibility, staged mu
     escalation, done when pg < 1e-2 and ||viol|| < 1e-2.
 
-    Returns (new_state, x, done).  The 10000-vs-100 inner budget switch is
-    data-dependent; both branches run under lax.cond."""
+    Returns (new_state, x, done, pg).  The 10000-vs-100 inner budget
+    switch is data-dependent; both branches run under lax.cond."""
     cfg = cfg or ALMConfig()
     prob = make_alm_subproblem(state.lp, state.multipliers, state.mu)
     viol_x = jnp.linalg.norm(quad_violations(prob, x))
@@ -371,4 +371,38 @@ def adcd_iteration(state: ALMState, x, has_x, cfg: Optional[ALMConfig] = None):
         nu=mu ** -0.1,
         omega=1.0 / mu,
     )
-    return new_state, res.x, done
+    return new_state, res.x, done, res.pg
+
+
+def adcd(
+    state: ALMState,
+    x0: Optional[jax.Array] = None,
+    config: Optional[ALMConfig] = None,
+) -> ALMResult:
+    """Driver for the experimental alternating-direction variant: iterate
+    adcd_iteration until its `done` signal (the reference's
+    ``throw 'done`` out of a ``catch`` block, alm-approx.lisp:637-639) or
+    cfg.max_outer.  A host loop over the jitted iteration — matching the
+    reference, which also drives this one step at a time."""
+    cfg = config or ALMConfig()
+    dtype = state.multipliers.dtype
+    x = x0 if x0 is not None else jnp.zeros(state.lp.c.shape, dtype)
+    has_x = jnp.asarray(False)
+    done = jnp.asarray(False)
+    pg = jnp.asarray(np.inf, dtype)
+    outer = 0
+    for outer in range(1, cfg.max_outer + 1):
+        state, x, done, pg = adcd_iteration(state, x, has_x, cfg)
+        has_x = jnp.asarray(True)
+        if bool(done):
+            break
+    prob = make_alm_subproblem(state.lp, state.multipliers, state.mu)
+    viol = quad_violations(prob, x)
+    return ALMResult(
+        x=x, multipliers=state.multipliers,
+        violation=jnp.max(jnp.abs(viol)),
+        pg=pg,
+        value=dual_value(prob, x),
+        outer_iterations=jnp.asarray(outer, jnp.int32),
+        inner_iterations=jnp.asarray(0, jnp.int32),
+    )

@@ -176,11 +176,21 @@ class TestALM:
         done = jnp.asarray(False)
         has_x = jnp.asarray(False)
         for _ in range(100):
-            st, x, done = adcd_iteration(st, x, has_x)
+            st, x, done, _pg = adcd_iteration(st, x, has_x)
             has_x = jnp.asarray(True)
             if bool(done):
                 break
         assert bool(done)
+
+    def test_adcd_driver(self):
+        from cholesky_is_magic_tpu.solvers.alm import adcd
+
+        lp = fixture_lp()
+        res = adcd(make_alm(lp), config=ALMConfig(max_outer=100))
+        # adcd's own done-thresholds: pg < 1e-2 and ||viol|| < 1e-2.
+        assert float(res.pg) < 1e-2
+        assert float(res.value) == pytest.approx(-7.0, abs=5e-2)
+        assert int(res.outer_iterations) <= 100
 
 
 class TestApproxSelfdual:

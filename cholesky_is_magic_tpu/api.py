@@ -98,8 +98,10 @@ def solve(
     restored to the original variable space.
 
     ``warm`` (pdas/pdas_dd): restart from a previous :class:`SolveReport`
-    on the same LP pattern — for pdas_dd the phase-1 solve is skipped
-    entirely (the serving re-solve flow, examples/warm_resolve.py).  Set
+    on the same LP pattern, solved with the same ``sparse`` mode and
+    ``pad_multiple`` (the iterate shapes must match) — for pdas_dd the
+    phase-1 solve is skipped entirely (the serving re-solve flow,
+    examples/warm_resolve.py).  Set
     ``warm_push`` ~1e-2 when the warm report solved a *perturbed*
     instance (solvers.pdas.push_interior).  Not combinable with
     ``presolve`` (the reduced spaces may differ between solves).

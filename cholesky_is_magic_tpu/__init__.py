@@ -42,6 +42,14 @@ def solve(problem, solver="pdas", **kwargs):
     return _solve(problem, solver, **kwargs)
 
 
+def solve_batch(problems, **kwargs):
+    """Solve many LPs as one vmapped computation (lazy re-export of
+    :func:`api.solve_batch`)."""
+    from cholesky_is_magic_tpu.api import solve_batch as _solve_batch
+
+    return _solve_batch(problems, **kwargs)
+
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -52,4 +60,5 @@ __all__ = [
     "to_standard_form",
     "rescale_sf",
     "solve",
+    "solve_batch",
 ]

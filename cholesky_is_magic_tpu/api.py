@@ -44,6 +44,91 @@ class SolveReport:
     solution: dict  # extract_solution(sf, result.x): x, slacks, objective
 
 
+def solve_batch(
+    problems,
+    *,
+    pad_multiple: int = 64,
+    dtype=None,
+    rescale: bool = False,
+    max_iters: int = 500,
+    refine_steps: int = 1,
+    gap_tol=None,
+    mesh=None,
+) -> list:
+    """Solve a batch of (possibly heterogeneous) LPs as ONE vmapped pdas
+    computation — the dp serving mode at the front door.
+
+    Every problem is embedded into a common padded (M, N) box (the batch
+    maxima rounded up to ``pad_multiple``); per-problem masks keep the
+    padding inert, so one compiled program serves the whole batch, and
+    with ``mesh`` the batch dimension shards over the 'dp' axis with zero
+    cross-chip communication (parallel.batched_pdas).  Returns one
+    :class:`SolveReport` per problem (``result`` holds the per-problem
+    slice of the batched SolveResult).
+
+    pdas only: the other families either need per-problem symbolic
+    analysis (sparse engines) or consume true-count metadata that cannot
+    vary across a stacked batch (affine/approx) — solve() covers those
+    one at a time.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cholesky_is_magic_tpu.ingest import to_device_lp
+    from cholesky_is_magic_tpu.ingest.device import round_up
+    from cholesky_is_magic_tpu.ingest.standard_form import extract_solution
+    from cholesky_is_magic_tpu.parallel import batched_pdas, shard_batched_pdas
+    from cholesky_is_magic_tpu.solvers import PDASConfig, make_pdas
+    from cholesky_is_magic_tpu.solvers.result import Status
+
+    if dtype is None:
+        dtype = jnp.float32
+    sfs = [_to_standard_form(p, rescale) for p in problems]
+    if not sfs:
+        return []
+    M = round_up(max(sf.ncons for sf in sfs), pad_multiple)
+    N = round_up(max(sf.nvars for sf in sfs), pad_multiple)
+    kw = {} if gap_tol is None else {"gap_tol": gap_tol}
+    cfg = PDASConfig(max_iters=max_iters, refine_steps=refine_steps, **kw)
+    states = []
+    for sf in sfs:
+        lp = to_device_lp(sf, dtype=dtype, shape=(M, N))
+        # Metadata must be identical across the batch to stack the pytrees;
+        # the pdas loop never reads it (masks carry the true structure).
+        lp = dataclasses.replace(lp, m=M, n=N)
+        states.append(make_pdas(lp, cfg))
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    if mesh is not None:
+        batched = shard_batched_pdas(batched, mesh)
+    res = batched_pdas(batched, cfg)
+
+    reports = []
+    for i, sf in enumerate(sfs):
+        one = jax.tree.map(lambda a: a[i], res)
+        status = Status.NAMES.get(int(one.status), "?")
+        summary = dict(
+            status=status, objective=float(one.objective),
+            dual_objective=float(one.extra["dual_objective"]),
+            gap=float(one.extra["gap"]), iterations=int(one.iterations),
+            residual=float(one.residual_norm),
+        )
+        solution = extract_solution(sf, one.x)
+        # Row duals in the original row space (see solve()'s _duals).
+        norm = np.zeros(sf.ncons)
+        np.maximum.at(norm, sf.a_rows, np.abs(sf.a_vals))
+        s = np.where(norm < 1e-6, 1.0, 1.0 / np.where(norm == 0, 1.0, norm))
+        solution["y"] = np.asarray(one.extra["y"])[: sf.ncons] * s
+        solution["reduced_costs"] = np.asarray(
+            one.extra["z"] - one.extra["w"]
+        )[: sf.nvars]
+        reports.append(SolveReport(
+            solver="pdas", status=status, objective=solution["objective"],
+            summary=summary, result=one, sf=sf, solution=solution,
+        ))
+    return reports
+
+
 def _to_standard_form(problem, rescale: bool):
     import cholesky_is_magic_tpu as cim
     from cholesky_is_magic_tpu.ingest.mps import MPSData

@@ -140,6 +140,7 @@ def to_device_lp(
     pad_multiple: int = 128,
     dtype=jnp.float32,
     big: float = 1e30,
+    shape: tuple[int, int] | None = None,
 ) -> DeviceLP:
     """Embed a StandardForm into a padded DeviceLP.
 
@@ -147,10 +148,19 @@ def to_device_lp(
     threshold the solvers use — the reference's clamps kick in at 1e8,
     primal-dual-affine-scaling.lisp:37) so that f32/bf16 arrays never hold
     actual infinities (inf - inf would poison masked arithmetic).
+
+    ``shape`` forces an explicit padded (M, N) instead of the per-problem
+    round-up — heterogeneous LPs embedded into one common box stack into a
+    batch (api.solve_batch / parallel.batched_pdas).
     """
     m, n = sf.ncons, sf.nvars
-    M = round_up(max(m, 1), pad_multiple)
-    N = round_up(max(n, 1), pad_multiple)
+    if shape is not None:
+        M, N = shape
+        if M < m or N < n:
+            raise ValueError(f"shape {shape} smaller than problem ({m}, {n})")
+    else:
+        M = round_up(max(m, 1), pad_multiple)
+        N = round_up(max(n, 1), pad_multiple)
 
     A = np.zeros((M, N), dtype=np.float64)
     np.add.at(A, (sf.a_rows, sf.a_cols), sf.a_vals)

@@ -85,6 +85,33 @@ class TestSolve:
         assert np.all(np.isnan(rc[3:6]))  # eliminated columns flagged
         assert np.isfinite(y[np.isfinite(y)]).all()
 
+    def test_solve_batch_heterogeneous(self):
+        """Different-sized LPs embedded into one common box, solved as one
+        vmapped computation, each matching its own single solve; sharded
+        over 'dp' on the virtual mesh."""
+        import numpy as np
+
+        from cholesky_is_magic_tpu.ingest.mps import read_mps_string
+        from cholesky_is_magic_tpu.parallel import lp_mesh
+        from cholesky_is_magic_tpu.utils.testing import random_lp, write_mps
+
+        sfs = []
+        for seed, (n_ub, n_eq, n) in enumerate(
+            [(10, 4, 20), (14, 2, 26), (8, 6, 18), (12, 4, 24)] * 2
+        ):
+            ineq = random_lp(40 + seed, n_ub=n_ub, n_eq=n_eq, n=n,
+                             density=0.5)
+            sfs.append(cim.to_standard_form(read_mps_string(write_mps(ineq))))
+        reports = cim.solve_batch(sfs, pad_multiple=16, max_iters=120,
+                                  mesh=lp_mesh(dp=8, tp=1))
+        assert len(reports) == 8
+        for sf, rep in zip(sfs, reports):
+            assert rep.status == "optimal", rep.summary
+            single = cim.solve(sf, "pdas", pad_multiple=16, max_iters=120)
+            assert rep.objective == pytest.approx(single.objective, abs=1e-3)
+            np.testing.assert_allclose(rep.solution["y"],
+                                       single.solution["y"], atol=1e-2)
+
     def test_warm_resolve_through_api(self):
         """The serving flow at the front door: warm=prev report skips
         phase 1 and converges in fewer finisher iterations than cold on a

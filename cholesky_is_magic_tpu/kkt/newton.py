@@ -176,40 +176,50 @@ class KKTDeltas(NamedTuple):
     ok: jax.Array  # False if the normal-equations factorization failed
 
 
-def solve_kkt_newton(
+class KKTReduction(NamedTuple):
+    """Intermediates of the block elimination: everything needed to turn
+    the normal-equations solution dy back into (dw, dx, dz).  Split out so
+    callers can run the factorization themselves (e.g. solvers.pdas shares
+    ONE factorization across its repair/recenter/newton branches — under
+    vmap every lax.cond branch executes, so per-branch solves would triple
+    the batched cost)."""
+
+    s: jax.Array  # sqrt(beta): the normal-equations column scaling
+    alpha: jax.Array
+    beta: jax.Array
+    use_u: jax.Array
+    use_l: jax.Array
+
+
+def kkt_reduce(
     sl: jax.Array,
     su: jax.Array,
     w: jax.Array,
     z: jax.Array,
-    op: KKTOperator,
     e: jax.Array,
     f: jax.Array,
-    g: jax.Array,
     h: jax.Array,
-) -> KKTDeltas:
-    """The elimination chain of sparse-newton-solve.lisp:150-168.
+) -> KKTReduction:
+    """Elimination of (dw, dx, dz): reduces the KKT system to
+    (A·diag(s))(A·diag(s))ᵀ dy = g - A·alpha with s = sqrt(beta).
 
-    Args are the *slacks* sl = x - l, su = u - x (both > 0), the bound duals
-    w, z (> 0), and the four RHS blocks.  Padded-variable entries must be
-    sanitized by the caller to sl = su = w = z = 1 and e = f = h = 0 (then
-    every delta is exactly 0 there); padded rows need g = 0.
+    The reference scales rows by 1/U then 1/Z (scale-U/scale-Z, :47-53),
+    which divides by the *duals* — its filter-Z path (:40-45) zeroes z and
+    then divides by it, a latent division-by-zero that never fired in the
+    reference's runs.  The TPU build eliminates per-variable in closed
+    form instead, with every division by a slack (> 0 by construction):
+
+      row (1): su·dw - w·dx = e       row (2): z·dx + sl·dz = f
+      row (4): -dw + (Aᵀdy)_i + dz = h
+      => dx = (t - h - e/su + f/sl) · beta,  beta = su·sl/(w·sl + z·su)
+      => (A·diag(beta)·Aᵀ) dy = g - A·alpha,  alpha = (-h - e/su + f/sl)·beta
+      => dw = (e + w·dx)/su,  dz = (f - z·dx)/sl.
+
+    The filters (:30-45, huge slack => bound absent) are the exact
+    su -> inf / sl -> inf limits of these formulas with e = w·su, f = z·sl;
+    for general rhs they are applied as where-branches: the filtered row
+    degenerates to dw = w (resp. dz = z) and drops out of the coupling.
     """
-    # The reference scales rows by 1/U then 1/Z (scale-U/scale-Z, :47-53),
-    # which divides by the *duals* — its filter-Z path (:40-45) zeroes z and
-    # then divides by it, a latent division-by-zero that never fired in the
-    # reference's runs.  The TPU build eliminates per-variable in closed
-    # form instead, with every division by a slack (> 0 by construction):
-    #
-    #   row (1): su·dw - w·dx = e       row (2): z·dx + sl·dz = f
-    #   row (4): -dw + (Aᵀdy)_i + dz = h
-    #   => dx = (t - h - e/su + f/sl) · beta,  beta = su·sl/(w·sl + z·su)
-    #   => (A·diag(beta)·Aᵀ) dy = g - A·alpha,  alpha = (-h - e/su + f/sl)·beta
-    #   => dw = (e + w·dx)/su,  dz = (f - z·dx)/sl.
-    #
-    # The filters (:30-45, huge slack => bound absent) are the exact
-    # su -> inf / sl -> inf limits of these formulas with e = w·su, f = z·sl;
-    # for general rhs they are applied as where-branches: the filtered row
-    # degenerates to dw = w (resp. dz = z) and drops out of the coupling.
     pu = su <= FILTER_THRESHOLD  # upper bound present
     pl = sl <= FILTER_THRESHOLD  # lower bound present
     both_absent = ~pu & ~pl  # fall back to the unfiltered (finite) formulas
@@ -223,16 +233,55 @@ def solve_kkt_newton(
 
     beta = 1.0 / jnp.maximum(a + b, 1e-30)  # a+b > 0 whenever w, z > 0
     alpha = (-h - term_w + term_z) * beta
+    return KKTReduction(
+        s=jnp.sqrt(beta), alpha=alpha, beta=beta, use_u=use_u, use_l=use_l
+    )
 
-    s = jnp.sqrt(beta)
-    rhs = g - op.mv(alpha)
-    dy, ok = op.solve_scaled_normal(s, rhs)
 
-    t = op.rmv(dy)
-    dx = alpha + beta * t
-    dw = jnp.where(use_u, (e + w * dx) / su, w)
-    dz = jnp.where(use_l, (f - z * dx) / sl, z)
+def kkt_backsub(
+    red: KKTReduction,
+    sl: jax.Array,
+    su: jax.Array,
+    w: jax.Array,
+    z: jax.Array,
+    e: jax.Array,
+    f: jax.Array,
+    dy: jax.Array,
+    t: jax.Array,
+    ok,
+) -> KKTDeltas:
+    """Back-substitution (:137-148): recover (dw, dx, dz) from dy and
+    t = Aᵀ dy."""
+    dx = red.alpha + red.beta * t
+    dw = jnp.where(red.use_u, (e + w * dx) / su, w)
+    dz = jnp.where(red.use_l, (f - z * dx) / sl, z)
     return KKTDeltas(dw=dw, dx=dx, dy=dy, dz=dz, ok=ok)
+
+
+def solve_kkt_newton(
+    sl: jax.Array,
+    su: jax.Array,
+    w: jax.Array,
+    z: jax.Array,
+    op: KKTOperator,
+    e: jax.Array,
+    f: jax.Array,
+    g: jax.Array,
+    h: jax.Array,
+) -> KKTDeltas:
+    """The elimination chain of sparse-newton-solve.lisp:150-168
+    (kkt_reduce -> one scaled normal solve -> kkt_backsub).
+
+    Args are the *slacks* sl = x - l, su = u - x (both > 0), the bound duals
+    w, z (> 0), and the four RHS blocks.  Padded-variable entries must be
+    sanitized by the caller to sl = su = w = z = 1 and e = f = h = 0 (then
+    every delta is exactly 0 there); padded rows need g = 0.
+    """
+    red = kkt_reduce(sl, su, w, z, e, f, h)
+    rhs = g - op.mv(red.alpha)
+    dy, ok = op.solve_scaled_normal(red.s, rhs)
+    t = op.rmv(dy)
+    return kkt_backsub(red, sl, su, w, z, e, f, dy, t, ok)
 
 
 def kkt_residuals(

@@ -34,11 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cholesky_is_magic_tpu.ingest.device import DeviceLP
-from cholesky_is_magic_tpu.kkt.newton import (
-    dense_kkt_operator,
-    solve_kkt_newton,
-    sparse_kkt_operator,
-)
+from cholesky_is_magic_tpu.kkt.newton import kkt_backsub, kkt_reduce
 from cholesky_is_magic_tpu.ops import dense as dense_ops
 from cholesky_is_magic_tpu.solvers.affine import (
     _centering_direction,
@@ -358,64 +354,6 @@ def _pos_step(v, dv):
     return jnp.min(jnp.maximum(lim, 0.0))
 
 
-def _repair(state: PDASState, cfg: PDASConfig, engine=None, mesh=None):
-    """one-repair-iteration (:268-288): min-norm LS step toward Ax = b,
-    then nudge x into the interior.
-
-    The reference floors every component at literally 1e-4 (:285-287),
-    which assumes the x >= 0 standard forms it was run on; for variables
-    whose feasible box lies below 1e-4 that floor re-breaks Ax = b every
-    repair pass.  The TPU build keeps the intent (stay off the lower
-    boundary) but respects the box: x >= min(l + 1e-4, u), which reduces
-    to the reference's floor exactly when l = 0."""
-    lp = state.lp
-    mv, rmv = _mv_rmv(lp)
-    x = state.x
-    slack = _slack(lp.l, x, lp.u, cfg.repair_slack_cap, lp.col_mask)
-    residual = lp.b - mv(x)
-    boost = _row_boost(lp)
-    yv, ok = _solve_normal_backend(
-        lp, engine, slack, residual, boost, cfg.refine_steps, mesh,
-        cfg.dbound,
-    )
-    # (A diag s)^T yv = s (A^T yv) — operand-agnostic form.
-    dg = jnp.where(lp.col_mask, slack * rmv(yv), 0.0)
-    g = dg * slack
-    step = cfg.gamma * jnp.minimum(
-        _max_step(lp.l, x, lp.u, g, lp.col_mask), 1.0 / cfg.gamma
-    )
-    floor = jnp.minimum(lp.l + cfg.repair_floor, lp.u)
-    new_x = jnp.where(
-        lp.col_mask, jnp.maximum(x + step * g, floor), x
-    )
-    new_x = _into_interior(new_x, lp.l, lp.u, lp.col_mask)
-    return jnp.where(ok, new_x, x), ok
-
-
-def _recenter(state: PDASState, cfg: PDASConfig, engine=None, mesh=None):
-    """The repair-flag path (:348-366): perturb duals by 1e-4 and take a
-    damped centering step from primal-project."""
-    lp = state.lp
-    mask = lp.col_mask.astype(state.w.dtype)
-    w = state.w + 1e-4 * mask
-    z = state.z + 1e-4 * mask
-    x = state.x
-    mv, rmv = _mv_rmv(lp)
-    slack = _slack(lp.l, x, lp.u, cfg.repair_slack_cap, lp.col_mask)
-    c_dir = _centering_direction(lp.l, x, lp.u, lp.col_mask)
-    sc = -(slack * c_dir)
-    boost = _row_boost(lp)
-    proj, ok = _solve_normal_backend(
-        lp, engine, slack, mv(slack * sc), boost, cfg.refine_steps, mesh,
-        cfg.dbound,
-    )
-    # AD^T proj = s (A^T proj) — operand-agnostic.
-    dx = jnp.where(lp.col_mask, sc - slack * rmv(proj), 0.0) * slack
-    step = 0.5 * _max_step(lp.l, x, lp.u, dx, lp.col_mask)
-    new_x = jnp.where(ok, _into_interior(x + step * dx, lp.l, lp.u, lp.col_mask), x)
-    return new_x, w, z, ok
-
-
 def pdas(
     state: PDASState,
     config: Optional[PDASConfig] = None,
@@ -446,88 +384,90 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
     lp = state.lp
 
     def one_iteration(st: PDASState, repair_flag):
-        """one-pdas-iteration (:319-383). Returns (new_st, gap, step, ok)."""
+        """one-pdas-iteration (:319-383). Returns (new_st, gap, pviol, step, ok).
+
+        The reference dispatches repair / recenter / newton as separate
+        code paths; here all three reduce to ONE scaled normal solve
+        (A·diag(s))(A·diag(s))ᵀ y = rhs with a branch-selected (s, rhs) —
+        repair: s = capped slack, rhs = b - Ax (one-repair-iteration :268);
+        recenter: s = capped slack, rhs = A(s·sc) (primal-project :305);
+        newton: s = sqrt(beta) from the KKT elimination, rhs = g - A·alpha
+        (sparse-newton-solve.lisp:150).  The selected branch's numbers are
+        identical to the dispatched version; the point is ONE factorization
+        per iteration — under vmap every lax.cond branch executes, so
+        per-branch solves tripled the batched cost (measured ~3x on
+        batch-256)."""
         sl, su, wu, zl, primal, dual = _violation(st)
         pobj, dobj = _objectives(st, cfg.clamp)
         gap = jnp.abs(pobj - dobj) / jnp.maximum(
             jnp.maximum(jnp.abs(pobj), jnp.abs(dobj)), 1.0
         )
         pviol = jnp.max(jnp.abs(primal))
-        primal_infeasible = pviol >= cfg.primal_feasible_tol
+        repair_b = pviol >= cfg.primal_feasible_tol
+        recenter_b = (~repair_b) & repair_flag
+        newton_b = ~(repair_b | recenter_b)
 
-        def do_repair():
-            new_x, ok = _repair(st, cfg, engine, mesh)
-            return (
-                dataclasses.replace(st, x=new_x),
-                gap,
-                pviol,
-                jnp.asarray(np.inf, dtype=new_x.dtype),  # no Newton step taken
-                ok,
-            )
+        mask = lp.col_mask
+        mv, rmv = _mv_rmv(lp)
+        boost = _row_boost(lp)
+        slack = _slack(lp.l, st.x, lp.u, cfg.repair_slack_cap, mask)
+        red = kkt_reduce(sl, su, st.w, st.z, wu, zl, dual)
+        c_dir = _centering_direction(lp.l, st.x, lp.u, mask)
+        sc = -(slack * c_dir)
 
-        def do_recenter():
-            new_x, w, z, ok = _recenter(st, cfg, engine, mesh)
-            return (
-                dataclasses.replace(st, x=new_x, w=w, z=z),
-                gap,
-                pviol,
-                jnp.asarray(np.inf, dtype=new_x.dtype),
-                ok,
-            )
-
-        def do_newton():
-            boost = _row_boost(lp)
-            from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
-
-            if isinstance(lp, SparseKKTLP):
-                from cholesky_is_magic_tpu.kkt.newton import ell_kkt_operator
-
-                op = ell_kkt_operator(
-                    lp, engine, row_boost=boost, refine_steps=cfg.refine_steps,
-                    dbound=cfg.dbound, krylov_steps=cfg.krylov_steps,
-                )
-            elif mesh is not None:
-                from cholesky_is_magic_tpu.parallel.sharded import (
-                    sharded_kkt_operator,
-                )
-
-                op = sharded_kkt_operator(
-                    mesh, lp.A, row_boost=boost, refine_steps=cfg.refine_steps
-                )
-            elif engine is None:
-                op = dense_kkt_operator(
-                    lp.A, row_boost=boost, refine_steps=cfg.refine_steps,
-                    dbound=cfg.dbound, krylov_steps=cfg.krylov_steps,
-                )
-            else:
-                op = sparse_kkt_operator(
-                    lp.A, engine, row_boost=boost, refine_steps=cfg.refine_steps,
-                    dbound=cfg.dbound, krylov_steps=cfg.krylov_steps,
-                )
-            d = solve_kkt_newton(sl, su, st.w, st.z, op, wu, zl, primal, dual)
-            # Ratio tests on the TRUE slacks (not the KKT-scaling floored
-            # ones): a floored slack would let x cross its bound.
-            sl_t = jnp.where(lp.col_mask, st.x - lp.l, 1.0)
-            su_t = jnp.where(lp.col_mask, lp.u - st.x, 1.0)
-            step = jnp.minimum(
-                _box_step(sl_t, su_t, d.dx),
-                jnp.minimum(_pos_step(st.w, d.dw), _pos_step(st.z, d.dz)),
-            )
-            t = jnp.minimum(1.0, cfg.gamma * step)
-            new = dataclasses.replace(
-                st,
-                w=st.w - t * d.dw,
-                x=_into_interior(st.x - t * d.dx, lp.l, lp.u, lp.col_mask),
-                y=st.y - t * d.dy,
-                z=st.z - t * d.dz,
-            )
-            return new, gap, pviol, step, d.ok
-
-        return jax.lax.cond(
-            primal_infeasible,
-            do_repair,
-            lambda: jax.lax.cond(repair_flag, do_recenter, do_newton),
+        s_sel = jnp.where(newton_b, red.s, slack)
+        rhs_sel = jnp.where(
+            repair_b,
+            -primal,  # b - Ax (one-repair-iteration residual)
+            jnp.where(recenter_b, mv(slack * sc), primal - mv(red.alpha)),
         )
+        y, ok = _solve_normal_backend(
+            lp, engine, s_sel, rhs_sel, boost, cfg.refine_steps, mesh,
+            cfg.dbound, cfg.krylov_steps,
+        )
+        ty = rmv(y)
+
+        # --- newton branch updates (:367-379) ---
+        d = kkt_backsub(red, sl, su, st.w, st.z, wu, zl, y, ty, ok)
+        # Ratio tests on the TRUE slacks (not the KKT-scaling floored
+        # ones): a floored slack would let x cross its bound.
+        sl_t = jnp.where(mask, st.x - lp.l, 1.0)
+        su_t = jnp.where(mask, lp.u - st.x, 1.0)
+        step_n = jnp.minimum(
+            _box_step(sl_t, su_t, d.dx),
+            jnp.minimum(_pos_step(st.w, d.dw), _pos_step(st.z, d.dz)),
+        )
+        t = jnp.minimum(1.0, cfg.gamma * step_n)
+        x_n = _into_interior(st.x - t * d.dx, lp.l, lp.u, mask)
+        w_n, y_n, z_n = st.w - t * d.dw, st.y - t * d.dy, st.z - t * d.dz
+
+        # --- repair branch updates (one-repair-iteration :268-288) ---
+        g_r = jnp.where(mask, slack * ty, 0.0) * slack
+        step_r = cfg.gamma * jnp.minimum(
+            _max_step(lp.l, st.x, lp.u, g_r, mask), 1.0 / cfg.gamma
+        )
+        floor = jnp.minimum(lp.l + cfg.repair_floor, lp.u)
+        x_r = jnp.where(mask, jnp.maximum(st.x + step_r * g_r, floor), st.x)
+        x_r = jnp.where(ok, _into_interior(x_r, lp.l, lp.u, mask), st.x)
+
+        # --- recenter branch updates (:348-366) ---
+        dx_rc = jnp.where(mask, sc - slack * ty, 0.0) * slack
+        step_c = 0.5 * _max_step(lp.l, st.x, lp.u, dx_rc, mask)
+        x_c = jnp.where(
+            ok, _into_interior(st.x + step_c * dx_rc, lp.l, lp.u, mask), st.x
+        )
+        maskf = mask.astype(st.w.dtype)
+        w_c, z_c = st.w + 1e-4 * maskf, st.z + 1e-4 * maskf
+
+        inf = jnp.asarray(np.inf, dtype=st.x.dtype)
+        new = dataclasses.replace(
+            st,
+            x=jnp.where(newton_b, x_n, jnp.where(repair_b, x_r, x_c)),
+            w=jnp.where(newton_b, w_n, jnp.where(recenter_b, w_c, st.w)),
+            y=jnp.where(newton_b, y_n, st.y),
+            z=jnp.where(newton_b, z_n, jnp.where(recenter_b, z_c, st.z)),
+        )
+        return new, gap, pviol, jnp.where(newton_b, step_n, inf), ok
 
     def body(carry):
         (st, i, repair_flag, prev_gap, _prev_pviol, bad_count, _status, trace,

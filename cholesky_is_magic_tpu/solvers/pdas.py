@@ -17,10 +17,12 @@ Reference: primal-dual-affine-scaling.lisp.  Preserved feature-for-feature:
   0.9-damped, capped-at-1 step (:375-379);
 - termination at relative duality gap < 1e-4 (:394).
 
-The KKT Newton direction is kkt.newton.solve_kkt_newton — one MXU
-normal-equations Cholesky per iteration (the reference re-analyzes CHOLMOD
-from scratch each call, sparse-cholesky.lisp:506-522; under jit the
-compiled factorization graph is reused, strictly better).
+The KKT Newton direction uses kkt.newton.kkt_reduce / kkt_backsub — one
+MXU normal-equations Cholesky per iteration shared across the
+repair/recenter/newton branches (the reference re-analyzes CHOLMOD from
+scratch each call, sparse-cholesky.lisp:506-522; under jit the compiled
+factorization graph is reused, strictly better, and under vmap the shared
+solve keeps a batch at one factorization per iteration).
 """
 
 from __future__ import annotations

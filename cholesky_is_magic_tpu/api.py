@@ -91,14 +91,21 @@ def solve_batch(
     N = round_up(max(sf.nvars for sf in sfs), pad_multiple)
     kw = {} if gap_tol is None else {"gap_tol": gap_tol}
     cfg = PDASConfig(max_iters=max_iters, refine_steps=refine_steps, **kw)
-    states = []
-    for sf in sfs:
-        lp = to_device_lp(sf, dtype=dtype, shape=(M, N))
-        # Metadata must be identical across the batch to stack the pytrees;
-        # the pdas loop never reads it (masks carry the true structure).
-        lp = dataclasses.replace(lp, m=M, n=N)
-        states.append(make_pdas(lp, cfg))
-    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    # Build everything host-side (as_numpy), stack once, ship ONE array per
+    # leaf, and vmap make_pdas over the stacked batch: per-problem eager
+    # jnp construction paid a tunnel transfer + dispatch per LP (measured
+    # ~3 s of a 7.5 s warm 256-LP batch).  Metadata must be identical
+    # across the batch to stack the pytrees; the pdas loop never reads it
+    # (masks carry the true structure).
+    lps = [
+        dataclasses.replace(
+            to_device_lp(sf, dtype=dtype, shape=(M, N), as_numpy=True),
+            m=M, n=N,
+        )
+        for sf in sfs
+    ]
+    stacked_lp = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *lps)
+    batched = jax.vmap(lambda lp: make_pdas(lp, cfg))(stacked_lp)
     if mesh is not None:
         batched = shard_batched_pdas(batched, mesh)
     res = batched_pdas(batched, cfg)

@@ -141,6 +141,7 @@ def to_device_lp(
     dtype=jnp.float32,
     big: float = 1e30,
     shape: tuple[int, int] | None = None,
+    as_numpy: bool = False,
 ) -> DeviceLP:
     """Embed a StandardForm into a padded DeviceLP.
 
@@ -152,6 +153,10 @@ def to_device_lp(
     ``shape`` forces an explicit padded (M, N) instead of the per-problem
     round-up — heterogeneous LPs embedded into one common box stack into a
     batch (api.solve_batch / parallel.batched_pdas).
+
+    ``as_numpy=True`` keeps the leaves as host numpy arrays (no device
+    transfer) — batch builders stack many LPs host-side and ship ONE
+    stacked array per leaf instead of paying a transfer per problem.
     """
     m, n = sf.ncons, sf.nvars
     if shape is not None:
@@ -182,6 +187,14 @@ def to_device_lp(
     row_type = np.zeros(M, dtype=np.int8)
     row_type[:m] = sf.row_type
 
+    if as_numpy:
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
+        return DeviceLP(
+            A=A.astype(np_dtype), c=c.astype(np_dtype), b=b.astype(np_dtype),
+            l=l.astype(np_dtype), u=u.astype(np_dtype),
+            row_mask=row_mask, col_mask=col_mask, row_type=row_type,
+            m=m, n=n,
+        )
     return DeviceLP(
         A=jnp.asarray(A, dtype=dtype),
         c=jnp.asarray(c, dtype=dtype),

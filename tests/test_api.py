@@ -108,7 +108,12 @@ class TestSolve:
         for sf, rep in zip(sfs, reports):
             assert rep.status == "optimal", rep.summary
             single = cim.solve(sf, "pdas", pad_multiple=16, max_iters=120)
-            assert rep.objective == pytest.approx(single.objective, abs=1e-3)
+            # Both stop at relative gap 1e-4: objectives agree to that
+            # tolerance, not to machine precision (the batched and single
+            # constructions round differently and stop at different
+            # near-optimal iterates).
+            tol = 2e-4 * max(1.0, abs(single.objective)) + 1e-4
+            assert abs(rep.objective - single.objective) < tol
             np.testing.assert_allclose(rep.solution["y"],
                                        single.solution["y"], atol=1e-2)
 

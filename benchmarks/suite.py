@@ -32,7 +32,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-K = 32
+# K must make K*per-iteration-time >> the few-ms tunnel jitter: at the
+# sub-0.1 ms/iter of the small dense configs, K=32 produced a NEGATIVE
+# two-K difference (noise).  128 puts the smallest signal near 10 ms.
+K = 128
 REPS = 4
 
 

@@ -16,13 +16,15 @@ many value-sets at once through one vmapped solve — is
 parallel.batched_normal_solves / batched_pdas.
 
 Measured (v5e): at m=64 the warm re-solves take ~25 iterations vs 41
-cold; at 25fv47 scale (m=821) warm_push=3e-2 re-opens more than the 2%
-drift moves the active set and iteration counts end up comparable to
-cold — size the push to the perturbation (see push_interior's
-docstring).  Either way the WALL-CLOCK win is the point in serving:
-each warm re-solve runs ~0.4 s against ~450 s for the cold solve
-including compile and symbolic analysis, because everything expensive
-is per-pattern.
+cold.  At 25fv47 scale (m=821), a push sweep over four 2%-drift
+re-solves gives iters [105,74,68,102] at push 3e-3, [81,56,56,77] at
+1e-2, [59,44,45,58] at 3e-2 (cold: 42; every run reaches gap < 1e-8) —
+UNDER-pushing stalls longest, and even the best warm restart costs
+~cold+25% iterations on this instance class (the Newton-only finisher
+re-proves centrality from scratch).  The WALL-CLOCK win is the point in
+serving: each warm re-solve runs ~0.4 s against ~450 s for the cold
+solve including compile and symbolic analysis, because everything
+expensive is per-pattern.
 
 Run: python examples/warm_resolve.py [m] [steps]
 (works on CPU too: JAX_PLATFORM_NAME=cpu python examples/warm_resolve.py)

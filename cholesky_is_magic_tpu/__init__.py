@@ -34,9 +34,9 @@ from cholesky_is_magic_tpu.ingest.standard_form import (
 
 
 def solve(problem, solver="pdas", **kwargs):
-    """Solve an LP end-to-end (lazy re-export of :func:`api.solve`, kept
-    lazy so ``import cholesky_is_magic_tpu`` stays jax-free for pure
-    ingest use)."""
+    """Solve an LP end-to-end (lazy re-export of :func:`api.solve`; the
+    laziness defers the solver-module imports and their jit tracing — the
+    package import itself already pulls in jax via ingest.device)."""
     from cholesky_is_magic_tpu.api import solve as _solve
 
     return _solve(problem, solver, **kwargs)

@@ -149,6 +149,13 @@ def presolve(
             aij = float(Ar.data[sl_][0])
             if not col_alive[j]:
                 continue  # stale occupancy; next sweep re-derives
+            # Pivot-magnitude guard (advisor r2): a tiny a_ij amplifies
+            # b_i/a_ij, and the value-scaled acceptance width would then
+            # accept a numerically dubious fix.  Leave the row to the
+            # solver instead.
+            row_scale = max(np.max(np.abs(Ar.data[sl_])), abs(b[i]), 1.0)
+            if abs(aij) < 1e-10 * row_scale:
+                continue
             val = b[i] / aij
             width = 1e-7 * (1.0 + abs(val))
             if val < l[j] - width or val > u[j] + width:

@@ -166,7 +166,10 @@ def prepare_normal(
     preconditioner, residuals are explicit double-word, and the iterate
     accumulates in double-word — converges where plain refinement diverges
     (kappa(N) beyond ~1/eps_f32; the reference's fp64 CHOLMOD hits the
-    same wall only at kappa ~ 1e16)."""
+    same wall only at kappa ~ 1e16).  NOTE: it OVERRIDES ``refine_steps``
+    and ``true_residual`` entirely — PCG's explicit dd residual against
+    the unassembled operator subsumes both (the flags are ignored, not
+    combined)."""
     AD = A * d[None, :]
     N = jnp.matmul(AD, AD.T, preferred_element_type=AD.dtype,
                    precision=jax.lax.Precision.HIGHEST)

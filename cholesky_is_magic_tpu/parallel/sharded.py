@@ -63,6 +63,8 @@ def sharded_prepare_normal(
     d: jax.Array,
     row_boost: Optional[jax.Array] = None,
     refine_steps: int = 0,
+    dbound: float = 0.0,
+    krylov_steps: int = 0,
 ):
     """Factor-once / solve-many split of the tp normal-equations pipeline.
 
@@ -72,6 +74,19 @@ def sharded_prepare_normal(
     corrections whose matvecs are column-sharded (one m-vector psum each).
     Mirrors ops.dense.prepare_normal (the solve-sparse-recycle analogue)
     so the tp backend can serve KKTOperator.prepare_scaled_normal.
+
+    ``dbound`` > 0 arms the singular-retry diagonal floor exactly as in
+    ops.dense.prepare_normal (CHOLMOD's dbound knob): on a failed f32
+    Cholesky, refactor once with dbound*max(diag N) added to the diagonal.
+    The retry runs inside the replicated factor pass, so the mesh path
+    keeps the same failure-recovery story as single-chip.
+
+    ``krylov_steps`` > 0 replaces Richardson refinement with flexible PCG
+    (ops.krylov.pcg_refine): the replicated f32 factor is the
+    preconditioner, and the N-applies / double-word residuals are
+    column-sharded shard_maps (one m-vector psum each, hi and lo words
+    reduced separately) — the ill-conditioning escape hatch at tp scale.
+    Overrides ``refine_steps`` (as in the single-chip backend).
     """
     if row_boost is None:
         row_boost = jnp.zeros(A.shape[0], A.dtype)
@@ -88,6 +103,14 @@ def sharded_prepare_normal(
         N = jax.lax.psum(N_part, "tp")
         N = 0.5 * (N + N.T) + jnp.diag(boost_rep)
         f = dense_ops.factorize(N)
+        if dbound > 0.0:
+            eye = jnp.eye(N.shape[0], dtype=N.dtype)
+
+            def retry():
+                jitter = dbound * jnp.max(jnp.diagonal(N))
+                return dense_ops.factorize(N + jitter * eye)
+
+            f = jax.lax.cond(f.ok, lambda: f, retry)
         return f.L, f.ok
 
     @partial(
@@ -120,8 +143,61 @@ def sharded_prepare_normal(
             y = y + dense_ops.chol_solve(L_rep, r)
         return jnp.where(ok_rep, y, jnp.zeros_like(y))
 
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "tp"), P("tp"), P(), P()),
+        out_specs=P(),
+    )
+    def _apply_n(A_k, d_k, boost_rep, p_rep):
+        # p -> (AD)(AD)ᵀp + boost∘p, column-sharded, one psum('tp').
+        AD_k = A_k * d_k[None, :]
+        t_k = AD_k.T @ p_rep
+        q = jax.lax.psum(AD_k @ t_k, "tp")
+        return q + boost_rep * p_rep
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "tp"), P("tp"), P(), P(), P(), P()),
+        out_specs=P(),
+    )
+    def _residual_dd(A_k, d_k, boost_rep, g_rep, xhi_rep, xlo_rep):
+        from cholesky_is_magic_tpu.ops import dd as ddm
+
+        # g - N·x in double-word on a dd iterate: the sharded rendering of
+        # krylov.dense_residual_dd — hi and lo words psum separately.
+        AD_k = A_k * d_k[None, :]
+        t_k = ddm.dd_rmatvec_dd(AD_k, ddm.DD(xhi_rep, xlo_rep))
+        u_k = ddm.dd_add(
+            ddm.dd_matvec(AD_k, t_k.hi), ddm.dd_matvec(AD_k, t_k.lo)
+        )
+        u = ddm.DD(jax.lax.psum(u_k.hi, "tp"), jax.lax.psum(u_k.lo, "tp"))
+        u = ddm.dd_add(u, ddm.two_prod(boost_rep, xhi_rep))
+        u = ddm.dd_add_w(u, boost_rep * xlo_rep)
+        return ddm.dd_add_w(ddm.dd_neg(u), g_rep).to_working()
+
     with jax.default_matmul_precision("highest"):
         L, ok = _factor(A, d, row_boost)
+
+    if krylov_steps > 0:
+        from cholesky_is_magic_tpu.ops import krylov
+
+        def solve_fn(g):
+            with jax.default_matmul_precision("highest"):
+                x = krylov.pcg_refine(
+                    precond=lambda r: dense_ops.chol_solve(L, r),
+                    apply_n=lambda p: _apply_n(A, d, row_boost, p),
+                    residual_dd=lambda x_dd: _residual_dd(
+                        A, d, row_boost, g, x_dd.hi, x_dd.lo
+                    ),
+                    b=g,
+                    iters=krylov_steps,
+                )
+                y = x.to_working()
+                return jnp.where(ok, y, jnp.zeros_like(y))
+
+        return solve_fn, ok
 
     def solve_fn(g):
         with jax.default_matmul_precision("highest"):
@@ -137,6 +213,8 @@ def sharded_solve_normal(
     g: jax.Array,
     row_boost: Optional[jax.Array] = None,
     refine_steps: int = 0,
+    dbound: float = 0.0,
+    krylov_steps: int = 0,
 ):
     """Explicit shard_map rendering of ops.dense.solve_normal over 'tp'.
 
@@ -145,7 +223,8 @@ def sharded_solve_normal(
     (y, ok) identical (up to reduction order) to the single-chip solve.
     """
     solve_fn, ok = sharded_prepare_normal(
-        mesh, A, d, row_boost=row_boost, refine_steps=refine_steps
+        mesh, A, d, row_boost=row_boost, refine_steps=refine_steps,
+        dbound=dbound, krylov_steps=krylov_steps,
     )
     return solve_fn(g), ok
 
@@ -155,6 +234,8 @@ def sharded_kkt_operator(
     A: jax.Array,
     row_boost: Optional[jax.Array] = None,
     refine_steps: int = 0,
+    dbound: float = 0.0,
+    krylov_steps: int = 0,
 ):
     """KKTOperator backed by the tp pipeline — plugs the column-sharded
     normal solve into the SAME solve_kkt_newton elimination the dense and
@@ -169,9 +250,11 @@ def sharded_kkt_operator(
         mv=lambda v: A @ v,
         rmv=lambda v: A.T @ v,
         solve_scaled_normal=lambda s, g: sharded_solve_normal(
-            mesh, A, s, g, row_boost=row_boost, refine_steps=refine_steps
+            mesh, A, s, g, row_boost=row_boost, refine_steps=refine_steps,
+            dbound=dbound, krylov_steps=krylov_steps,
         ),
         prepare_scaled_normal=lambda s: sharded_prepare_normal(
-            mesh, A, s, row_boost=row_boost, refine_steps=refine_steps
+            mesh, A, s, row_boost=row_boost, refine_steps=refine_steps,
+            dbound=dbound, krylov_steps=krylov_steps,
         ),
     )

@@ -55,7 +55,8 @@ def solve_normal_backend(lp, engine, d, g, row_boost, refine_steps,
         from cholesky_is_magic_tpu.parallel.sharded import sharded_solve_normal
 
         return sharded_solve_normal(
-            mesh, lp.A, d, g, row_boost=row_boost, refine_steps=refine_steps
+            mesh, lp.A, d, g, row_boost=row_boost, refine_steps=refine_steps,
+            dbound=dbound, krylov_steps=krylov_steps,
         )
     if engine is None:
         return dense_ops.solve_normal(

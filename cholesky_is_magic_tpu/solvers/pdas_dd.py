@@ -398,7 +398,8 @@ def _pdas_dd_jit(
             from cholesky_is_magic_tpu.parallel.sharded import sharded_kkt_operator
 
             op = sharded_kkt_operator(
-                mesh, lp.A, row_boost=boost, refine_steps=cfg.refine_steps
+                mesh, lp.A, row_boost=boost, refine_steps=cfg.refine_steps,
+                dbound=cfg.dbound, krylov_steps=cfg.krylov_steps,
             )
         elif engine is None:
             # true_residual: refine against the UNASSEMBLED operator in

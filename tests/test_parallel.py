@@ -165,6 +165,59 @@ class TestShardedAffine:
         )
 
 
+class TestShardedConditioning:
+    """The tp backend keeps the single-chip escape hatches (r2 option gap):
+    dbound singular-retry + Krylov refinement (advisor finding: both were
+    silently dropped when mesh= was set)."""
+
+    def _conditioned(self, kappa_n, m=96, n=192, seed=0):
+        # f32 A whose normal matrix has condition ~kappa_n (as in
+        # test_krylov): kappa 1e9 makes the raw f32 Cholesky fail.
+        rng = np.random.default_rng(seed)
+        U, _ = np.linalg.qr(rng.normal(size=(m, m)))
+        V, _ = np.linalg.qr(rng.normal(size=(n, m)))
+        sv = np.logspace(0.0, np.log10(kappa_n) / 2.0, m)
+        A = jnp.asarray(U @ np.diag(sv) @ V.T, jnp.float32)
+        g = jnp.asarray(rng.normal(size=m), jnp.float32)
+        Af = np.asarray(A, np.float64)
+        x64 = np.linalg.solve(Af @ Af.T, np.asarray(g, np.float64))
+        return A, g, x64
+
+    def test_mesh_dbound_singular_retry_plus_krylov(self):
+        mesh = lp_mesh(dp=1, tp=8)
+        A, g, x64 = self._conditioned(1e9)
+        d = jnp.ones(A.shape[1], jnp.float32)
+        with jax.default_matmul_precision("highest"):
+            _, ok_raw = sharded_solve_normal(mesh, A, d, g)
+            y, ok = sharded_solve_normal(
+                mesh, A, d, g, dbound=1e-6, krylov_steps=80
+            )
+        assert not bool(ok_raw)  # without the retry the tp factor fails
+        assert bool(ok)
+        rel = np.linalg.norm(np.asarray(y, np.float64) - x64) / np.linalg.norm(x64)
+        # Single-chip reaches <1e-5 here; the tp psum's different reduction
+        # order costs a small factor at this extreme kappa (measured 4.9e-5).
+        assert rel < 2e-4, rel
+
+    def test_mesh_krylov_matches_single_chip_accuracy(self):
+        mesh = lp_mesh(dp=1, tp=8)
+        A, g, x64 = self._conditioned(1e8, seed=3)
+        d = jnp.ones(A.shape[1], jnp.float32)
+        with jax.default_matmul_precision("highest"):
+            y_tp, ok = sharded_solve_normal(
+                mesh, A, d, g, krylov_steps=20
+            )
+            y_1c, ok1 = dense_ops.solve_normal(
+                A, d, g, refine_steps=0, krylov_steps=20
+            )
+        assert bool(ok) and bool(ok1)
+        for y in (y_tp, y_1c):
+            rel = np.linalg.norm(np.asarray(y, np.float64) - x64) / np.linalg.norm(x64)
+            # ~1e-5 at this seed's kappa=1e8 (both paths); the point is
+            # parity of the escape hatch, not ulp equality.
+            assert rel < 5e-5, rel
+
+
 class TestShardedDDRefinement:
     def test_sharded_refine_is_double_word_accurate(self):
         """The tp refinement residual runs in double-word (per-shard dd

@@ -142,18 +142,23 @@ def ell_kkt_operator(
     refine_steps: int = 0,
     dbound: float = 0.0,
     krylov_steps: int = 0,
+    mesh=None,
 ) -> KKTOperator:
     """Fully sparse operator: ELL SpMVs (ops.sparse_ops — the
     cholmod_sdmult analogue) + the tile engine's pair-schedule assembly
     and factorization (engine_for_sparse).  No dense A operand anywhere —
-    the at-scale backend (``lp`` is an ingest.device.SparseKKTLP)."""
+    the at-scale backend (``lp`` is an ingest.device.SparseKKTLP).
+
+    ``mesh`` shards every factorization's assembly slabs + SYRK waves over
+    the 'tp' axis (sparse.tiled._assemble_factor_tp) — the multi-chip
+    composition of the at-scale path."""
     from cholesky_is_magic_tpu.ops import sparse_ops
 
     def prepare_scaled_normal(s):
         return engine.prepare_normal_ell(
             lp.E, lp.ET, s, lp.m, row_boost=row_boost,
             refine_steps=refine_steps, dbound=dbound,
-            krylov_steps=krylov_steps,
+            krylov_steps=krylov_steps, mesh=mesh,
         )
 
     def solve_scaled_normal(s, g):

@@ -11,7 +11,9 @@ normal-equations solve, and the operand set decides the implementation —
   ``mesh=``);
 - fully sparse ``SparseKKTLP``: ELL SpMVs (ops.sparse_ops) + the tile
   engine's pair-schedule assembly (requires ``engine=`` from
-  sparse.tiled.engine_for_sparse).
+  sparse.tiled.engine_for_sparse); with ``mesh=`` too, the engine shards
+  assembly pair slabs and panel-wave Schur updates over 'tp' — the
+  multi-chip × at-scale composition.
 """
 
 from __future__ import annotations
@@ -49,7 +51,7 @@ def solve_normal_backend(lp, engine, d, g, row_boost, refine_steps,
         return engine.solve_normal_ell(
             lp.E, lp.ET, d, g, row_boost=row_boost,
             refine_steps=refine_steps, dbound=dbound,
-            krylov_steps=krylov_steps,
+            krylov_steps=krylov_steps, mesh=mesh,
         )
     if mesh is not None:
         from cholesky_is_magic_tpu.parallel.sharded import sharded_solve_normal

@@ -283,8 +283,12 @@ def pdas_dd(
     use solvers.pdas to get feasible/centered first if needed, or rely on
     the standard init), best-iterate tracking, precision-floor exit.
 
-    ``mesh`` runs every factorization column-sharded over the mesh's 'tp'
-    axis (parallel.sharded_kkt_operator) — tight gaps at tp scale."""
+    ``mesh`` runs every factorization sharded over the mesh's 'tp' axis:
+    dense operands column-shard through parallel.sharded_kkt_operator;
+    with ``engine`` + a SparseKKTLP the fully sparse pipeline shards its
+    pair-schedule assembly and panel-wave Schur updates
+    (sparse.tiled._assemble_factor_tp) — tight gaps at tp scale on BOTH
+    operand sets."""
     cfg = config or PDASConfig(gap_tol=1e-8, max_iters=300)
     return _pdas_dd_jit(state, cfg, engine, mesh)
 
@@ -390,9 +394,11 @@ def _pdas_dd_jit(
         if isinstance(lp, SparseKKTLP):
             from cholesky_is_magic_tpu.kkt.newton import ell_kkt_operator
 
+            # mesh composes with the fully sparse engine: every
+            # factorization's assembly + Schur waves shard over 'tp'.
             op = ell_kkt_operator(
                 lp, engine, row_boost=boost, refine_steps=cfg.refine_steps,
-                dbound=cfg.dbound, krylov_steps=cfg.krylov_steps,
+                dbound=cfg.dbound, krylov_steps=cfg.krylov_steps, mesh=mesh,
             )
         elif mesh is not None:
             from cholesky_is_magic_tpu.parallel.sharded import sharded_kkt_operator

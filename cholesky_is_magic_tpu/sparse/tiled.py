@@ -180,6 +180,22 @@ class TiledCholesky:
             fwd_ids.append([t for t, _ in fwd])
             fwd_j.append([j for _, j in fwd])
 
+        # Per-panel DISTINCT destination tiles + each SYRK pair's index into
+        # that list — the mesh-mode Schur-update schedule: chips compute
+        # disjoint pair slices, segment-sum into a (Dmax+1, b, b) buffer,
+        # and ONE psum('tp') of that buffer per panel carries the
+        # Schur-complement updates over ICI (SURVEY.md §2 checklist:
+        # "psum on Schur-complement updates").
+        ddst, sdi = [], []
+        for pd in syrk_dst:
+            uniq = sorted(set(pd))
+            pos = {t: i for i, t in enumerate(uniq)}
+            ddst.append(uniq)
+            sdi.append([pos[t] for t in pd])
+        self.Dmax = max((len(u) for u in ddst), default=1) or 1
+        self._syrk_raw = (syrk_a, syrk_b, sdi, ddst)
+        self._shard_cache = {}
+
         self.diag_ids = jnp.asarray(diag_ids, jnp.int32)
         self.rows_ids = jnp.asarray(_pad2(rows_ids, DUMMY), jnp.int32)
         self.rows_i = jnp.asarray(_pad2(rows_i, B), jnp.int32)  # B = dummy y-row
@@ -468,6 +484,12 @@ class TiledCholesky:
         self.asm_k = jnp.asarray(ks[order])
         self.asm_dst_flat = jnp.asarray(dst[order], jnp.int32)
         self.n_pairs = len(ws)
+        # Host copies for the mesh-mode slab repadding (_shard_schedule).
+        self._asm_np = (
+            np.asarray(ws)[order].astype(np.float64),
+            np.asarray(ks)[order].astype(np.int32),
+            np.asarray(dst)[order].astype(np.int64),
+        )
 
     def assemble_pairs(self, d, row_boost=None):
         """Resident tiles of P(A·D)(A·D)ᵀPᵀ from the pair schedule: one
@@ -511,8 +533,176 @@ class TiledCholesky:
 
         return jax.lax.cond(ok, lambda: (L, invd, ok), retry)
 
+    # ---- mesh (tensor-parallel) path ------------------------------------
+
+    def _shard_schedule(self, ntp: int):
+        """Padded schedules for an ntp-chip 'tp' axis, cached per ntp:
+
+        - the sorted pair arrays repadded to a multiple of ntp (pad pairs
+          carry weight 0 and land in the dummy tile), sliced contiguously
+          per chip so each slab stays sorted-by-destination;
+        - the per-panel SYRK arrays repadded to a multiple of ntp, plus
+          each pair's index into the panel's distinct-destination list
+          (pad pairs index the drop row Dmax).
+        """
+        if ntp in self._shard_cache:
+            return self._shard_cache[ntp]
+        b, B = self.b, self.B
+        DUMMY = self.NT
+        ws, ks, dst = self._asm_np
+        npairs = len(ws)
+        padded = -(-max(npairs, 1) // ntp) * ntp
+        pw = np.zeros(padded, np.float64)
+        pk = np.zeros(padded, np.int32)
+        pdst = np.full(padded, DUMMY * b * b, np.int64)
+        pw[:npairs] = ws
+        pk[:npairs] = ks
+        pdst[:npairs] = dst
+
+        syrk_a, syrk_b, sdi, ddst = self._syrk_raw
+        width = max(max((len(x) for x in syrk_a), default=0), 1)
+        Ps = -(-width // ntp) * ntp
+
+        def pad_to(lists, fill, w):
+            out = np.full((len(lists), w), fill, dtype=np.int64)
+            for r, x in enumerate(lists):
+                out[r, : len(x)] = x
+            return out
+
+        sched = {
+            "pw": jnp.asarray(pw, self.asm_w.dtype),
+            "pk": jnp.asarray(pk),
+            "pdst": jnp.asarray(pdst, jnp.int32),
+            "sa": jnp.asarray(pad_to(syrk_a, DUMMY, Ps), jnp.int32),
+            "sb": jnp.asarray(pad_to(syrk_b, DUMMY, Ps), jnp.int32),
+            "sdi": jnp.asarray(pad_to(sdi, self.Dmax, Ps), jnp.int32),
+            "ddst": jnp.asarray(pad_to(ddst, DUMMY, self.Dmax), jnp.int32),
+            "chunk": Ps // ntp,
+        }
+        self._shard_cache[ntp] = sched
+        return sched
+
+    def _factorize_tp(self, tiles, sched, ntp: int):
+        """The panel-wave factorization with the SYRK (Schur) batch sharded
+        over 'tp': chol + tri-inv + TRSM run replicated (identical on every
+        chip — they are panel-sequential and tiny), each chip computes its
+        1/ntp slice of the panel's SYRK pairs, and one psum('tp') of the
+        (Dmax+1, b, b) distinct-destination buffer applies the updates.
+        Must be called inside a shard_map over the 'tp' axis with
+        replicated tile input."""
+        b = self.b
+        dtype = tiles.dtype
+        ein = lambda s, *ops: jnp.einsum(
+            s, *ops, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype,
+        )
+        eye = jnp.eye(b, dtype=dtype)
+        chunk = sched["chunk"]
+
+        def panel(k, carry):
+            tiles, invd = carry
+            did = self.diag_ids[k]
+            Td = jax.lax.dynamic_index_in_dim(tiles, did, 0, keepdims=False)
+            L = jnp.linalg.cholesky(Td)
+            inv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+            tiles = jax.lax.dynamic_update_index_in_dim(tiles, L, did, 0)
+            invd = jax.lax.dynamic_update_index_in_dim(invd, inv, k, 0)
+
+            rid = jax.lax.dynamic_index_in_dim(self.rows_ids, k, 0, keepdims=False)
+            R = tiles[rid]
+            P_ = ein("rij,kj->rik", R, inv)
+            tiles = tiles.at[rid].set(P_)
+
+            sa = jax.lax.dynamic_index_in_dim(sched["sa"], k, 0, keepdims=False)
+            sb = jax.lax.dynamic_index_in_dim(sched["sb"], k, 0, keepdims=False)
+            si = jax.lax.dynamic_index_in_dim(sched["sdi"], k, 0, keepdims=False)
+            dd = jax.lax.dynamic_index_in_dim(sched["ddst"], k, 0, keepdims=False)
+            # This chip's pair slice (pad pairs -> zero tiles, drop row).
+            lo = jax.lax.axis_index("tp") * chunk
+            sa_c = jax.lax.dynamic_slice(sa, (lo,), (chunk,))
+            sb_c = jax.lax.dynamic_slice(sb, (lo,), (chunk,))
+            si_c = jax.lax.dynamic_slice(si, (lo,), (chunk,))
+            Ta = tiles[sa_c]
+            Tb = tiles[sb_c]
+            U = ein("pij,pkj->pik", Ta, Tb)
+            Useg = jax.ops.segment_sum(U, si_c, num_segments=self.Dmax + 1)
+            Usum = jax.lax.psum(Useg, "tp")  # Schur updates over ICI
+            tiles = tiles.at[dd].add(-Usum[: self.Dmax])
+            tiles = tiles.at[self.NT].set(0.0)
+            return tiles, invd
+
+        invd0 = jnp.zeros((self.B, b, b), dtype)
+        tiles, invd = jax.lax.fori_loop(0, self.B, panel, (tiles, invd0))
+        diags = jnp.diagonal(tiles[self.diag_ids], axis1=1, axis2=2)
+        ok = jnp.all(jnp.isfinite(tiles)) & jnp.all(diags > 0)
+        return tiles, invd, ok
+
+    def _assemble_factor_tp(self, mesh, d, boost_p, dbound: float):
+        """Sharded pair-schedule assembly + sharded panel-wave factor, as
+        ONE shard_map over the mesh's 'tp' axis.  Each chip:
+
+        - multiplies its contiguous slab of the sorted pair schedule by the
+          gathered d² and segment-sums it into a full flat tile array; one
+          psum('tp') assembles the resident tiles of P(AD)(AD)ᵀPᵀ (the
+          sharded cholmod_aat — communication: (NT+1)·b² floats once per
+          factorization);
+        - runs the panel waves with its SYRK pair slice, one
+          (Dmax+1, b, b) psum per panel (_factorize_tp).
+
+        Returns replicated (L_tiles, invd, ok).  ``boost_p`` is the
+        slot-permuted padded boost vector (length B·b).
+        """
+        from functools import partial as _partial
+
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        ntp = mesh.shape["tp"]
+        sched = self._shard_schedule(ntp)
+        b = self.b
+        dt = self.asm_w.dtype
+        eye = jnp.eye(b, dtype=dt)
+
+        @_partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P("tp"), P("tp"), P("tp"), P(), P()),
+            out_specs=(P(), P(), P()),
+        )
+        def _prep(w_c, k_c, dst_c, d_rep, boost_rep):
+            d2 = (d_rep * d_rep).astype(dt)
+            vals = w_c * d2[k_c]
+            flat = jax.ops.segment_sum(
+                vals, dst_c, num_segments=(self.NT + 1) * b * b,
+                indices_are_sorted=True,
+            )
+            flat = jax.lax.psum(flat, "tp")
+            tiles = flat.reshape(self.NT + 1, b, b).at[self.NT].set(0.0)
+            tiles = tiles.at[self.diag_ids].add(
+                eye[None] * boost_rep.reshape(self.B, b)[:, :, None]
+            )
+
+            L, invd, ok = self._factorize_tp(tiles, sched, ntp)
+            if dbound > 0.0:
+
+                def retry():
+                    diags = jnp.diagonal(
+                        tiles[self.diag_ids], axis1=1, axis2=2
+                    )
+                    jitter = dbound * jnp.max(diags)
+                    tiles2 = tiles.at[self.diag_ids].add(jitter * eye[None])
+                    return self._factorize_tp(tiles2, sched, ntp)
+
+                L, invd, ok = jax.lax.cond(
+                    ok, lambda: (L, invd, ok), retry
+                )
+            return L, invd, ok
+
+        return _prep(sched["pw"], sched["pk"], sched["pdst"], d, boost_p)
+
     def prepare_normal_ell(self, E, ET, d, m, row_boost=None, refine_steps=0,
-                           dbound: float = 0.0, krylov_steps: int = 0):
+                           dbound: float = 0.0, krylov_steps: int = 0,
+                           mesh=None):
         """Factor-once / solve-many for the fully sparse path: pair-schedule
         assembly + planned tile factorization; each solve_fn(g) adds ELL
         double-word refinement.  ``E``/``ET`` are the ELLMatrix forms of A
@@ -521,14 +711,28 @@ class TiledCholesky:
 
         ``krylov_steps`` > 0 switches refinement to flexible PCG with the
         tile factor as preconditioner and explicit double-word residuals
-        (ops.krylov) — the ill-conditioned-N escape hatch."""
+        (ops.krylov) — the ill-conditioned-N escape hatch.
+
+        ``mesh`` runs the assembly pair slabs and the panel-wave SYRK
+        batches sharded over the mesh's 'tp' axis with psums on the
+        assembled tiles and the per-panel Schur updates
+        (_assemble_factor_tp) — the multi-chip mode of the at-scale
+        pipeline.  The triangular solves and the ELL refinement matvecs
+        stay replicated (they are O(nnz) against the factorization's
+        O(tile³) and panel-sequential anyway)."""
         from cholesky_is_magic_tpu.ops import dd as ddm
         from cholesky_is_magic_tpu.ops import sparse_ops
 
         n_pad = self.B * self.b
         boost = row_boost if row_boost is not None else jnp.zeros(m, d.dtype)
-        tiles = self.assemble_pairs(d, boost)
-        L, invd, ok = self._factorize_dbound(tiles, dbound)
+        if mesh is not None:
+            dt = self.asm_w.dtype
+            rb = jnp.pad(boost.astype(dt), (0, n_pad - m), constant_values=1.0)
+            boost_p = rb[self.pperm]
+            L, invd, ok = self._assemble_factor_tp(mesh, d, boost_p, dbound)
+        else:
+            tiles = self.assemble_pairs(d, boost)
+            L, invd, ok = self._factorize_dbound(tiles, dbound)
         d2 = ddm.two_prod(d, d) if refine_steps else None
 
         def raw_solve(r):
@@ -566,13 +770,14 @@ class TiledCholesky:
         return solve_fn, ok
 
     def solve_normal_ell(self, E, ET, d, g, row_boost=None, refine_steps=0,
-                         dbound: float = 0.0, krylov_steps: int = 0):
+                         dbound: float = 0.0, krylov_steps: int = 0,
+                         mesh=None):
         """(A·D)(A·D)ᵀ y = g entirely from sparse operands (see
         prepare_normal_ell)."""
         solve_fn, ok = self.prepare_normal_ell(
             E, ET, d, g.shape[0], row_boost=row_boost,
             refine_steps=refine_steps, dbound=dbound,
-            krylov_steps=krylov_steps,
+            krylov_steps=krylov_steps, mesh=mesh,
         )
         return solve_fn(g), ok
 

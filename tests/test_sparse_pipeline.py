@@ -233,3 +233,86 @@ class TestBatchedSparseSolves:
             y1, ok1 = eng.solve_normal_ell(E, ET, D[i], G[i], refine_steps=1)
             np.testing.assert_allclose(np.asarray(Y[i]), np.asarray(y1),
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestMeshSparsePipeline:
+    """Multi-chip × at-scale composition (the r2 gap): the fully sparse
+    engine's assembly pair slabs and panel-wave SYRK batches shard over
+    the 'tp' mesh axis with psums on the assembled tiles and the per-panel
+    Schur updates (sparse.tiled._assemble_factor_tp), wired through
+    pdas/pdas_dd(engine=..., mesh=...)."""
+
+    def _banded_engine(self, m=256, band=6, seed=0):
+        import scipy.sparse as sp
+
+        from cholesky_is_magic_tpu.ops import sparse_ops
+        from cholesky_is_magic_tpu.sparse.tiled import engine_for_sparse
+
+        rng = np.random.default_rng(seed)
+        n = 2 * m
+        rows, cols, vals = [], [], []
+        for i in range(m):
+            for k in range(band):
+                rows.append(i)
+                cols.append((2 * i + k) % n)
+                vals.append(rng.normal())
+        A = sp.csc_matrix((vals, (rows, cols)), shape=(m, n))
+        eng = engine_for_sparse(A, block=64)
+        coo = A.tocoo()
+        E = sparse_ops.from_coo(coo.row, coo.col,
+                                coo.data.astype(np.float32), (m, n))
+        ET = sparse_ops.from_coo(coo.col, coo.row,
+                                 coo.data.astype(np.float32), (n, m))
+        return eng, E, ET, m, n, rng
+
+    def test_mesh_solve_normal_ell_matches_single_chip(self):
+        from cholesky_is_magic_tpu.parallel import lp_mesh
+
+        eng, E, ET, m, n, rng = self._banded_engine()
+        d = jnp.asarray(rng.random(n) + 0.5, jnp.float32)
+        g = jnp.asarray(rng.normal(size=m), jnp.float32)
+        mesh = lp_mesh(dp=1, tp=8)
+        y1, ok1 = eng.solve_normal_ell(E, ET, d, g, refine_steps=1)
+        y2, ok2 = eng.solve_normal_ell(E, ET, d, g, refine_steps=1, mesh=mesh)
+        assert bool(ok1) and bool(ok2)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_mesh_sparse_pdas_dd_end_to_end(self):
+        """Fully sparse pdas_dd, every factorization tile/pair-sharded
+        over 'tp': matches the single-chip solve and the HiGHS oracle at
+        a tight gap."""
+        from cholesky_is_magic_tpu.parallel import lp_mesh
+
+        sf, fun = problem(2)
+        cfg = PDASConfig(max_iters=300, gap_tol=1e-8, refine_steps=2)
+        st1, eng1 = make_pdas_dd_sparse(sf, block=16, dtype=jnp.float32)
+        r1 = pdas_dd(st1, cfg, engine=eng1)
+        mesh = lp_mesh(dp=1, tp=8)
+        st2, eng2 = make_pdas_dd_sparse(sf, block=16, dtype=jnp.float32)
+        r2 = pdas_dd(st2, cfg, engine=eng2, mesh=mesh)
+        assert float(r2.extra["gap"]) < 1e-7
+        assert float(r2.objective) == pytest.approx(fun, rel=1e-4, abs=1e-4)
+        # Same trajectory as single-chip (psum reduction order only).
+        assert int(r2.iterations) == int(r1.iterations)
+        assert float(r2.objective) == pytest.approx(
+            float(r1.objective), rel=1e-6
+        )
+
+    def test_mesh_sparse_robust_pdas(self):
+        """The ROBUST phase (repair/recenter pdas) over the sparse operand
+        set with mesh=: solve_normal_backend routes the ELL branch through
+        the sharded engine."""
+        from cholesky_is_magic_tpu.parallel import lp_mesh
+        from cholesky_is_magic_tpu.solvers import pdas
+        from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse
+
+        sf, fun = problem(4)
+        cfg = PDASConfig(max_iters=300, refine_steps=2)
+        st1, eng1 = make_pdas_sparse(sf, block=16, dtype=jnp.float32)
+        r1 = pdas(st1, cfg, engine=eng1)
+        mesh = lp_mesh(dp=1, tp=8)
+        st2, eng2 = make_pdas_sparse(sf, block=16, dtype=jnp.float32)
+        r2 = pdas(st2, cfg, engine=eng2, mesh=mesh)
+        assert float(r2.objective) == pytest.approx(fun, rel=1e-3, abs=1e-3)
+        assert int(r2.iterations) == int(r1.iterations)

@@ -42,6 +42,9 @@ def main(argv=None) -> int:
     ap.add_argument("--refine-steps", type=int, default=1)
     ap.add_argument("--krylov-steps", type=int, default=0,
                     help="PCG refinement steps (ill-conditioned end-games)")
+    ap.add_argument("--mehrotra", action="store_true",
+                    help="predictor-corrector steps (pdas/pdas_dd): ~half "
+                         "the iterations for one extra solve per iteration")
     ap.add_argument("--pad", type=int, default=128, help="padding multiple")
     ap.add_argument("--report", action="store_true", help="print the symbolic factorization report")
     ap.add_argument("--trace", action="store_true",
@@ -97,6 +100,7 @@ def main(argv=None) -> int:
         max_iters=args.max_iters,
         refine_steps=args.refine_steps,
         krylov_steps=args.krylov_steps,
+        mehrotra=args.mehrotra,
         record_trace=args.trace,
         presolve=args.presolve,
     )

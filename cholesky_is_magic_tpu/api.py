@@ -54,6 +54,7 @@ def solve_batch(
     refine_steps: int = 1,
     gap_tol=None,
     mesh=None,
+    mehrotra: bool = False,
 ) -> list:
     """Solve a batch of (possibly heterogeneous) LPs as ONE vmapped pdas
     computation — the dp serving mode at the front door.
@@ -90,7 +91,8 @@ def solve_batch(
     M = round_up(max(sf.ncons for sf in sfs), pad_multiple)
     N = round_up(max(sf.nvars for sf in sfs), pad_multiple)
     kw = {} if gap_tol is None else {"gap_tol": gap_tol}
-    cfg = PDASConfig(max_iters=max_iters, refine_steps=refine_steps, **kw)
+    cfg = PDASConfig(max_iters=max_iters, refine_steps=refine_steps,
+                     mehrotra=mehrotra, **kw)
     # Build everything host-side (as_numpy), stack once, ship ONE array per
     # leaf, and vmap make_pdas over the stacked batch: per-problem eager
     # jnp construction paid a tunnel transfer + dispatch per LP (measured
@@ -177,6 +179,7 @@ def solve(
     presolve: bool = False,
     warm: Optional[SolveReport] = None,
     warm_push: float = 0.0,
+    mehrotra: bool = False,
 ) -> SolveReport:
     """Solve an LP end-to-end with any solver family.
 
@@ -192,6 +195,12 @@ def solve(
     applies the safe host-side reductions (ingest.presolve — a capability
     extension over the reference) before padding; the reported solution is
     restored to the original variable space.
+
+    ``mehrotra=True`` (pdas/pdas_dd) turns on the predictor-corrector
+    step (PDASConfig.mehrotra): one extra pair of triangular solves on
+    the shared factorization per iteration, roughly HALF the iterations
+    to the same gap — the perf mode; the default keeps the
+    reference-faithful plain affine step.
 
     ``warm`` (pdas/pdas_dd): restart from a previous :class:`SolveReport`
     on the same LP pattern, solved with the same ``sparse`` mode and
@@ -278,7 +287,8 @@ def solve(
         kw = {} if gap_tol is None else {"gap_tol": gap_tol}
         cfg = PDASConfig(
             max_iters=max_iters, refine_steps=refine_steps,
-            krylov_steps=krylov_steps, record_trace=record_trace, **kw,
+            krylov_steps=krylov_steps, record_trace=record_trace,
+            mehrotra=mehrotra, **kw,
         )
         from cholesky_is_magic_tpu.solvers.pdas import PDASState, push_interior
 
@@ -325,11 +335,12 @@ def solve(
 
         cfg1 = PDASConfig(
             max_iters=max_iters, refine_steps=max(refine_steps, 2),
+            mehrotra=mehrotra,
         )
         cfg2 = PDASConfig(
             max_iters=max_iters, gap_tol=1e-9 if gap_tol is None else gap_tol,
             refine_steps=max(refine_steps, 2), krylov_steps=krylov_steps,
-            record_trace=record_trace,
+            record_trace=record_trace, mehrotra=mehrotra,
         )
         if sparse:
             from cholesky_is_magic_tpu.ops import dd as ddm

@@ -41,31 +41,45 @@ def row_boost(lp):
     return (~lp.row_mask).astype(dt)
 
 
-def solve_normal_backend(lp, engine, d, g, row_boost, refine_steps,
-                         mesh=None, dbound=0.0, krylov_steps=0):
-    """(A·diag(d))(A·diag(d))ᵀ y = g on whichever backend the operand set
-    and options select (see module docstring).  Returns (y, ok)."""
+def prepare_normal_backend(lp, engine, d, row_boost, refine_steps,
+                           mesh=None, dbound=0.0, krylov_steps=0):
+    """Factor (A·diag(d))(A·diag(d))ᵀ ONCE on whichever backend the
+    operand set and options select; returns (solve_fn, ok) — the
+    solve-sparse-recycle split (sparse-cholesky.lisp:524-560) at the
+    dispatch seam, so solver loops can run several rhs (e.g. the Mehrotra
+    corrector) against one factorization."""
     from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
 
     if isinstance(lp, SparseKKTLP):
-        return engine.solve_normal_ell(
-            lp.E, lp.ET, d, g, row_boost=row_boost,
+        return engine.prepare_normal_ell(
+            lp.E, lp.ET, d, lp.m, row_boost=row_boost,
             refine_steps=refine_steps, dbound=dbound,
             krylov_steps=krylov_steps, mesh=mesh,
         )
     if mesh is not None:
-        from cholesky_is_magic_tpu.parallel.sharded import sharded_solve_normal
+        from cholesky_is_magic_tpu.parallel.sharded import sharded_prepare_normal
 
-        return sharded_solve_normal(
-            mesh, lp.A, d, g, row_boost=row_boost, refine_steps=refine_steps,
+        return sharded_prepare_normal(
+            mesh, lp.A, d, row_boost=row_boost, refine_steps=refine_steps,
             dbound=dbound, krylov_steps=krylov_steps,
         )
     if engine is None:
-        return dense_ops.solve_normal(
-            lp.A, d, g, row_boost=row_boost, refine_steps=refine_steps,
+        return dense_ops.prepare_normal(
+            lp.A, d, row_boost=row_boost, refine_steps=refine_steps,
             dbound=dbound, krylov_steps=krylov_steps,
         )
-    return engine.solve_normal(
-        lp.A, d, g, row_boost=row_boost, refine_steps=refine_steps,
+    return engine.prepare_normal(
+        lp.A, d, row_boost=row_boost, refine_steps=refine_steps,
         dbound=dbound, krylov_steps=krylov_steps,
     )
+
+
+def solve_normal_backend(lp, engine, d, g, row_boost, refine_steps,
+                         mesh=None, dbound=0.0, krylov_steps=0):
+    """(A·diag(d))(A·diag(d))ᵀ y = g on whichever backend the operand set
+    and options select (see module docstring).  Returns (y, ok)."""
+    solve_fn, ok = prepare_normal_backend(
+        lp, engine, d, row_boost, refine_steps, mesh=mesh, dbound=dbound,
+        krylov_steps=krylov_steps,
+    )
+    return solve_fn(g), ok

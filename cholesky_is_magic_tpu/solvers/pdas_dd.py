@@ -302,7 +302,7 @@ def _pdas_dd_jit(
 
     from cholesky_is_magic_tpu.kkt.newton import FILTER_THRESHOLD
 
-    def kkt_dd(st, sl_dd, su_dd, sl, su, g_dd, h_dd, op):
+    def kkt_dd(st, sl_dd, su_dd, sl, su, wu, zl, g_dd, h_dd, op):
         """IPM-specialized FULL double-word elimination.  With the exact
         complementarity rhs e = w∘su, f = z∘sl, the eliminated terms
         simplify: e/su = w, f/sl = z, so alpha = beta·(-h - w + z) — an
@@ -315,7 +315,17 @@ def _pdas_dd_jit(
         A·diag(beta_dd)·Aᵀ + diag(boost) on the recycled factor
         (op.prepare_scaled_normal).  Without this the f32 beta/rhs/delta
         roundings are a systematic ~1e-6 per-iterate divergence from the
-        f64 trajectory (tests/test_precision.py pins <= 1e-6)."""
+        f64 trajectory (tests/test_precision.py pins <= 1e-6).
+
+        With cfg.mehrotra the affine direction becomes the PREDICTOR: a
+        second solve on the SAME recycled factor re-targets the
+        complementarities at sigma*mu minus the predictor's second-order
+        products (e -> e - sigma·mu - dw_aff∘dx_aff,
+        f -> f - sigma·mu + dz_aff∘dx_aff; sigma = (mu_aff/mu)³,
+        Mehrotra 1992).  The deviations (de, df) ride the general
+        elimination: alpha gains beta·(df/sl - de/su), dw gains de/su,
+        dz gains df/sl — all in double-word, since sigma·mu is gap-sized
+        exactly like the quantities the dd machinery exists to protect."""
         zero = jnp.zeros_like(sl)
         dd0 = ddm.DD(zero, zero)
         pu = su <= FILTER_THRESHOLD
@@ -333,48 +343,115 @@ def _pdas_dd_jit(
         beta_dd = ddm.dd_div(one, denom)
 
         mv_dd, rmv_dd, rmv32 = _linops(lp)
-        alpha_dd = ddm.dd_mul(
-            ddm.dd_add(ddm.dd_neg(h_dd), ddm.dd_sub(st.z, st.w)), beta_dd
-        )
-        Aalpha = mv_dd(alpha_dd)
-        rhs_dd = ddm.dd_sub(g_dd, Aalpha)
-
         boost = (~lp.row_mask).astype(jnp.float32)
         s32 = jnp.sqrt(beta_dd.to_working())
         solve_fn, ok = op.prepare_scaled_normal(s32)
-        dy1 = solve_fn(rhs_dd.to_working())
-        # Outer dd refinement: residual of the EXACT dd-beta system on the
-        # recycled factor.  Corrects the f32 rounding of beta inside the
-        # assembled N (the inner refinement cannot see it).
-        ty = rmv32(dy1)
-        u = ddm.dd_mul(beta_dd, ty)
-        Mu = mv_dd(u)
-        Mu = ddm.dd_add_w(Mu, boost * dy1)
-        r = ddm.dd_sub(rhs_dd, Mu).to_working()
-        dy2 = solve_fn(r)
-        dy_dd = ddm.dd_add_w(ddm.DD(dy1, jnp.zeros_like(dy1)), dy2)
 
-        t_dd = rmv_dd(dy_dd)
-        dx_dd = ddm.dd_add(alpha_dd, ddm.dd_mul(beta_dd, t_dd))
-        # dw = w + w·dx/su,  dz = z - z·dx/sl  (filtered: dw = w, dz = z).
-        dw_dd = ddm.dd_where(
-            use_u,
-            ddm.dd_add(st.w, ddm.dd_div(ddm.dd_mul(st.w, dx_dd), su_dd)),
-            st.w,
+        def newton_dir(de_dd, df_dd):
+            """Direction for complementarity rhs e = w∘su + de,
+            f = z∘sl + df (de = df = 0: the plain affine direction)."""
+            corr = ddm.dd_sub(
+                ddm.dd_where(use_l, ddm.dd_div(df_dd, sl_dd), dd0),
+                ddm.dd_where(use_u, ddm.dd_div(de_dd, su_dd), dd0),
+            )
+            base = ddm.dd_add(ddm.dd_neg(h_dd), ddm.dd_sub(st.z, st.w))
+            alpha_dd = ddm.dd_mul(ddm.dd_add(base, corr), beta_dd)
+            Aalpha = mv_dd(alpha_dd)
+            rhs_dd = ddm.dd_sub(g_dd, Aalpha)
+            dy1 = solve_fn(rhs_dd.to_working())
+            # Outer dd refinement: residual of the EXACT dd-beta system on
+            # the recycled factor.  Corrects the f32 rounding of beta
+            # inside the assembled N (inner refinement cannot see it).
+            ty = rmv32(dy1)
+            u = ddm.dd_mul(beta_dd, ty)
+            Mu = mv_dd(u)
+            Mu = ddm.dd_add_w(Mu, boost * dy1)
+            r = ddm.dd_sub(rhs_dd, Mu).to_working()
+            dy2 = solve_fn(r)
+            dy_dd = ddm.dd_add_w(ddm.DD(dy1, jnp.zeros_like(dy1)), dy2)
+
+            t_dd = rmv_dd(dy_dd)
+            dx_dd = ddm.dd_add(alpha_dd, ddm.dd_mul(beta_dd, t_dd))
+            # dw = w + (w·dx + de)/su,  dz = z - (z·dx - df)/sl
+            # (filtered: dw = w, dz = z).
+            dw_dd = ddm.dd_where(
+                use_u,
+                ddm.dd_add(
+                    st.w,
+                    ddm.dd_div(
+                        ddm.dd_add(ddm.dd_mul(st.w, dx_dd), de_dd), su_dd
+                    ),
+                ),
+                st.w,
+            )
+            dz_dd = ddm.dd_where(
+                use_l,
+                ddm.dd_sub(
+                    st.z,
+                    ddm.dd_div(
+                        ddm.dd_sub(ddm.dd_mul(st.z, dx_dd), df_dd), sl_dd
+                    ),
+                ),
+                st.z,
+            )
+            # Padding inertness: the sanitized rhs (e = f = 0 at padded
+            # entries, not w*su / z*sl) makes the e/su = w, f/sl = z
+            # identities above wrong exactly there, yielding dw = w,
+            # dz = z — which the ratio test turns into a permanent step
+            # cap of 1.  Zero the deltas on masked entries (matching
+            # solve_kkt_newton with a sanitized rhs).
+            dx_dd = ddm.dd_where(lp.col_mask, dx_dd, dd0)
+            dw_dd = ddm.dd_where(lp.col_mask, dw_dd, dd0)
+            dz_dd = ddm.dd_where(lp.col_mask, dz_dd, dd0)
+            return dw_dd, dx_dd, dy_dd, dz_dd
+
+        dw_dd, dx_dd, dy_dd, dz_dd = newton_dir(dd0, dd0)
+        if not cfg.mehrotra:
+            return dw_dd, dx_dd, dy_dd, dz_dd, ok
+
+        # --- Mehrotra corrector on the shared factor. ---
+        # Affine step length (capped at 1) and the predicted duality
+        # measure after it; sigma from the standard cubic heuristic.
+        # The mu sums run over PRESENT bounds of REAL columns only:
+        # padded entries carry sanitized (su = sl = 1, w = z = 1), whose
+        # predicted products wn*sun = 1 would pin mu_aff (hence sigma) at
+        # O(1) forever — measured: 5x the plain iteration count from
+        # exactly this.
+        pu = pu & lp.col_mask
+        pl = pl & lp.col_mask
+        step_aff = _dd_box_step(sl_dd, su_dd, dx_dd)
+        for cand in (_dd_pos_step(st.w, dw_dd), _dd_pos_step(st.z, dz_dd)):
+            step_aff = ddm.dd_where(
+                ddm.dd_less(cand, step_aff), cand, step_aff
+            )
+        t_aff = jnp.minimum(step_aff.to_working(), 1.0)
+        cnt = jnp.maximum(jnp.sum(pu) + jnp.sum(pl), 1).astype(sl.dtype)
+        mu = (
+            jnp.sum(jnp.where(pu, wu, 0.0)) + jnp.sum(jnp.where(pl, zl, 0.0))
+        ) / cnt
+        wn = st.w.hi - t_aff * dw_dd.hi
+        sun = su + t_aff * dx_dd.hi
+        zn = st.z.hi - t_aff * dz_dd.hi
+        sln = sl - t_aff * dx_dd.hi
+        mu_aff = (
+            jnp.sum(jnp.where(pu, wn * sun, 0.0))
+            + jnp.sum(jnp.where(pl, zn * sln, 0.0))
+        ) / cnt
+        mu_aff = jnp.maximum(mu_aff, 0.0)
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+        target = sigma * mu
+        # Deviations from exact complementarity, in dd (gap-sized values).
+        de_dd = ddm.dd_where(
+            pu,
+            ddm.dd_add_w(ddm.dd_neg(ddm.dd_mul(dw_dd, dx_dd)), -target),
+            dd0,
         )
-        dz_dd = ddm.dd_where(
-            use_l,
-            ddm.dd_sub(st.z, ddm.dd_div(ddm.dd_mul(st.z, dx_dd), sl_dd)),
-            st.z,
+        df_dd = ddm.dd_where(
+            pl,
+            ddm.dd_add_w(ddm.dd_mul(dz_dd, dx_dd), -target),
+            dd0,
         )
-        # Padding inertness: the sanitized rhs (e = f = 0 at padded entries,
-        # not w*su / z*sl) makes the e/su = w, f/sl = z identities above
-        # wrong exactly there, yielding dw = w, dz = z — which the ratio
-        # test turns into a permanent step cap of 1.  Zero the deltas on
-        # masked entries (matching solve_kkt_newton with a sanitized rhs).
-        dx_dd = ddm.dd_where(lp.col_mask, dx_dd, dd0)
-        dw_dd = ddm.dd_where(lp.col_mask, dw_dd, dd0)
-        dz_dd = ddm.dd_where(lp.col_mask, dz_dd, dd0)
+        dw_dd, dx_dd, dy_dd, dz_dd = newton_dir(de_dd, df_dd)
         return dw_dd, dx_dd, dy_dd, dz_dd, ok
 
     def one_iteration(st: PDASDDState):
@@ -427,16 +504,17 @@ def _pdas_dd_jit(
                 dbound=cfg.dbound, krylov_steps=cfg.krylov_steps,
             )
         dw_dd, dx_dd, dy_dd, dz_dd, ok = kkt_dd(
-            st, sl_dd, su_dd, sl, su, primal_dd, dual_dd, op
+            st, sl_dd, su_dd, sl, su, wu, zl, primal_dd, dual_dd, op
         )
         # Ratio tests in dd: the f32-rounded step scalar times an O(10)
         # delta is itself a ~1e-6 absolute perturbation of the iterate.
         step_dd = _dd_box_step(sl_dd, su_dd, dx_dd)
         for cand in (_dd_pos_step(st.w, dw_dd), _dd_pos_step(st.z, dz_dd)):
             step_dd = ddm.dd_where(ddm.dd_less(cand, step_dd), cand, step_dd)
-        ghi = np.float32(cfg.gamma)
+        gamma = cfg.mehrotra_gamma if cfg.mehrotra else cfg.gamma
+        ghi = np.float32(gamma)
         gamma_dd = ddm.DD(
-            jnp.asarray(ghi), jnp.asarray(np.float32(cfg.gamma - float(ghi)))
+            jnp.asarray(ghi), jnp.asarray(np.float32(gamma - float(ghi)))
         )
         ts = ddm.dd_mul(gamma_dd, step_dd)
         one = ddm.DD(jnp.asarray(np.float32(1.0)), jnp.asarray(np.float32(0.0)))

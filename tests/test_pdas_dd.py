@@ -115,3 +115,81 @@ def test_batched_pdas_dd_composes():
     for i, fun in enumerate(funs):
         assert float(res.extra["gap"][i]) < 1e-6
         assert float(res.objective[i]) == pytest.approx(fun, rel=1e-4, abs=1e-4)
+
+
+class TestMehrotra:
+    """Predictor-corrector mode (PDASConfig.mehrotra): same optimum,
+    roughly HALF the iterations — the corrector re-solves on the shared
+    factorization with the sigma*mu-centered second-order rhs."""
+
+    @pytest.mark.parametrize("seed", [2, 3, 5])
+    def test_dd_corrector_halves_iterations(self, seed):
+        import dataclasses
+
+        ineq = random_lp(seed, n_ub=24, n_eq=6, n=32, bounded=True)
+        _, fun, _ = scipy_reference_solution(ineq)
+        sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+        lp = to_device_lp(sf, pad_multiple=16, dtype=jnp.float32)
+        base = PDASConfig(max_iters=300, gap_tol=1e-8, refine_steps=2)
+        r_plain = pdas_dd(make_pdas_dd(lp), base)
+        r_meh = pdas_dd(
+            make_pdas_dd(lp), dataclasses.replace(base, mehrotra=True)
+        )
+        assert float(r_meh.extra["gap"]) < 1e-7
+        assert float(r_meh.objective) == pytest.approx(fun, rel=1e-4, abs=1e-4)
+        # The headline: at most ~60% of the plain iteration count
+        # (measured: 11 vs 22, 12 vs 26, 12 vs 29).
+        assert int(r_meh.iterations) <= 0.65 * int(r_plain.iterations)
+
+    def test_f32_pdas_corrector(self):
+        import dataclasses
+
+        from cholesky_is_magic_tpu.solvers import make_pdas, pdas
+
+        ineq = random_lp(0, bounded=True)
+        _, fun, _ = scipy_reference_solution(ineq)
+        sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+        lp = to_device_lp(sf, pad_multiple=16, dtype=jnp.float64)
+        base = PDASConfig(max_iters=300)
+        r_plain = pdas(make_pdas(lp), base)
+        r_meh = pdas(make_pdas(lp), dataclasses.replace(base, mehrotra=True))
+        assert float(r_meh.objective) == pytest.approx(fun, rel=1e-3, abs=1e-3)
+        assert int(r_meh.iterations) <= 0.65 * int(r_plain.iterations)
+
+    def test_corrector_through_repair_path(self):
+        """afiro cold start: the repair branch fires first (primal
+        infeasible init); the corrector must not disturb the
+        repair/recenter selection (measured: 12 vs 77 plain iterations)."""
+        import dataclasses
+        import os
+
+        from cholesky_is_magic_tpu.solvers import make_pdas, pdas
+
+        fix = os.path.join(os.path.dirname(__file__), "fixtures", "afiro.mps")
+        sf = cim.to_standard_form(cim.read_mps_file(fix))
+        lp = to_device_lp(sf, pad_multiple=16, dtype=jnp.float32)
+        cfg = PDASConfig(max_iters=300, refine_steps=2, mehrotra=True)
+        res = pdas(make_pdas(lp), cfg)
+        assert float(res.objective) == pytest.approx(-464.753, rel=1e-3)
+        assert int(res.iterations) <= 30
+
+    def test_corrector_sparse_engine(self):
+        """Mehrotra through the fully sparse pipeline (the corrector's
+        second solve rides prepare_normal_ell's recycled factor)."""
+        import dataclasses
+
+        from cholesky_is_magic_tpu.solvers.pdas_dd import make_pdas_dd_sparse
+
+        ineq = random_lp(2, n_ub=24, n_eq=6, n=32, bounded=True)
+        _, fun, _ = scipy_reference_solution(ineq)
+        sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+        base = PDASConfig(max_iters=300, gap_tol=1e-8, refine_steps=2)
+        st1, eng1 = make_pdas_dd_sparse(sf, block=16, dtype=jnp.float32)
+        r_plain = pdas_dd(st1, base, engine=eng1)
+        st2, eng2 = make_pdas_dd_sparse(sf, block=16, dtype=jnp.float32)
+        r_meh = pdas_dd(
+            st2, dataclasses.replace(base, mehrotra=True), engine=eng2
+        )
+        assert float(r_meh.extra["gap"]) < 1e-7
+        assert float(r_meh.objective) == pytest.approx(fun, rel=1e-4, abs=1e-4)
+        assert int(r_meh.iterations) <= 0.65 * int(r_plain.iterations)

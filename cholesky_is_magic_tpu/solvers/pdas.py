@@ -147,6 +147,7 @@ def make_pdas(
     config: Optional[PDASConfig] = None,
     warm: Optional["PDASState"] = None,
     warm_push: float = 0.0,
+    warm_blend: float = 0.0,
 ) -> PDASState:
     """Construct the primal-dual state (make-pdas, :75-133).
 
@@ -158,7 +159,21 @@ def make_pdas(
     least that margin (push_interior) — use ~1e-2 when the warm point
     solves a *different* (perturbed) instance; leave 0 when continuing
     the same LP (e.g. the pdas -> pdas_dd finisher flow).
-    """
+
+    ``warm_blend`` in (0, 1] mixes the cold initialization INTO the warm
+    iterates: state = (1-b)*warm + b*cold (all four blocks).  This is the
+    Skajaa-Andersen-style warm start for perturbed re-solves: a converged
+    iterate sits jammed on the (now slightly wrong) active set, where a
+    single blocking coordinate truncates every Newton step — measured on
+    the 2%-drift chain at 25fv47 scale, the pure warm start costs MORE
+    iterations than cold (ratio 1.3), a push breaks Ax=b and triggers
+    repair, while blend 0.2 + mehrotra runs the chain at 0.63x the cold
+    iteration count with no phase-1 solve at all.  The blend restores
+    interior margin everywhere (cold x is widely interior, cold duals are
+    O(1)) while keeping the warm point's information; unlike
+    ``warm_push`` it moves x along a direction that also re-centers the
+    duals, and the primal infeasibility it introduces is absorbed in the
+    first full Newton step rather than a repair loop."""
     cfg = config or PDASConfig()
     mask = lp.col_mask
 
@@ -203,14 +218,21 @@ def make_pdas(
     new_lp = dataclasses.replace(lp, A=A, b=b, l=l, u=u)
     if warm is not None:
         wx = warm.x
+        wy, ww, wz = warm.y, warm.w, warm.z
+        if warm_blend > 0.0:
+            bl = warm_blend
+            wx = (1 - bl) * wx + bl * x
+            wy = (1 - bl) * wy + bl * jnp.zeros_like(b)
+            ww = (1 - bl) * ww + bl * w
+            wz = (1 - bl) * wz + bl * z
         if warm_push > 0.0:
             wx = push_interior(wx, l, u, mask, warm_push)
         x = _into_interior(wx, l, u, mask)
         return PDASState(
             x=x,
-            y=warm.y,
-            w=jnp.maximum(warm.w, 1e-8),
-            z=jnp.maximum(warm.z, 1e-8),
+            y=wy,
+            w=jnp.maximum(ww, 1e-8),
+            z=jnp.maximum(wz, 1e-8),
             lp=new_lp,
         )
     return PDASState(x=x, y=jnp.zeros_like(b), w=w, z=z, lp=new_lp)

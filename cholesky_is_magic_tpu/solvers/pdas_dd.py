@@ -68,6 +68,7 @@ def make_pdas_dd(
     warm=None,
     recenter_duals: bool = True,
     warm_push: float = 0.0,
+    warm_blend: float = 0.0,
 ) -> PDASDDState:
     """Promote the standard f32 initialization to double-word.
 
@@ -96,6 +97,15 @@ def make_pdas_dd(
     1e-2 converges in 2/3 of the cold iteration count).  Leave 0 for
     same-LP continuations (the pdas -> pdas_dd finisher flow), where the
     push only costs iterations.
+
+    ``warm_blend`` (warm starts only): mix the cold init into the warm
+    iterates (make_pdas's Skajaa-Andersen-style blend) — the BETTER
+    perturbed-re-solve recipe when combined with ``mehrotra=True``:
+    blend 0.2, no push, ``recenter_duals=False`` runs the 2%-drift chain
+    at 25fv47 scale in 0.63x the cold iteration count with no phase-1
+    solve (examples/warm_resolve.py).  When > 0 the mu dual reset is
+    skipped automatically (the blended duals already carry interior
+    margin; resetting them re-destroys the warm dual information).
     """
     from cholesky_is_magic_tpu.solvers.result import SolveResult
 
@@ -104,9 +114,10 @@ def make_pdas_dd(
             x=warm.x, y=warm.extra["y"], w=warm.extra["w"], z=warm.extra["z"],
             lp=None,
         )
-    st = make_pdas(lp, config, warm=warm, warm_push=warm_push)
+    st = make_pdas(lp, config, warm=warm, warm_push=warm_push,
+                   warm_blend=warm_blend)
     w, z = st.w, st.z
-    if warm is not None and recenter_duals:
+    if warm is not None and recenter_duals and warm_blend == 0.0:
         w, z = mu_recentered_duals(st.x, st.lp.l, st.lp.u, w, z, st.lp.col_mask)
     return PDASDDState(
         x=ddm.dd_from(st.x),

@@ -15,16 +15,24 @@ per step and reports cold vs warm iteration counts.  The batched twin —
 many value-sets at once through one vmapped solve — is
 parallel.batched_normal_solves / batched_pdas.
 
-Measured (v5e): at m=64 the warm re-solves take ~25 iterations vs 41
-cold.  At 25fv47 scale (m=821), a push sweep over four 2%-drift
-re-solves gives iters [105,74,68,102] at push 3e-3, [81,56,56,77] at
-1e-2, [59,44,45,58] at 3e-2 (cold: 42; every run reaches gap < 1e-8) —
-UNDER-pushing stalls longest, and even the best warm restart costs
-~cold+25% iterations on this instance class (the Newton-only finisher
-re-proves centrality from scratch).  The WALL-CLOCK win is the point in
-serving: each warm re-solve runs ~0.4 s against ~450 s for the cold
-solve including compile and symbolic analysis, because everything
-expensive is per-pattern.
+Measured at 25fv47 scale (m=821), four 2%-drift re-solves:
+
+- r2 recipe (plain steps + warm_push): push sweep gives [59,44,45,58]
+  iters at push 3e-2, best case ~cold+25% (cold: 42) — the push breaks
+  Ax=b (repair iterations) and the Newton-only finisher re-proves
+  centrality from scratch.
+- r3 recipe (mehrotra=True + warm_blend=0.2, no push): cold drops to 17
+  total (12 phase-1 + 5 finisher) and the warm chain runs [11,11,10,11]
+  — 0.63x the cold iteration count, finisher-only (phase 1 skipped
+  entirely).  The blend (make_pdas warm_blend) restores interior margin
+  that a converged iterate lacks; pure warm starts (blend 0) cost MORE
+  than cold here (measured 1.3-4x: one jammed coordinate truncates
+  every step).
+
+The WALL-CLOCK win in serving compounds: each warm re-solve runs the
+compiled program once (~tens of ms at this scale) against the cold
+solve's compile + symbolic analysis, because everything expensive is
+per-pattern.
 
 Run: python examples/warm_resolve.py [m] [steps]
 (works on CPU too: JAX_PLATFORM_NAME=cpu python examples/warm_resolve.py)
@@ -55,7 +63,8 @@ def main(m: int = 512, steps: int = 5):
     print(f"LP: m={sf.ncons} n={sf.nvars}")
 
     t0 = time.time()
-    rep = cim.solve(sf, "pdas_dd", max_iters=200, refine_steps=2)
+    rep = cim.solve(sf, "pdas_dd", max_iters=200, refine_steps=2,
+                    mehrotra=True)
     cold_iters = rep.summary["phase1_iterations"] + rep.summary["iterations"]
     print(f"cold solve: gap {rep.summary['gap']:.2e} "
           f"iters {cold_iters} ({time.time() - t0:.1f}s incl compile)")
@@ -66,11 +75,11 @@ def main(m: int = 512, steps: int = 5):
         drift = 1.0 + 0.02 * rng.standard_normal(sf.c.shape)
         sf = dataclasses.replace(sf, c=sf.c * drift)
         t0 = time.time()
-        # warm=prev report skips phase 1; warm_push re-opens the bound
-        # slacks (the previous optimum sits on a slightly wrong active
-        # set for the drifted instance).
+        # warm=prev report skips phase 1; warm_blend mixes 20% of the
+        # cold init back in (the previous optimum sits jammed on a
+        # slightly wrong active set — see make_pdas warm_blend).
         rep = cim.solve(sf, "pdas_dd", max_iters=200, refine_steps=2,
-                        warm=rep, warm_push=3e-2)
+                        warm=rep, warm_blend=0.2, mehrotra=True)
         warm_iters.append(rep.summary["iterations"])
         print(f"warm re-solve {step}: gap {rep.summary['gap']:.2e} "
               f"iters {warm_iters[-1]} ({(time.time() - t0) * 1e3:.0f} ms)")

@@ -34,6 +34,14 @@ construction — on LPs with active free variables the stop can fire
 before optimality (fuzz: 2/38 random free-variable LPs; the reference's
 identical test behaves the same).  Use pdas (exact free-variable
 handling) for such problems.
+
+Evidence on afiro (tests/test_netlib.py): in f64 this inherited stop
+certifies the published optimum -464.753143 to 1e-6 relative (26
+iters); the suite's earlier -464.67-class exits are the F32 ITERATE
+floor (the scaled direction norm bottoms out at f32 rounding noise, so
+the 1e-6 test fires early) — a precision artifact, not a stop-semantics
+deviation.  The reference's arithmetic is all f64 and would behave like
+the f64 run.
 """
 
 from __future__ import annotations

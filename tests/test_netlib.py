@@ -17,6 +17,7 @@ import pytest
 
 import cholesky_is_magic_tpu as cim
 from cholesky_is_magic_tpu.ingest import to_device_lp
+from cholesky_is_magic_tpu.ingest.mps import read_mps_string
 
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 AFIRO = os.path.join(FIXTURES, "afiro.mps")
@@ -53,11 +54,37 @@ def test_oracle_reproduces_published_optimum():
 
 
 def test_affine_scaling_solves_afiro():
+    """In f64 the REFERENCE-INHERITED stop (scaled-direction norm < 1e-6,
+    affine-scaling.lisp:192-204) certifies the published optimum to 1e-6
+    relative — evidence that the solver's early exits on this instance
+    are an f32-precision artifact (the f32 run floors at obj ~-464.1,
+    see test_affine_f32_precision_floor), NOT a stop-semantics deviation
+    from the reference (whose arithmetic is all f64)."""
     from cholesky_is_magic_tpu.solvers import AffineConfig, affine_scaling, make_affine_state
 
     lp = to_device_lp(afiro_sf(), pad_multiple=16, dtype=jnp.float64)
     res = affine_scaling(make_affine_state(lp), AffineConfig(max_iters=600))
-    assert float(res.objective) == pytest.approx(OPTIMUM, rel=1e-3)
+    assert float(res.objective) == pytest.approx(OPTIMUM, rel=1e-6)
+    assert float(res.residual_norm) < 1e-10
+
+
+def test_affine_f32_precision_floor():
+    """The f32 run of the same algorithm exits at the f32 iterate floor
+    (obj within ~0.15% of the optimum): the scaled-space direction norm
+    bottoms out at f32 rounding noise, so the 1e-6 stop fires early.
+    Documents the BASELINE suite's -464.67-class affine row as a
+    precision artifact with the evidence pinned.  Row equilibration
+    (rescale_sf) is required in f32 — the unscaled instance is fragile
+    enough that platform-level rounding differences flip it between a
+    -464.5 exit and a wandering non-convergent path (PARITY.md notes
+    this; the suite equilibrates for the same reason)."""
+    from cholesky_is_magic_tpu.ingest.standard_form import rescale_sf
+    from cholesky_is_magic_tpu.solvers import AffineConfig, affine_scaling, make_affine_state
+
+    lp = to_device_lp(rescale_sf(afiro_sf()), pad_multiple=16, dtype=jnp.float32)
+    res = affine_scaling(make_affine_state(lp), AffineConfig(max_iters=600, refine_steps=2))
+    assert res.status_name == "optimal"
+    assert float(res.objective) == pytest.approx(OPTIMUM, rel=2e-3)
 
 
 def test_pdas_solves_afiro():
@@ -109,3 +136,56 @@ def test_alm_solves_afiro():
     c = np.asarray(lp.c)[: lp.n]
     # First-order method at its documented 1e-5 violation tolerance.
     assert float(x @ c) == pytest.approx(OPTIMUM, rel=2e-3)
+
+
+class TestKleeMinty:
+    """Klee-Minty cubes (Klee & Minty 1972): a real PUBLISHED family with
+    an exact analytic optimum — max sum 2^(n-j) x_j subject to
+    2*sum_{j<i} 2^(i-j) x_j + x_i <= 5^i, x >= 0, whose optimum is 5^n
+    at the vertex x = (0, ..., 0, 5^n).  Pathological for simplex (2^n
+    vertices); polynomial for interior-point methods.  Published-optimum
+    evidence independent of any LP oracle in this environment."""
+
+    @staticmethod
+    def km_mps(n):
+        lines = ["NAME          KLEEMINTY", "ROWS", " N  COST"]
+        for i in range(1, n + 1):
+            lines.append(f" L  R{i}")
+        lines.append("COLUMNS")
+        for j in range(1, n + 1):
+            lines.append(f"    X{j}  COST  {-(2 ** (n - j))}.0")
+            for i in range(j, n + 1):
+                coef = 1 if i == j else 2 ** (i - j + 1)
+                lines.append(f"    X{j}  R{i}  {coef}.0")
+        lines.append("RHS")
+        for i in range(1, n + 1):
+            lines.append(f"    RHS  R{i}  {5 ** i}.0")
+        lines.append("ENDATA")
+        return "\n".join(lines) + "\n"
+
+    @pytest.mark.parametrize("n", [5, 7])
+    def test_pdas_reaches_analytic_optimum(self, n):
+        from cholesky_is_magic_tpu.solvers import PDASConfig, make_pdas, pdas
+
+        sf = cim.to_standard_form(read_mps_string(self.km_mps(n)))
+        lp = to_device_lp(sf, pad_multiple=8, dtype=jnp.float64)
+        res = pdas(make_pdas(lp), PDASConfig(max_iters=300, mehrotra=True))
+        assert res.status_name == "optimal"
+        assert float(res.objective) == pytest.approx(-(5.0 ** n), rel=1e-4)
+
+    def test_pdas_dd_f32_tight_gap(self):
+        from cholesky_is_magic_tpu.solvers import PDASConfig, make_pdas, pdas
+        from cholesky_is_magic_tpu.solvers.pdas_dd import make_pdas_dd, pdas_dd
+
+        n = 5
+        sf = cim.to_standard_form(read_mps_string(self.km_mps(n)))
+        lp = to_device_lp(sf, pad_multiple=8, dtype=jnp.float32)
+        cfg = PDASConfig(max_iters=300, refine_steps=2, mehrotra=True)
+        p1 = pdas(make_pdas(lp), cfg)
+        res = pdas_dd(
+            make_pdas_dd(lp, warm=p1),
+            PDASConfig(max_iters=300, gap_tol=1e-9, refine_steps=2,
+                       mehrotra=True),
+        )
+        assert float(res.extra["gap"]) < 1e-8
+        assert float(res.objective) == pytest.approx(-(5.0 ** n), rel=1e-6)

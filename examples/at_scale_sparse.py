@@ -129,7 +129,7 @@ def main(m: int = 16384):
     print(f"analyze + pair schedule: {time.time() - t0:.1f}s "
           f"(B={eng.B} NT={eng.NT} pairs={eng.n_pairs})")
 
-    cfg1 = PDASConfig(max_iters=100, refine_steps=1)
+    cfg1 = PDASConfig(max_iters=100, refine_steps=1, mehrotra=True)
     p1 = pdas(st, cfg1, engine=eng)
     float(p1.extra["gap"])  # compile + run
     t0 = time.time()
@@ -149,8 +149,11 @@ def main(m: int = 16384):
     # krylov_steps: flexible-PCG refinement (ops.krylov) — past the
     # Richardson wall the f32-factor-preconditioned CG keeps converging;
     # measured here it moves the phase-2 floor from gap ~2e-6 to ~1e-7.
+    # stall_exit_iters=12: the mehrotra finisher reaches its floor in
+    # ~10 iterations; the default 40-iteration stall window would burn
+    # 4x the useful work after it (docs/DEVNOTES.md r3).
     cfg2 = PDASConfig(max_iters=100, gap_tol=1e-9, refine_steps=2,
-                      krylov_steps=8)
+                      krylov_steps=8, mehrotra=True, stall_exit_iters=12)
     r = pdas_dd(st2, cfg2, engine=eng)
     float(r.extra["gap"])
     t0 = time.time()

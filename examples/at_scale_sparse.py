@@ -7,19 +7,22 @@ dense A alone would be 2.1 GB):
            1e-4 duality gap;
   phase 2: the double-word finisher from mu-recentered warm duals.
 
-Measured on v5e (2026-08): phase 1 reaches `optimal` (gap 8.4e-5, primal
-residual 4.9e-4) in 39 iterations / 802 ms warm; phase 2 with the
-Krylov-refined solves (krylov_steps=8, ops.krylov) reaches gap 1.28e-7
-in 100 iterations — the plain Richardson-refined run floors at 3.55e-6,
-because kappa(N) has crossed the f32 Richardson wall at this scale
-(docs/DEVNOTES.md "The Richardson wall and the Krylov escape"); at
-m=8192 the same switch moves the floor 2.1e-6 -> 1.0e-7.  Context
+Measured on v5e (2026-08, r3 — Mehrotra corrector on): at m=16384,
+phase 1 reaches `optimal` in 15 iterations / 457 ms warm (39/802 ms with
+plain steps) and the Mehrotra + Krylov finisher lands at gap 4.2e-8,
+objective rel err 8.3e-9 vs HiGHS, 8.1 s total; at m=32768, phase 1 in
+16 iters / 0.92 s, finisher gap 1.9e-7 in 21 iters, 14.9 s total (the
+r2 plain+Krylov grind reached 4.8e-9 in 67 iters / 23.9 s — set
+mehrotra=False in cfg2 to trade iterations for the last 1.5 decades).
+The plain Richardson-refined run floors at 3.55e-6: kappa(N) crosses the
+f32 Richardson wall at this scale (docs/DEVNOTES.md); krylov_steps=8
+(flexible PCG on the f32 factor) is the escape.  Context
 (two-K-difference timings, README "Benchmarks"): the per-iteration
-factor+solve here is 14.0 ms.  A NARROW-banded staircase is the host's
-best case — splu does it in 25 ms (only 1.8x) — but the TPU time is
-nearly structure-flat while host factorization cost explodes with
+factor+solve at m=16384 is 14.0 ms.  A NARROW-banded staircase is the
+host's best case — splu does it in 25 ms (only 1.8x) — but the TPU time
+is nearly structure-flat while host factorization cost explodes with
 coupling width: at m=8192, width 256, it's 12.1 ms vs 388 ms (32x).
-HiGHS (host dual simplex) solves this instance in ~0.7 s with no
+HiGHS (host dual simplex) solves this instance in ~1 s with no
 iterations-to-gap tradeoff; the TPU pipeline's advantage compounds in
 batched/warm-started settings (re-solves amortize the one-time symbolic
 analysis and the compile — see examples/warm_resolve.py).

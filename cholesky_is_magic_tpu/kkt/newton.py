@@ -67,24 +67,27 @@ def dense_kkt_operator(
     true_residual: bool = False,
     dbound: float = 0.0,
     krylov_steps: int = 0,
+    krylov_gate=None,
 ) -> KKTOperator:
     """Dense MXU-backed operator (newton-solve.lisp's backend, minus the
     explicit diag matrix it builds at :112-116 — XLA fuses the column scale
     into the matmul).  ``dbound`` arms the singular-retry diagonal floor
-    (ops.dense.prepare_normal; CHOLMOD's dbound knob, wrapper.c)."""
+    (ops.dense.prepare_normal; CHOLMOD's dbound knob, wrapper.c).
+    ``krylov_gate``: traced per-iteration PCG/Richardson choice on the
+    shared factor (ops.krylov.gated; requires krylov_steps > 0)."""
 
     def solve_scaled_normal(s, g):
         return dense_ops.solve_normal(
             A, s, g, row_boost=row_boost, refine_steps=refine_steps,
             true_residual=true_residual, dbound=dbound,
-            krylov_steps=krylov_steps,
+            krylov_steps=krylov_steps, krylov_gate=krylov_gate,
         )
 
     def prepare_scaled_normal(s):
         return dense_ops.prepare_normal(
             A, s, row_boost=row_boost, refine_steps=refine_steps,
             true_residual=true_residual, dbound=dbound,
-            krylov_steps=krylov_steps,
+            krylov_steps=krylov_steps, krylov_gate=krylov_gate,
         )
 
     return KKTOperator(
@@ -102,6 +105,7 @@ def sparse_kkt_operator(
     refine_steps: int = 0,
     dbound: float = 0.0,
     krylov_steps: int = 0,
+    krylov_gate=None,
 ) -> KKTOperator:
     """Operator backed by a sparse.BlockSparseCholesky / TiledCholesky
     engine — the sparse-newton-solve.lisp backend: same elimination, the
@@ -122,6 +126,8 @@ def sparse_kkt_operator(
 
     def prepare_scaled_normal(s):
         kw = {"krylov_steps": krylov_steps} if krylov_steps else {}
+        if krylov_steps and krylov_gate is not None:
+            kw["krylov_gate"] = krylov_gate
         return engine.prepare_normal(
             A, s, row_boost=row_boost, refine_steps=refine_steps,
             dbound=dbound, **kw,
@@ -143,6 +149,7 @@ def ell_kkt_operator(
     dbound: float = 0.0,
     krylov_steps: int = 0,
     mesh=None,
+    krylov_gate=None,
 ) -> KKTOperator:
     """Fully sparse operator: ELL SpMVs (ops.sparse_ops — the
     cholmod_sdmult analogue) + the tile engine's pair-schedule assembly
@@ -159,6 +166,7 @@ def ell_kkt_operator(
             lp.E, lp.ET, s, lp.m, row_boost=row_boost,
             refine_steps=refine_steps, dbound=dbound,
             krylov_steps=krylov_steps, mesh=mesh,
+            krylov_gate=krylov_gate,
         )
 
     def solve_scaled_normal(s, g):

@@ -144,6 +144,7 @@ def prepare_normal(
     true_residual: bool = False,
     dbound: float = 0.0,
     krylov_steps: int = 0,
+    krylov_gate=None,
 ):
     """Assemble and factor N = (A·diag(d))(A·diag(d))ᵀ ONCE; return
     (solve_fn, ok) where solve_fn(g) runs the refined triangular solves.
@@ -169,7 +170,13 @@ def prepare_normal(
     same wall only at kappa ~ 1e16).  NOTE: it OVERRIDES ``refine_steps``
     and ``true_residual`` entirely — PCG's explicit dd residual against
     the unassembled operator subsumes both (the flags are ignored, not
-    combined)."""
+    combined) — UNLESS ``krylov_gate`` is given.
+
+    ``krylov_gate`` (a traced boolean; requires krylov_steps > 0) makes
+    each solve_fn(g) call choose: gate True -> the PCG path, gate False ->
+    the ``refine_steps``/``true_residual`` Richardson path, both on the
+    same factor (ops.krylov.gated).  Solver loops pass gap < threshold so
+    only near-floor iterations pay the PCG price."""
     AD = A * d[None, :]
     N = jnp.matmul(AD, AD.T, preferred_element_type=AD.dtype,
                    precision=jax.lax.Precision.HIGHEST)
@@ -186,10 +193,20 @@ def prepare_normal(
 
         f = jax.lax.cond(f.ok, lambda: f, retry)
 
+    def richardson_fn(g):
+        y = chol_solve(f.L, g)
+        for _ in range(refine_steps):
+            if true_residual:
+                r = operator_residual(AD, y, g, row_boost)
+            else:
+                r = ddm.dd_residual(g, N, y)
+            y = y + chol_solve(f.L, r)
+        return jnp.where(f.ok, y, jnp.zeros_like(y))
+
     if krylov_steps > 0:
         from cholesky_is_magic_tpu.ops import krylov
 
-        def solve_fn(g):
+        def pcg_fn(g):
             x = krylov.pcg_refine(
                 precond=lambda r: chol_solve(f.L, r),
                 apply_n=krylov.dense_normal_apply(AD, row_boost),
@@ -200,19 +217,9 @@ def prepare_normal(
             y = x.to_working()
             return jnp.where(f.ok, y, jnp.zeros_like(y))
 
-        return solve_fn, f.ok
+        return krylov.gated(pcg_fn, richardson_fn, krylov_gate), f.ok
 
-    def solve_fn(g):
-        y = chol_solve(f.L, g)
-        for _ in range(refine_steps):
-            if true_residual:
-                r = operator_residual(AD, y, g, row_boost)
-            else:
-                r = ddm.dd_residual(g, N, y)
-            y = y + chol_solve(f.L, r)
-        return jnp.where(f.ok, y, jnp.zeros_like(y))
-
-    return solve_fn, f.ok
+    return richardson_fn, f.ok
 
 
 def solve_normal(
@@ -224,6 +231,7 @@ def solve_normal(
     true_residual: bool = False,
     dbound: float = 0.0,
     krylov_steps: int = 0,
+    krylov_gate=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Solve (A·diag(d))·(A·diag(d))ᵀ y = g with double-word refinement.
 
@@ -241,6 +249,6 @@ def solve_normal(
     solve_fn, ok = prepare_normal(
         A, d, row_boost=row_boost, refine_steps=refine_steps,
         true_residual=true_residual, dbound=dbound,
-        krylov_steps=krylov_steps,
+        krylov_steps=krylov_steps, krylov_gate=krylov_gate,
     )
     return solve_fn(g), ok

@@ -46,6 +46,27 @@ from cholesky_is_magic_tpu.ops import dd as ddm
 from cholesky_is_magic_tpu.ops.dd import DD
 
 
+def gated(pcg_fn, cheap_fn, gate):
+    """Per-call choice between the PCG path and the cheap Richardson path
+    on a TRACED boolean ``gate`` (True -> PCG), sharing one factorization.
+
+    The escalation seam for solver loops: early IPM iterations have
+    kappa(N) far below the Richardson wall, so paying ``krylov_steps``
+    N-applies per solve there is pure waste (measured: the PCG-8 dd
+    finisher at m=16384 spends ~95% of its wall-clock on refinement its
+    first ~10 iterations do not need).  ``gate`` is typically
+    gap < PDASConfig.krylov_gate_gap, re-evaluated every iteration inside
+    the jitted while_loop; both branches compile once.  ``gate=None``
+    returns the PCG path unconditionally (the ungated r2 behavior)."""
+    if gate is None:
+        return pcg_fn
+
+    def solve_fn(g):
+        return jax.lax.cond(gate, pcg_fn, cheap_fn, g)
+
+    return solve_fn
+
+
 def pcg_refine(
     precond: Callable[[jax.Array], jax.Array],
     apply_n: Callable[[jax.Array], jax.Array],

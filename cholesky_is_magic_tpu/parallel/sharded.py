@@ -65,6 +65,7 @@ def sharded_prepare_normal(
     refine_steps: int = 0,
     dbound: float = 0.0,
     krylov_steps: int = 0,
+    krylov_gate=None,
 ):
     """Factor-once / solve-many split of the tp normal-equations pipeline.
 
@@ -86,7 +87,11 @@ def sharded_prepare_normal(
     preconditioner, and the N-applies / double-word residuals are
     column-sharded shard_maps (one m-vector psum each, hi and lo words
     reduced separately) — the ill-conditioning escape hatch at tp scale.
-    Overrides ``refine_steps`` (as in the single-chip backend).
+    Overrides ``refine_steps`` (as in the single-chip backend) unless
+    ``krylov_gate`` (a traced boolean) is given, in which case each
+    solve_fn call picks PCG (gate True) or the ``refine_steps``
+    Richardson path (gate False) on the same replicated factor
+    (ops.krylov.gated).
     """
     if row_boost is None:
         row_boost = jnp.zeros(A.shape[0], A.dtype)
@@ -180,10 +185,14 @@ def sharded_prepare_normal(
     with jax.default_matmul_precision("highest"):
         L, ok = _factor(A, d, row_boost)
 
+    def richardson_fn(g):
+        with jax.default_matmul_precision("highest"):
+            return _solve(L, ok, g, A, d, row_boost)
+
     if krylov_steps > 0:
         from cholesky_is_magic_tpu.ops import krylov
 
-        def solve_fn(g):
+        def pcg_fn(g):
             with jax.default_matmul_precision("highest"):
                 x = krylov.pcg_refine(
                     precond=lambda r: dense_ops.chol_solve(L, r),
@@ -197,13 +206,9 @@ def sharded_prepare_normal(
                 y = x.to_working()
                 return jnp.where(ok, y, jnp.zeros_like(y))
 
-        return solve_fn, ok
+        return krylov.gated(pcg_fn, richardson_fn, krylov_gate), ok
 
-    def solve_fn(g):
-        with jax.default_matmul_precision("highest"):
-            return _solve(L, ok, g, A, d, row_boost)
-
-    return solve_fn, ok
+    return richardson_fn, ok
 
 
 def sharded_solve_normal(
@@ -236,6 +241,7 @@ def sharded_kkt_operator(
     refine_steps: int = 0,
     dbound: float = 0.0,
     krylov_steps: int = 0,
+    krylov_gate=None,
 ):
     """KKTOperator backed by the tp pipeline — plugs the column-sharded
     normal solve into the SAME solve_kkt_newton elimination the dense and
@@ -256,5 +262,6 @@ def sharded_kkt_operator(
         prepare_scaled_normal=lambda s: sharded_prepare_normal(
             mesh, A, s, row_boost=row_boost, refine_steps=refine_steps,
             dbound=dbound, krylov_steps=krylov_steps,
+            krylov_gate=krylov_gate,
         ),
     )

@@ -42,12 +42,15 @@ def row_boost(lp):
 
 
 def prepare_normal_backend(lp, engine, d, row_boost, refine_steps,
-                           mesh=None, dbound=0.0, krylov_steps=0):
+                           mesh=None, dbound=0.0, krylov_steps=0,
+                           krylov_gate=None):
     """Factor (A·diag(d))(A·diag(d))ᵀ ONCE on whichever backend the
     operand set and options select; returns (solve_fn, ok) — the
     solve-sparse-recycle split (sparse-cholesky.lisp:524-560) at the
     dispatch seam, so solver loops can run several rhs (e.g. the Mehrotra
-    corrector) against one factorization."""
+    corrector) against one factorization.  ``krylov_gate``: traced
+    per-call PCG/Richardson choice on the shared factor
+    (ops.krylov.gated; requires krylov_steps > 0)."""
     from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
 
     if isinstance(lp, SparseKKTLP):
@@ -55,6 +58,7 @@ def prepare_normal_backend(lp, engine, d, row_boost, refine_steps,
             lp.E, lp.ET, d, lp.m, row_boost=row_boost,
             refine_steps=refine_steps, dbound=dbound,
             krylov_steps=krylov_steps, mesh=mesh,
+            krylov_gate=krylov_gate,
         )
     if mesh is not None:
         from cholesky_is_magic_tpu.parallel.sharded import sharded_prepare_normal
@@ -62,24 +66,27 @@ def prepare_normal_backend(lp, engine, d, row_boost, refine_steps,
         return sharded_prepare_normal(
             mesh, lp.A, d, row_boost=row_boost, refine_steps=refine_steps,
             dbound=dbound, krylov_steps=krylov_steps,
+            krylov_gate=krylov_gate,
         )
     if engine is None:
         return dense_ops.prepare_normal(
             lp.A, d, row_boost=row_boost, refine_steps=refine_steps,
             dbound=dbound, krylov_steps=krylov_steps,
+            krylov_gate=krylov_gate,
         )
     return engine.prepare_normal(
         lp.A, d, row_boost=row_boost, refine_steps=refine_steps,
-        dbound=dbound, krylov_steps=krylov_steps,
+        dbound=dbound, krylov_steps=krylov_steps, krylov_gate=krylov_gate,
     )
 
 
 def solve_normal_backend(lp, engine, d, g, row_boost, refine_steps,
-                         mesh=None, dbound=0.0, krylov_steps=0):
+                         mesh=None, dbound=0.0, krylov_steps=0,
+                         krylov_gate=None):
     """(A·diag(d))(A·diag(d))ᵀ y = g on whichever backend the operand set
     and options select (see module docstring).  Returns (y, ok)."""
     solve_fn, ok = prepare_normal_backend(
         lp, engine, d, row_boost, refine_steps, mesh=mesh, dbound=dbound,
-        krylov_steps=krylov_steps,
+        krylov_steps=krylov_steps, krylov_gate=krylov_gate,
     )
     return solve_fn(g), ok

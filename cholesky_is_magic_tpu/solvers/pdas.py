@@ -75,6 +75,18 @@ class PDASConfig:
     # overwhelm the f32 factor.  Costs one extra N-apply per step; 0 keeps
     # the default Richardson refinement.
     krylov_steps: int = 0
+    # Gap-gated Krylov escalation: with krylov_steps > 0 AND this > 0,
+    # each iteration's normal solves run the cheap Richardson refinement
+    # while the relative duality gap is >= this threshold and switch to
+    # the PCG path only below it — both branches share the iteration's one
+    # factorization (ops.krylov.gated, a lax.cond inside the jitted loop).
+    # Rationale: kappa(N) grows like 1/mu, so the Richardson wall is only
+    # reached near the floor; paying krylov_steps N-applies per solve in
+    # the early iterations is pure waste (measured at m=16384: the dd
+    # finisher spends ~95% of wall-clock on refinement the first ~10
+    # iterations do not need).  0 disables the gate (PCG unconditionally
+    # whenever krylov_steps > 0 — the r2 behavior).
+    krylov_gate_gap: float = 0.0
     # Mehrotra predictor-corrector (TPU-build extension; the reference is
     # pure affine scaling, one-pdas-iteration :319-383): after the affine
     # predictor, re-solve on the SAME factorization with the
@@ -461,9 +473,13 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
             -primal,  # b - Ax (one-repair-iteration residual)
             jnp.where(recenter_b, mv(slack * sc), primal - mv(red.alpha)),
         )
+        # Gap-gated Krylov escalation (see PDASConfig.krylov_gate_gap).
+        gate = None
+        if cfg.krylov_steps > 0 and cfg.krylov_gate_gap > 0.0:
+            gate = gap < cfg.krylov_gate_gap
         solve_fn, ok = _prepare_normal_backend(
             lp, engine, s_sel, boost, cfg.refine_steps, mesh,
-            cfg.dbound, cfg.krylov_steps,
+            cfg.dbound, cfg.krylov_steps, krylov_gate=gate,
         )
         y = solve_fn(rhs_sel)
         ty = rmv(y)

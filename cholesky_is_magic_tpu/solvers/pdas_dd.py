@@ -479,6 +479,12 @@ def _pdas_dd_jit(
         boost = (~lp.row_mask).astype(jnp.float32)
         from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
 
+        # Gap-gated Krylov escalation (PDASConfig.krylov_gate_gap): below
+        # the gate this iteration's solves run PCG, above it the cheap
+        # Richardson path — one lax.cond per solve on the shared factor.
+        gate = None
+        if cfg.krylov_steps > 0 and cfg.krylov_gate_gap > 0.0:
+            gate = gap < cfg.krylov_gate_gap
         if isinstance(lp, SparseKKTLP):
             from cholesky_is_magic_tpu.kkt.newton import ell_kkt_operator
 
@@ -487,6 +493,7 @@ def _pdas_dd_jit(
             op = ell_kkt_operator(
                 lp, engine, row_boost=boost, refine_steps=cfg.refine_steps,
                 dbound=cfg.dbound, krylov_steps=cfg.krylov_steps, mesh=mesh,
+                krylov_gate=gate,
             )
         elif mesh is not None:
             from cholesky_is_magic_tpu.parallel.sharded import sharded_kkt_operator
@@ -494,6 +501,7 @@ def _pdas_dd_jit(
             op = sharded_kkt_operator(
                 mesh, lp.A, row_boost=boost, refine_steps=cfg.refine_steps,
                 dbound=cfg.dbound, krylov_steps=cfg.krylov_steps,
+                krylov_gate=gate,
             )
         elif engine is None:
             # true_residual: refine against the UNASSEMBLED operator in
@@ -502,7 +510,7 @@ def _pdas_dd_jit(
             op = dense_kkt_operator(
                 lp.A, row_boost=boost, refine_steps=cfg.refine_steps,
                 true_residual=True, dbound=cfg.dbound,
-                krylov_steps=cfg.krylov_steps,
+                krylov_steps=cfg.krylov_steps, krylov_gate=gate,
             )
         else:
             from cholesky_is_magic_tpu.kkt.newton import sparse_kkt_operator
@@ -513,6 +521,7 @@ def _pdas_dd_jit(
             op = sparse_kkt_operator(
                 lp.A, engine, row_boost=boost, refine_steps=cfg.refine_steps,
                 dbound=cfg.dbound, krylov_steps=cfg.krylov_steps,
+                krylov_gate=gate,
             )
         dw_dd, dx_dd, dy_dd, dz_dd, ok = kkt_dd(
             st, sl_dd, su_dd, sl, su, wu, zl, primal_dd, dual_dd, op

@@ -167,6 +167,7 @@ class BlockSparseCholesky:
         refine_steps: int = 0,
         dbound: float = 0.0,
         krylov_steps: int = 0,
+        krylov_gate=None,
     ):
         """Assemble + factor once; return (solve_fn, ok) — the engine's
         factor-once/solve-many split (solve-sparse-recycle analogue).
@@ -174,7 +175,9 @@ class BlockSparseCholesky:
         ``dbound`` > 0 arms the CHOLMOD-dbound singular retry: on a failed
         factorization, refactor once with dbound*max(diag N) added to the
         diagonal (see ops.dense.prepare_normal; wrapper.c binds the knob).
-        Refinement still runs against the unregularized operator."""
+        Refinement still runs against the unregularized operator.
+        ``krylov_gate``: per-call traced PCG/Richardson choice on the
+        shared factor (ops.krylov.gated)."""
         from cholesky_is_magic_tpu.ops.dense import operator_residual
 
         n_pad = self.plan.n_padded
@@ -199,10 +202,17 @@ class BlockSparseCholesky:
             yp = jax.scipy.linalg.solve_triangular(L.T, t, lower=False)
             return jnp.zeros_like(yp).at[self.pperm].set(yp)[:m]
 
+        def richardson_fn(g):
+            y = raw_solve(g)
+            for _ in range(refine_steps):
+                r = operator_residual(AD, y, g, row_boost)
+                y = y + raw_solve(r)
+            return jnp.where(ok, y, jnp.zeros_like(y))
+
         if krylov_steps > 0:
             from cholesky_is_magic_tpu.ops import krylov
 
-            def solve_fn(g):
+            def pcg_fn(g):
                 x = krylov.pcg_refine(
                     precond=raw_solve,
                     apply_n=krylov.dense_normal_apply(AD, row_boost),
@@ -213,16 +223,9 @@ class BlockSparseCholesky:
                 y = x.to_working()
                 return jnp.where(ok, y, jnp.zeros_like(y))
 
-            return solve_fn, ok
+            return krylov.gated(pcg_fn, richardson_fn, krylov_gate), ok
 
-        def solve_fn(g):
-            y = raw_solve(g)
-            for _ in range(refine_steps):
-                r = operator_residual(AD, y, g, row_boost)
-                y = y + raw_solve(r)
-            return jnp.where(ok, y, jnp.zeros_like(y))
-
-        return solve_fn, ok
+        return richardson_fn, ok
 
     def solve_normal(
         self,

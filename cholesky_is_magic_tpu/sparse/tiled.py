@@ -707,7 +707,7 @@ class TiledCholesky:
 
     def prepare_normal_ell(self, E, ET, d, m, row_boost=None, refine_steps=0,
                            dbound: float = 0.0, krylov_steps: int = 0,
-                           mesh=None):
+                           mesh=None, krylov_gate=None):
         """Factor-once / solve-many for the fully sparse path: pair-schedule
         assembly + planned tile factorization; each solve_fn(g) adds ELL
         double-word refinement.  ``E``/``ET`` are the ELLMatrix forms of A
@@ -716,7 +716,11 @@ class TiledCholesky:
 
         ``krylov_steps`` > 0 switches refinement to flexible PCG with the
         tile factor as preconditioner and explicit double-word residuals
-        (ops.krylov) — the ill-conditioned-N escape hatch.
+        (ops.krylov) — the ill-conditioned-N escape hatch.  With
+        ``krylov_gate`` (a traced boolean) each solve call picks PCG only
+        when the gate is True, else the ``refine_steps`` Richardson path,
+        on the same factor (ops.krylov.gated) — solver loops gate on the
+        duality gap so early iterations skip the PCG cost.
 
         ``mesh`` runs the assembly pair slabs and the panel-wave SYRK
         batches sharded over the mesh's 'tp' axis with psums on the
@@ -745,23 +749,7 @@ class TiledCholesky:
             yp = self.solve(L, invd, rp)
             return jnp.zeros_like(yp).at[self.pperm].set(yp)[:m]
 
-        if krylov_steps > 0:
-            from cholesky_is_magic_tpu.ops import krylov
-
-            def solve_fn(g):
-                x = krylov.pcg_refine(
-                    precond=raw_solve,
-                    apply_n=krylov.ell_normal_apply(E, ET, d, boost),
-                    residual_dd=krylov.ell_residual_dd(E, ET, d, g, boost),
-                    b=g,
-                    iters=krylov_steps,
-                )
-                y = x.to_working()
-                return jnp.where(ok, y, jnp.zeros_like(y))
-
-            return solve_fn, ok
-
-        def solve_fn(g):
+        def richardson_fn(g):
             y = raw_solve(g)
             for _ in range(refine_steps):
                 t = sparse_ops.dd_matvec(ET, y)  # Aᵀ y
@@ -772,7 +760,23 @@ class TiledCholesky:
                 y = y + raw_solve(r)
             return jnp.where(ok, y, jnp.zeros_like(y))
 
-        return solve_fn, ok
+        if krylov_steps > 0:
+            from cholesky_is_magic_tpu.ops import krylov
+
+            def pcg_fn(g):
+                x = krylov.pcg_refine(
+                    precond=raw_solve,
+                    apply_n=krylov.ell_normal_apply(E, ET, d, boost),
+                    residual_dd=krylov.ell_residual_dd(E, ET, d, g, boost),
+                    b=g,
+                    iters=krylov_steps,
+                )
+                y = x.to_working()
+                return jnp.where(ok, y, jnp.zeros_like(y))
+
+            return krylov.gated(pcg_fn, richardson_fn, krylov_gate), ok
+
+        return richardson_fn, ok
 
     def solve_normal_ell(self, E, ET, d, g, row_boost=None, refine_steps=0,
                          dbound: float = 0.0, krylov_steps: int = 0,
@@ -787,10 +791,13 @@ class TiledCholesky:
         return solve_fn(g), ok
 
     def prepare_normal(self, A, d, row_boost=None, refine_steps=0,
-                       dbound: float = 0.0, krylov_steps: int = 0):
+                       dbound: float = 0.0, krylov_steps: int = 0,
+                       krylov_gate=None):
         """Assemble + factor once; return (solve_fn, ok) — the engine's
         factor-once/solve-many split (solve-sparse-recycle analogue).
-        ``krylov_steps`` > 0: flexible-PCG refinement (ops.krylov)."""
+        ``krylov_steps`` > 0: flexible-PCG refinement (ops.krylov);
+        ``krylov_gate``: per-call traced PCG/Richardson choice on the
+        shared factor (see prepare_normal_ell)."""
         from cholesky_is_magic_tpu.ops.dense import operator_residual
 
         n_pad = self.B * self.b
@@ -804,10 +811,17 @@ class TiledCholesky:
             yp = self.solve(L, invd, rp)
             return jnp.zeros_like(yp).at[self.pperm].set(yp)[:m]
 
+        def richardson_fn(g):
+            y = raw_solve(g)
+            for _ in range(refine_steps):
+                r = operator_residual(AD, y, g, row_boost)
+                y = y + raw_solve(r)
+            return jnp.where(ok, y, jnp.zeros_like(y))
+
         if krylov_steps > 0:
             from cholesky_is_magic_tpu.ops import krylov
 
-            def solve_fn(g):
+            def pcg_fn(g):
                 x = krylov.pcg_refine(
                     precond=raw_solve,
                     apply_n=krylov.dense_normal_apply(AD, row_boost),
@@ -818,16 +832,9 @@ class TiledCholesky:
                 y = x.to_working()
                 return jnp.where(ok, y, jnp.zeros_like(y))
 
-            return solve_fn, ok
+            return krylov.gated(pcg_fn, richardson_fn, krylov_gate), ok
 
-        def solve_fn(g):
-            y = raw_solve(g)
-            for _ in range(refine_steps):
-                r = operator_residual(AD, y, g, row_boost)
-                y = y + raw_solve(r)
-            return jnp.where(ok, y, jnp.zeros_like(y))
-
-        return solve_fn, ok
+        return richardson_fn, ok
 
     def solve_normal(self, A, d, g, row_boost=None, refine_steps=0,
                      dbound: float = 0.0, krylov_steps: int = 0):

@@ -86,6 +86,57 @@ class TestDensePCG:
         assert _relerr(y_pcg, x64) < 1e-5
 
 
+class TestGatedEscalation:
+    """ops.krylov.gated: per-call traced PCG/Richardson choice on one
+    shared factor — the gap-gate seam PDASConfig.krylov_gate_gap uses."""
+
+    def test_gate_selects_the_claimed_branch(self):
+        # At kappa 1e8 the two branches are far apart in forward error, so
+        # each gate value is identifiable by accuracy alone: True must
+        # give the PCG answer (~eps_f32), False the diverged Richardson
+        # one.  Traced gate, jitted once for both values.
+        A, g, x64 = _conditioned_A(1e8)
+        d = jnp.ones(A.shape[1], jnp.float32)
+
+        # dbound arms the jitter retry: at kappa 1e8 the f32 factor's
+        # success is rounding-luck (kappa*eps_f32 ~ 12) and flips under
+        # jit's fused rounding; the retry makes it deterministic while
+        # both refinement paths still target the exact operator.
+        @jax.jit
+        def run(gate):
+            with jax.default_matmul_precision("highest"):
+                return dense_ops.solve_normal(
+                    A, d, g, refine_steps=3, true_residual=True,
+                    krylov_steps=40, krylov_gate=gate, dbound=1e-6)
+
+        y_pcg, ok1 = run(jnp.asarray(True))
+        y_rich, ok2 = run(jnp.asarray(False))
+        assert bool(ok1) and bool(ok2)
+        # PCG through the (possibly jittered) preconditioner: ~1e-5-class
+        # forward error; the diverged Richardson branch: > 1e-3.
+        assert _relerr(y_pcg, x64) < 1e-5
+        assert _relerr(y_rich, x64) > 1e-3
+
+    def test_gated_pdas_dd_reaches_the_ungated_gap(self):
+        """pdas_dd(krylov_steps, krylov_gate_gap>0) must reach the same
+        tight gap as the ungated PCG run — the gate only re-routes
+        iterations whose kappa(N) is below the Richardson wall."""
+        import cholesky_is_magic_tpu as cim
+        from cholesky_is_magic_tpu.ingest import to_device_lp
+        from cholesky_is_magic_tpu.ingest.mps import read_mps_string
+        from cholesky_is_magic_tpu.solvers import PDASConfig
+        from cholesky_is_magic_tpu.solvers.pdas_dd import make_pdas_dd, pdas_dd
+        from cholesky_is_magic_tpu.utils.testing import random_lp, write_mps
+
+        ineq = random_lp(3, n_ub=12, n_eq=4, n=16, bounded=True)
+        sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+        lp = to_device_lp(sf, pad_multiple=8, dtype=jnp.float32)
+        cfg = PDASConfig(gap_tol=1e-8, max_iters=120, krylov_steps=6,
+                         krylov_gate_gap=1e-4)
+        res = pdas_dd(make_pdas_dd(lp), cfg)
+        assert float(res.extra["gap"]) < 1e-7
+
+
 class TestEnginePCG:
     def _banded_problem(self, m=256, band=6, kappa_scale=1e4, seed=1):
         import scipy.sparse as sp

@@ -42,6 +42,10 @@ def main(argv=None) -> int:
     ap.add_argument("--refine-steps", type=int, default=1)
     ap.add_argument("--krylov-steps", type=int, default=0,
                     help="PCG refinement steps (ill-conditioned end-games)")
+    ap.add_argument("--krylov-gate-gap", type=float, default=0.0,
+                    help="with --krylov-steps: run cheap Richardson "
+                         "refinement until the gap drops below this, then "
+                         "switch to PCG (speed/accuracy knob)")
     ap.add_argument("--mehrotra", action="store_true",
                     help="predictor-corrector steps (pdas/pdas_dd): ~half "
                          "the iterations for one extra solve per iteration")
@@ -100,6 +104,7 @@ def main(argv=None) -> int:
         max_iters=args.max_iters,
         refine_steps=args.refine_steps,
         krylov_steps=args.krylov_steps,
+        krylov_gate_gap=args.krylov_gate_gap,
         mehrotra=args.mehrotra,
         record_trace=args.trace,
         presolve=args.presolve,

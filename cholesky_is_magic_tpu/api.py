@@ -188,6 +188,7 @@ def solve(
     refine_steps: int = 1,
     gap_tol: Optional[float] = None,
     krylov_steps: int = 0,
+    krylov_gate_gap: float = 0.0,
     record_trace: bool = False,
     presolve: bool = False,
     warm: Optional[SolveReport] = None,
@@ -205,7 +206,12 @@ def solve(
     ``krylov_steps`` > 0 switches refinement to flexible PCG
     (ops.krylov) for ill-conditioned end-games; with the default 0, the
     pdas_dd finisher AUTO-ESCALATES to PCG when Richardson refinement hits
-    the f32 precision floor short of the target gap.  ``presolve=True``
+    the f32 precision floor short of the target gap.
+    ``krylov_gate_gap`` > 0 (with krylov_steps > 0) gates the PCG cost
+    per iteration: solves run cheap Richardson refinement until the
+    relative duality gap drops below the threshold, then switch to PCG on
+    the same factorization (PDASConfig.krylov_gate_gap) — a
+    speed/accuracy knob for latency-sensitive at-scale solves.  ``presolve=True``
     applies the safe host-side reductions (ingest.presolve — a capability
     extension over the reference) before padding; the reported solution is
     restored to the original variable space.
@@ -304,8 +310,8 @@ def solve(
         kw = {} if gap_tol is None else {"gap_tol": gap_tol}
         cfg = PDASConfig(
             max_iters=max_iters, refine_steps=refine_steps,
-            krylov_steps=krylov_steps, record_trace=record_trace,
-            mehrotra=mehrotra, **kw,
+            krylov_steps=krylov_steps, krylov_gate_gap=krylov_gate_gap,
+            record_trace=record_trace, mehrotra=mehrotra, **kw,
         )
         from cholesky_is_magic_tpu.solvers.pdas import PDASState, push_interior
 
@@ -363,7 +369,8 @@ def solve(
         cfg2 = PDASConfig(
             max_iters=max_iters, gap_tol=1e-9 if gap_tol is None else gap_tol,
             refine_steps=max(refine_steps, 2), krylov_steps=krylov_steps,
-            record_trace=record_trace, mehrotra=mehrotra,
+            krylov_gate_gap=krylov_gate_gap, record_trace=record_trace,
+            mehrotra=mehrotra,
         )
         if sparse:
             from cholesky_is_magic_tpu.ops import dd as ddm

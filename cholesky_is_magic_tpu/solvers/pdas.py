@@ -82,10 +82,13 @@ class PDASConfig:
     # factorization (ops.krylov.gated, a lax.cond inside the jitted loop).
     # Rationale: kappa(N) grows like 1/mu, so the Richardson wall is only
     # reached near the floor; paying krylov_steps N-applies per solve in
-    # the early iterations is pure waste (measured at m=16384: the dd
-    # finisher spends ~95% of wall-clock on refinement the first ~10
-    # iterations do not need).  0 disables the gate (PCG unconditionally
-    # whenever krylov_steps > 0 — the r2 behavior).
+    # the early iterations costs ~12x the plain iteration.  Measured
+    # (m=16384 staircase, dd finisher, gate 1e-5): 2.4 s vs 7.6 s ungated
+    # — but the floor reached is 7.3e-7 vs 4.2e-8, because the Richardson
+    # steps near the switch produce a less-centered endgame trajectory
+    # (docs/DEVNOTES.md "gap-gated Krylov").  A speed/accuracy KNOB, not a
+    # free win.  0 disables the gate (PCG unconditionally whenever
+    # krylov_steps > 0 — the r2 behavior).
     krylov_gate_gap: float = 0.0
     # Mehrotra predictor-corrector (TPU-build extension; the reference is
     # pure affine scaling, one-pdas-iteration :319-383): after the affine
@@ -117,6 +120,21 @@ class PDASConfig:
     # iterating further *damages* the iterate). The best-seen state is what
     # the solver returns.
     stall_exit_iters: int = 40
+    # Bounce exit (precision-floor detector, at-scale wall-clock lever):
+    # once a feasible iterate has reached best_gap < bounce_exit_floor,
+    # exit the moment the CURRENT gap exceeds bounce_exit_ratio*best_gap.
+    # Measured rationale (m=16384 staircase dd finisher, traced): the gap
+    # dips to its floor by iteration ~9-10 and then oscillates chaotically
+    # 1-2 decades above it — e.g. 4.2e-8 at iter 8, then 1.8e-7, 3.0e-6,
+    # ... — so the stall window burns stall_exit_iters * ~360 ms PCG
+    # iterations (~60% of the finisher wall-clock) confirming a floor the
+    # bounce already proved.  The returned state is the best iterate
+    # either way; status PRECISION_FLOOR.  0 disables (default: the
+    # stall-window-only semantics; the bounce is an exit accelerator, so
+    # enabling it never changes the answer, only how long the solver
+    # spends re-confirming it).
+    bounce_exit_ratio: float = 0.0
+    bounce_exit_floor: float = 1e-5
 
 
 @partial(
@@ -610,6 +628,15 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
         return (new_st, i + 1, new_repair, gap, pviol, bad_count, status, trace,
                 best_gap, best_st, since_best)
 
+    def bounced(gap, best_gap):
+        # Bounce exit (PDASConfig.bounce_exit_ratio; see pdas_dd.py for
+        # the measured endgame-oscillation rationale).
+        if cfg.bounce_exit_ratio <= 0.0:
+            return jnp.asarray(False)
+        return (best_gap < cfg.bounce_exit_floor) & (
+            gap > cfg.bounce_exit_ratio * best_gap
+        )
+
     def cond(carry):
         (_st, i, _rflag, gap, pviol, _badc, status, _trace, _bg, _bst,
          since_best) = carry
@@ -623,6 +650,7 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
             & (status == Status.RUNNING)
             & (i < cfg.max_iters)
             & (since_best < cfg.stall_exit_iters)
+            & ~bounced(gap, _bg)
         )
 
     init_gap = jnp.asarray(np.inf, dtype=state.x.dtype)
@@ -652,6 +680,7 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
     # sparse afiro cold start).
     use_best = best_gap <= gap
     st = jax.tree.map(lambda b, c: jnp.where(use_best, b, c), best_st, st)
+    exit_bounced = bounced(gap, best_gap)  # on the PRE-min exit gap
     gap = jnp.minimum(best_gap, gap)
     pobj, dobj = _objectives(st, cfg.clamp)
     mv_f, _ = _mv_rmv(lp)
@@ -665,7 +694,7 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
             (gap < cfg.gap_tol) & feasible,
             Status.OPTIMAL,
             jnp.where(
-                since_best >= cfg.stall_exit_iters,
+                (since_best >= cfg.stall_exit_iters) | exit_bounced,
                 Status.PRECISION_FLOOR,
                 Status.MAX_ITERS,
             ),

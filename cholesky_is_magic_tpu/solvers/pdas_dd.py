@@ -570,6 +570,18 @@ def _pdas_dd_jit(
         return (new_st, i + 1, gap, pviol, best_gap, best_st, since_best,
                 status, trace)
 
+    def bounced(gap, best_gap):
+        # Bounce exit (PDASConfig.bounce_exit_ratio): the endgame gap
+        # trajectory dips to its floor and then oscillates decades above
+        # it; the first large bounce off a deep best already proves the
+        # floor, so waiting out the stall window just re-confirms it at
+        # full per-iteration cost.
+        if cfg.bounce_exit_ratio <= 0.0:
+            return jnp.asarray(False)
+        return (best_gap < cfg.bounce_exit_floor) & (
+            gap > cfg.bounce_exit_ratio * best_gap
+        )
+
     def cond(carry):
         _st, i, gap, pviol, _bg, _bst, since_best, status, _trace = carry
         # Gap stop only at a primal-feasible iterate (see pdas.py).
@@ -579,6 +591,7 @@ def _pdas_dd_jit(
             & (status == Status.RUNNING)
             & (i < cfg.max_iters)
             & (since_best < cfg.stall_exit_iters)
+            & ~bounced(gap, _bg)
         )
 
     inf = jnp.asarray(np.inf, jnp.float32)
@@ -605,6 +618,7 @@ def _pdas_dd_jit(
     # sparse afiro cold start).
     use_best = best_gap <= gap
     st = jax.tree.map(lambda b, c: jnp.where(use_best, b, c), best_st, st)
+    exit_bounced = bounced(gap, best_gap)  # on the PRE-min exit gap
     gap = jnp.minimum(best_gap, gap)
     pobj_dd, dobj_dd = _dd_objectives(st, cfg.clamp)
     primal = _dd_violation(st)[6].to_working()
@@ -615,7 +629,7 @@ def _pdas_dd_jit(
             gap < cfg.gap_tol,
             Status.OPTIMAL,
             jnp.where(
-                since_best >= cfg.stall_exit_iters,
+                (since_best >= cfg.stall_exit_iters) | exit_bounced,
                 Status.PRECISION_FLOOR,
                 Status.MAX_ITERS,
             ),

@@ -7,25 +7,33 @@ dense A alone would be 2.1 GB):
            1e-4 duality gap;
   phase 2: the double-word finisher from mu-recentered warm duals.
 
-Measured on v5e (2026-08, r3 — Mehrotra corrector on): at m=16384,
-phase 1 reaches `optimal` in 15 iterations / 457 ms warm (39/802 ms with
-plain steps) and the Mehrotra + Krylov finisher lands at gap 4.2e-8,
-objective rel err 8.3e-9 vs HiGHS, 8.1 s total; at m=32768, phase 1 in
-16 iters / 0.92 s, finisher gap 1.9e-7 in 21 iters, 14.9 s total (the
-r2 plain+Krylov grind reached 4.8e-9 in 67 iters / 23.9 s — set
-mehrotra=False in cfg2 to trade iterations for the last 1.5 decades).
-The plain Richardson-refined run floors at 3.55e-6: kappa(N) crosses the
-f32 Richardson wall at this scale (docs/DEVNOTES.md); krylov_steps=8
-(flexible PCG on the f32 factor) is the escape.  Context
-(two-K-difference timings, README "Benchmarks"): the per-iteration
-factor+solve at m=16384 is 14.0 ms.  A NARROW-banded staircase is the
-host's best case — splu does it in 25 ms (only 1.8x) — but the TPU time
-is nearly structure-flat while host factorization cost explodes with
-coupling width: at m=8192, width 256, it's 12.1 ms vs 388 ms (32x).
-HiGHS (host dual simplex) solves this instance in ~1 s with no
-iterations-to-gap tradeoff; the TPU pipeline's advantage compounds in
-batched/warm-started settings (re-solves amortize the one-time symbolic
-analysis and the compile — see examples/warm_resolve.py).
+Measured on v5e (2026-08, r3 — Mehrotra corrector + bounce exit): at
+m=16384, phase 1 reaches `optimal` in 15 iterations / 457 ms warm
+(39/802 ms with plain steps); the Mehrotra + Krylov finisher with
+bounce_exit_ratio=25 lands at gap 4.2e-8 in 11 iters / 3.97 s — 4.4 s
+total (the same 4.2e-8 took 21 iters / 8.1 s before the bounce exit:
+the endgame gap dips to its floor by iteration ~9 and then oscillates
+decades above it, so the stall window was burning ~360 ms PCG
+iterations re-confirming a floor the first bounce already proved).
+Cheaper still: with Mehrotra steps the plain Richardson-2 finisher's
+best-iterate DIPS to 8.6e-8 before bouncing (its *stable* floor is
+still ~2e-6 — the f32 Richardson wall, docs/DEVNOTES.md), and the
+bounce exit captures the dip: gap 8.6e-8 in 13 iters / 1.23 s, i.e.
+**1.7 s total with no Krylov at all**.  At m=32768 the wall is real:
+Richardson dips only to 1.4e-6; phase 1 in 16 iters / 0.92 s, PCG-8 +
+bounce finisher gap 1.9e-7 in 10 iters / 6.7 s, 7.6 s total (was
+14.9 s; the r2 plain+Krylov grind reached 4.8e-9 in 67 iters / 23.9 s
+— set mehrotra=False, bounce_exit_ratio=0 in cfg2 to trade iterations
+for the last 1.5 decades).  Context (two-K-difference timings, README
+"Benchmarks"): the per-iteration factor+solve at m=16384 is 14.0 ms.
+A NARROW-banded staircase is the host's best case — splu does it in
+25 ms (only 1.8x) — but the TPU time is nearly structure-flat while
+host factorization cost explodes with coupling width: at m=8192, width
+256, it's 12.1 ms vs 388 ms (32x).  HiGHS (host dual simplex) solves
+the m=16384 instance in ~0.7-1 s with no iterations-to-gap tradeoff;
+the TPU pipeline's advantage compounds in batched/warm-started
+settings (re-solves amortize the one-time symbolic analysis and the
+compile — see examples/warm_resolve.py).
 
 Run: python examples/at_scale_sparse.py [m]
 """
@@ -152,11 +160,16 @@ def main(m: int = 16384):
     # krylov_steps: flexible-PCG refinement (ops.krylov) — past the
     # Richardson wall the f32-factor-preconditioned CG keeps converging;
     # measured here it moves the phase-2 floor from gap ~2e-6 to ~1e-7.
-    # stall_exit_iters=12: the mehrotra finisher reaches its floor in
-    # ~10 iterations; the default 40-iteration stall window would burn
-    # 4x the useful work after it (docs/DEVNOTES.md r3).
+    # stall_exit_iters=12 + bounce_exit_ratio=25: the mehrotra finisher
+    # reaches its floor in ~10 iterations and then oscillates decades
+    # above it; the bounce exit returns the best iterate the moment the
+    # oscillation proves the floor, instead of burning the stall window
+    # re-confirming it (docs/DEVNOTES.md r3 "endgame oscillation").
+    # Drop krylov_steps to 0 at m<=16384 for the 1.23 s / gap ~9e-8
+    # operating point (module docstring).
     cfg2 = PDASConfig(max_iters=100, gap_tol=1e-9, refine_steps=2,
-                      krylov_steps=8, mehrotra=True, stall_exit_iters=12)
+                      krylov_steps=8, mehrotra=True, stall_exit_iters=12,
+                      bounce_exit_ratio=25.0)
     r = pdas_dd(st2, cfg2, engine=eng)
     float(r.extra["gap"])
     t0 = time.time()

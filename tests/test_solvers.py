@@ -1,6 +1,8 @@
 """End-to-end solver tests: all three families against the scipy oracle
 (SURVEY.md §4 — the TPU rendering of the reference's REPL test style)."""
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -129,6 +131,32 @@ class TestPDAS:
         res = pdas(make_pdas(lp), PDASConfig(max_iters=200))
         # Weak duality sandwich: dual <= primal, close at optimum.
         assert float(res.extra["dual_objective"]) <= float(res.objective) + 1e-3
+
+    def test_bounce_exit_cuts_floor_confirmation_iterations(self):
+        """PDASConfig.bounce_exit_ratio: in the floor regime (unreachable
+        gap_tol) the endgame gap oscillates above the best; the bounce
+        exit must return the SAME best iterate in fewer (or equal)
+        iterations, and the default 0.0 must not change behavior at all."""
+        from cholesky_is_magic_tpu.solvers.pdas_dd import make_pdas_dd, pdas_dd
+
+        # f32: the dd finisher's working precision (its carry is typed
+        # for the f32+dd design; f64 states take the plain pdas path).
+        lp = fixture_lp(dtype=jnp.float32)
+        base = PDASConfig(gap_tol=1e-14, max_iters=200, krylov_steps=6)
+        r_off = pdas_dd(make_pdas_dd(lp), base)
+        r_on = pdas_dd(
+            make_pdas_dd(lp),
+            dataclasses.replace(base, bounce_exit_ratio=25.0,
+                                bounce_exit_floor=1e-7),
+        )
+        assert int(r_on.status) == Status.PRECISION_FLOOR
+        assert float(r_on.extra["gap"]) == pytest.approx(
+            float(r_off.extra["gap"]), rel=1e-6
+        )
+        assert int(r_on.iterations) <= int(r_off.iterations)
+        # default-off path unchanged: same gap AND same iteration count
+        r_off2 = pdas_dd(make_pdas_dd(lp), base)
+        assert int(r_off2.iterations) == int(r_off.iterations)
 
 
 class TestALM:

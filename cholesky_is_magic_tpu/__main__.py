@@ -49,6 +49,10 @@ def main(argv=None) -> int:
     ap.add_argument("--mehrotra", action="store_true",
                     help="predictor-corrector steps (pdas/pdas_dd): ~half "
                          "the iterations for one extra solve per iteration")
+    ap.add_argument("--crossover", action="store_true",
+                    help="polish the final iterate to a certified "
+                         "vertex-exact solution (one extra factorization; "
+                         "pdas/pdas_dd)")
     ap.add_argument("--pad", type=int, default=128, help="padding multiple")
     ap.add_argument("--report", action="store_true", help="print the symbolic factorization report")
     ap.add_argument("--trace", action="store_true",
@@ -106,6 +110,7 @@ def main(argv=None) -> int:
         krylov_steps=args.krylov_steps,
         krylov_gate_gap=args.krylov_gate_gap,
         mehrotra=args.mehrotra,
+        crossover=args.crossover,
         record_trace=args.trace,
         presolve=args.presolve,
     )

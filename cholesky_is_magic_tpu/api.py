@@ -195,6 +195,7 @@ def solve(
     warm_push: float = 0.0,
     warm_blend: float = 0.0,
     mehrotra: bool = False,
+    crossover: bool = False,
 ) -> SolveReport:
     """Solve an LP end-to-end with any solver family.
 
@@ -221,6 +222,18 @@ def solve(
     the shared factorization per iteration, roughly HALF the iterations
     to the same gap — the perf mode; the default keeps the
     reference-faithful plain affine step.
+
+    ``crossover=True`` (pdas/pdas_dd) polishes the final iterate to a
+    vertex-exact solution (solvers.crossover — a capability extension
+    over the reference): read the active set off the iterate, snap
+    bound-active columns, and solve the basic block through ONE more
+    normal-equations factorization with double-word iterative
+    refinement.  When the dd-evaluated certificate passes, the report
+    carries the polished solution at a ~1e-14-class internal gap (so
+    even ``pdas`` at its loose 1e-4 stop yields a tight answer for one
+    extra solve); when it fails (wrong active-set guess on degenerate
+    LPs), the unpolished result is kept and
+    ``summary["crossover"]["certified"]`` is False.
 
     ``warm`` (pdas/pdas_dd): restart from a previous :class:`SolveReport`
     on the same LP pattern, solved with the same ``sparse`` mode and
@@ -252,6 +265,16 @@ def solve(
                 "warm + presolve is unsupported: the reduced variable "
                 "spaces of the two solves may differ"
             )
+    if crossover and solver not in ("pdas", "pdas_dd"):
+        raise ValueError("crossover supports solver pdas or pdas_dd")
+
+    def _apply_crossover(res, state_lp, engine):
+        # Certify against the SOLVER state's lp (post row-equilibration):
+        # x/z/w are invariant under row scaling, and the returned y stays
+        # in the scaled row space _duals() expects.
+        from cholesky_is_magic_tpu.solvers.crossover import crossover as _xo
+
+        return _xo(res, state_lp, engine=engine)
 
     psv = None
     sf_solve = sf
@@ -347,12 +370,16 @@ def solve(
                 wx = _into_interior(wx, st.lp.l, st.lp.u, st.lp.col_mask)
                 st = dataclasses.replace(st, x=wx, y=wy, w=ww, z=wz)
             res = pdas(st, cfg, engine=engine)
+            if crossover:
+                res = _apply_crossover(res, st.lp, engine)
         else:
             st = make_pdas(
                 lp, cfg, warm=warm_state() if warm is not None else None,
                 warm_push=warm_push, warm_blend=warm_blend,
             )
             res = pdas(st, cfg)
+            if crossover:
+                res = _apply_crossover(res, st.lp, None)
         summary = dict(
             status=res.status_name, objective=float(res.objective),
             dual_objective=float(res.extra["dual_objective"]),
@@ -428,17 +455,17 @@ def solve(
                 if float(res2.extra["gap"]) < float(res.extra["gap"]):
                     res = res2
                     res.extra["krylov_escalated"] = True
+            if crossover:
+                res = _apply_crossover(res, st.lp, engine)
         else:
             from cholesky_is_magic_tpu.solvers.pdas_dd import make_pdas_dd, pdas_dd
 
             phase1 = (warm.result if warm is not None
                       else pdas(make_pdas(lp), cfg1))
-            res = pdas_dd(
-                make_pdas_dd(lp, warm=phase1, warm_push=warm_push,
-                             warm_blend=(warm_blend if warm is not None
-                                         else 0.0)),
-                cfg2,
-            )
+            st_dd = make_pdas_dd(lp, warm=phase1, warm_push=warm_push,
+                                 warm_blend=(warm_blend if warm is not None
+                                             else 0.0))
+            res = pdas_dd(st_dd, cfg2)
             if (res.status_name == "precision_floor" and krylov_steps == 0
                     and float(res.extra["gap"]) > cfg2.gap_tol):
                 cfg2k = dataclasses.replace(cfg2, krylov_steps=8)
@@ -446,6 +473,8 @@ def solve(
                 if float(res2.extra["gap"]) < float(res.extra["gap"]):
                     res = res2
                     res.extra["krylov_escalated"] = True
+            if crossover:
+                res = _apply_crossover(res, st_dd.lp, None)
         summary = dict(
             status=res.status_name, objective=float(res.objective),
             dual_objective=float(res.extra["dual_objective"]),
@@ -499,6 +528,15 @@ def solve(
         )
     else:
         raise ValueError(f"unknown solver {solver!r}")
+
+    if crossover and res.extra.get("crossover") is not None:
+        cert = res.extra["crossover"]
+        summary["crossover"] = {
+            k: (v if isinstance(v, bool)
+                else int(v) if (k.startswith("n_") or k == "repairs")
+                else float(v))
+            for k, v in cert.items()
+        }
 
     def _duals():
         """Row duals and reduced costs in the ORIGINAL row space.

@@ -27,8 +27,16 @@ from cholesky_is_magic_tpu.solvers.pdas_dd import (
     make_pdas_dd_sparse,
     pdas_dd,
 )
+from cholesky_is_magic_tpu.solvers.crossover import (
+    CrossoverConfig,
+    classify_basis,
+    crossover,
+)
 
 __all__ = [
+    "CrossoverConfig",
+    "classify_basis",
+    "crossover",
     "PDASDDState",
     "make_pdas_dd",
     "make_pdas_dd_sparse",

@@ -1,0 +1,406 @@
+"""Crossover: polish an interior-point iterate to a vertex-exact solution.
+
+A TPU-build capability EXTENSION — the reference (pkhuong/cholesky-is-magic)
+stops at the interior-point gap its fp64 arithmetic reaches
+(primal-dual-affine-scaling.lisp:394 stops at relative gap < 1e-4); it has
+no basis identification or polish step.  Production LP stacks bolt a
+simplex crossover onto the IPM for exactly the regime this framework lives
+in: the iterate's *support* converges decades before its *values* do, so
+once the active set is readable the remaining error is one linear solve
+away — no more IPM iterations, no simplex either.
+
+The TPU rendering reuses the normal-equations machinery end to end:
+
+1. **Classify** each column of the final iterate as basic or
+   bound-active: basic iff the bound slacks dominate the bound duals
+   (``min(x-l, u-x) > theta * (z + w)`` — the standard primal-dual
+   indicator).  Free and padded columns are always basic.
+2. **Snap** nonbasic columns to their nearer bound (x_N), leaving the
+   residual system B x_B = b - A_N x_N over the basic columns B.
+3. **Solve via the SAME normal-equations path as the IPM**: with
+   d = 1_basic, N_B = (A·diag(d))(A·diag(d))ᵀ = B·Bᵀ, factored once by
+   ops.dense.prepare_normal or the at-scale tile engine
+   (sparse.tiled.TiledCholesky.prepare_normal_ell) — padding, dbound
+   singular-retry and PCG refinement all carry over unchanged.  Then
+   x_B = Bᵀ·(B·Bᵀ)⁻¹ r: if the classification found a nondegenerate
+   vertex this IS the vertex (Bᵀ(BBᵀ)⁻¹ = B⁻¹ at |B| = m); on a
+   higher-dimensional optimal face it is the min-norm feasible
+   completion, which has the same objective (c is constant on a face).
+4. **Double-word iterative refinement** around the f32 factor: the
+   crossover right-hand sides are O(1) (unlike the IPM's O(gap) Newton
+   residuals), so a single f32-relative solve would floor at ~1e-7.
+   The outer loop re-residualizes in double-word against the exact
+   operator and re-solves the correction — each round contracts the
+   error by ~kappa*eps_f32, reaching the dd floor (~1e-10 class) in 2-3
+   rounds (Wilkinson iterative refinement with a dd residual, the same
+   recipe as ops/krylov.py).
+5. **Duals + certificate**: y from N_B y = B c_B through the same
+   factorization; reduced costs rc = c - Aᵀy in dd; z/w are rc clipped
+   to the active sign.  The returned certificate carries the dd-computed
+   primal/dual residuals, bound violation, dual sign violation and the
+   |c'x - dual| gap — ``certified`` is a *checked* claim, not a hope,
+   and when the active-set guess was wrong (degenerate LPs at loose
+   gaps) the caller falls back to the un-polished iterate.
+
+Measured effect (see tests/test_crossover.py and examples): a pdas run
+stopped at its 1e-4 gap plus one crossover reaches the same 1e-9-class
+certified gap as a full pdas_dd finisher — the at-scale wall-clock
+shortcut (the finisher's per-iteration cost is a Krylov-refined
+factorization; crossover is ONE of those).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cholesky_is_magic_tpu.ingest.device import DeviceLP, SparseKKTLP
+from cholesky_is_magic_tpu.ops import dd as ddm
+from cholesky_is_magic_tpu.ops.dd import DD
+from cholesky_is_magic_tpu.solvers.result import SolveResult, Status
+from cholesky_is_magic_tpu.utils.precision import highest_precision
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossoverConfig:
+    # Basic iff min(sl, su) > theta * (z + w): at an interior iterate near
+    # the optimum, basic columns have slack >> dual and bound-active
+    # columns dual >> slack, so any theta within a few orders of 1 reads
+    # the same partition; 1.0 is the standard indicator.
+    theta: float = 1.0
+    # Outer double-word iterative-refinement rounds around the f32
+    # factorization (each round: dd residual vs the exact operator, f32
+    # re-solve).  2 reaches the dd floor on kappa <= 1e6 bases; the third
+    # is insurance for ill-conditioned ones.
+    ir_steps: int = 3
+    # Inner refinement of each f32 solve: flexible PCG steps on the f32
+    # factor (ops.krylov); 0 falls back to plain Richardson.  The basis
+    # normal matrix BBᵀ is usually *better* conditioned than the IPM's
+    # scaled N (no 1/mu slack blowup), so modest depth suffices.
+    krylov_steps: int = 6
+    refine_steps: int = 2  # Richardson depth when krylov_steps == 0
+    dbound: float = 1e-6  # singular-retry jitter (ops.dense.prepare_normal)
+    # Certificate tolerances (relative, dd-evaluated).
+    primal_tol: float = 1e-6
+    dual_tol: float = 1e-6
+    gap_tol: float = 1e-7
+    # Bound-repair passes: on a DEGENERATE optimal face the primal-dual
+    # indicator can admit linearly dependent basic columns, and the
+    # completion then drifts along the dependency (measured on Netlib
+    # afiro at a 2.9e-10 gap: a clean-looking 22-column basis sends one
+    # variable to -57 while staying row-feasible to 7e-15).  Each repair
+    # pass moves the bound-violating basic columns to the violated bound
+    # and re-solves — the classic crossover push-to-bound step, one
+    # factorization per pass.  0 disables (single-shot classification).
+    max_repairs: int = 3
+    # Free-bound threshold: |bound| above this is "no bound" for snapping
+    # (matches the PDAS clamp, primal-dual-affine-scaling.lisp:37-45).
+    clamp: float = 1e8
+
+
+def classify_basis(x, z, w, l, u, col_mask, theta: float = 1.0,
+                   clamp: float = 1e8):
+    """Partition columns into (basic, at_lower, at_upper) boolean masks.
+
+    The primal-dual indicator: basic iff min-slack > theta * dual.  Free
+    columns (both bounds at the clamp) and padded columns are basic; a
+    column whose NEARER bound is unclamped never snaps to the clamp
+    value.
+    """
+    sl = x - l
+    su = u - x
+    dual = jnp.abs(z) + jnp.abs(w)
+    has_l = l > -0.999 * clamp
+    has_u = u < 0.999 * clamp
+    smin = jnp.where(has_l & has_u, jnp.minimum(sl, su),
+                     jnp.where(has_l, sl, jnp.where(has_u, su, jnp.inf)))
+    basic = (smin > theta * dual) | ~col_mask | ~(has_l | has_u)
+    lower_nearer = jnp.where(has_l & has_u, sl <= su, has_l)
+    at_lower = ~basic & lower_nearer
+    at_upper = ~basic & ~lower_nearer
+    return basic, at_lower, at_upper
+
+
+def _mask_dd(m, v: DD) -> DD:
+    # m is 0/1 (or bool): the product is exact.
+    mf = m.astype(v.hi.dtype) if m.dtype == jnp.bool_ else m
+    return DD(mf * v.hi, mf * v.lo)
+
+
+def _ops_for(lp, engine):
+    """(prepare, mv_dd, rmv_dd, mv_f32, boost, A-like) for the operand set."""
+    if isinstance(lp, SparseKKTLP):
+        from cholesky_is_magic_tpu.ops import sparse_ops as so
+
+        if engine is None:
+            raise ValueError("crossover on SparseKKTLP needs engine=")
+
+        def prepare(d, cfg):
+            return engine.prepare_normal_ell(
+                lp.E, lp.ET, d, lp.m,
+                refine_steps=cfg.refine_steps, dbound=cfg.dbound,
+                krylov_steps=cfg.krylov_steps,
+            )
+
+        return (
+            prepare,
+            lambda v: so.dd_matvec_dd(lp.E, v),
+            lambda v: so.dd_matvec_dd(lp.ET, v),
+            lambda v: so.dd_matvec(lp.E, v),
+            jnp.zeros(lp.b.shape, lp.b.dtype),
+        )
+
+    from cholesky_is_magic_tpu.ops import dense as dense_ops
+
+    boost = (~lp.row_mask).astype(lp.A.dtype)
+
+    if engine is not None:
+
+        def prepare(d, cfg):
+            return engine.prepare_normal(
+                lp.A, d, row_boost=boost,
+                refine_steps=cfg.refine_steps, dbound=cfg.dbound,
+                krylov_steps=cfg.krylov_steps,
+            )
+
+    else:
+
+        def prepare(d, cfg):
+            return dense_ops.prepare_normal(
+                lp.A, d, row_boost=boost,
+                refine_steps=cfg.refine_steps, dbound=cfg.dbound,
+                krylov_steps=cfg.krylov_steps,
+            )
+
+    return (
+        prepare,
+        lambda v: ddm.dd_matvec_dd(lp.A, v),
+        lambda v: ddm.dd_rmatvec_dd(lp.A, v),
+        lambda v: ddm.dd_matvec(lp.A, v),
+        boost,
+    )
+
+
+def _ir_solve(solve_fn, apply_dd, rhs: DD, steps: int) -> DD:
+    """Double-word iterative refinement: y_{k+1} = y_k + M⁻¹(rhs - N y_k)
+    with the residual in dd against the exact operator (Wilkinson IR; the
+    f32 factorization M only needs to contract, dd carries the accuracy)."""
+    y = ddm.dd_from(solve_fn(rhs.to_working()))
+    for _ in range(steps):
+        r = ddm.dd_sub(rhs, apply_dd(y))
+        y = ddm.dd_add(y, ddm.dd_from(solve_fn(r.to_working())))
+    return y
+
+
+def _dd_dot_full(a, x: DD) -> DD:
+    # a (exact f32) · x (dd), compensated: dd_dot on hi + plain dot on lo.
+    return ddm.dd_add_w(ddm.dd_dot(a, x.hi), jnp.dot(a, x.lo))
+
+
+@partial(jax.jit, static_argnames=("cfg", "engine"))
+@highest_precision
+def _polish_jit(lp, x_hi, x_lo, y0, basic, at_lower, at_upper,
+                cfg: CrossoverConfig, engine=None):
+    """One polish pass for a FIXED partition (see crossover() for the
+    classification + bound-repair driver around it).
+
+    PROXIMAL form: both solves are for gap-sized CORRECTIONS from the
+    IPM iterate, not for the solution from scratch.  On a full-rank
+    basis the correction lands on the identical vertex (B x_B = r has
+    one solution), but on a DEGENERATE face — rank-deficient basic
+    columns, the Netlib norm — a from-scratch min-norm completion lets
+    f32 null-direction noise scale with O(‖b‖) (measured on afiro: a
+    22-column basis at rank ~21 sent one variable to -57 while staying
+    row-feasible to 7e-15), whereas here the noise scales with the
+    O(gap)-sized correction rhs and the completion stays proximal to
+    the (in-box, near-feasible) iterate."""
+    d = basic.astype(lp.c.dtype)
+    prepare, mv_dd, rmv_dd, mv_f32, boost = _ops_for(lp, engine)
+    solve_fn, ok = prepare(d, cfg)
+
+    def apply_dd(v: DD) -> DD:
+        # N_B v = A (1_B ∘ (Aᵀ v)) + boost ∘ v, all in double-word.
+        t = _mask_dd(d, rmv_dd(v))
+        out = mv_dd(t)
+        return ddm.dd_add_w(out, boost * v.to_working())
+
+    # --- Primal: snap nonbasic to bounds, correct the basic block. ---
+    x_n = jnp.where(at_lower, lp.l, jnp.where(at_upper, lp.u, 0.0))
+    x0 = DD(jnp.where(basic, x_hi, x_n), jnp.where(basic, x_lo, 0.0))
+    ax0 = mv_dd(x0)
+    rhs_p = ddm.dd_sub(ddm.dd_from(lp.b), ax0)  # b - A x0 (dd, ~gap-sized)
+    y_p = _ir_solve(solve_fn, apply_dd, rhs_p, cfg.ir_steps)
+    t = _mask_dd(d, rmv_dd(y_p))  # basic correction Aᵀ y (dd)
+    x_dd = ddm.dd_add(x0, t)  # nonbasic entries: t is 0 there by the mask
+
+    # --- Dual: correct y from the iterate, same factorization. ---
+    y0_dd = ddm.dd_from(y0)
+    rc0 = ddm.dd_sub(ddm.dd_from(lp.c), rmv_dd(y0_dd))
+    rhs_d = mv_dd(_mask_dd(d, rc0))  # B rc_B (dd, ~gap-sized)
+    dy = _ir_solve(solve_fn, apply_dd, rhs_d, cfg.ir_steps)
+    y_d = ddm.dd_add(y0_dd, dy)
+    rc = ddm.dd_sub(rc0, rmv_dd(dy))  # c - Aᵀ y (dd)
+    z_out = jnp.where(at_lower, jnp.maximum(rc.hi, 0.0), 0.0)
+    w_out = jnp.where(at_upper, jnp.maximum(-rc.hi, 0.0), 0.0)
+
+    # --- Certificate, every term double-word. ---
+    mask_f = lp.col_mask
+    ax = mv_dd(x_dd)
+    primal_res = ddm.dd_add_w(ax, -lp.b).to_working()
+    primal_norm = jnp.linalg.norm(primal_res)
+    primal_rel = jnp.max(jnp.abs(primal_res)) / (1.0 + jnp.max(jnp.abs(lp.b)))
+    bound_viol = jnp.max(
+        jnp.where(
+            mask_f,
+            jnp.maximum(lp.l - x_dd.hi, x_dd.hi - lp.u),
+            0.0,
+        )
+    )
+    # Dual residual: on basic columns rc must vanish; on bound-active
+    # columns only the sign-violating part is an error (the clipped
+    # remainder IS z / w).
+    dual_err = jnp.where(
+        basic & mask_f,
+        jnp.abs(rc.to_working()),
+        jnp.where(
+            at_lower, jnp.maximum(-rc.hi, 0.0),
+            jnp.where(at_upper, jnp.maximum(rc.hi, 0.0), 0.0),
+        ),
+    )
+    dual_rel = jnp.max(dual_err) / (1.0 + jnp.max(jnp.abs(lp.c)))
+
+    pobj = _dd_dot_full(lp.c, x_dd)
+    # b'y + l'z - u'w over the active bounds (duals are supported there).
+    # Written WITHOUT negating any reduction operand: with w = -rc on the
+    # at_upper & rc<0 columns, -u'w = +Sigma u*rc there, so both bound
+    # payments are plain masked dots of rc.  XLA:CPU's simplifier defeats
+    # the two_prod/two_sum compensation when a `neg` sits upstream of the
+    # fused product->tree-sum (measured: 1.5e-7 on an O(8) dual objective,
+    # exactly eps_f32-sized; docs/DEVNOTES.md "neg upstream of dd
+    # reductions") — negate results, never inputs.
+    dobj = ddm.dd_add(
+        _dd_dot_full(lp.b, y_d),
+        ddm.dd_add(
+            _mask_dot(at_lower & (rc.hi > 0.0), lp.l, rc),
+            _mask_dot(at_upper & (rc.hi < 0.0), lp.u, rc),
+        ),
+    )
+    gap = jnp.abs(ddm.dd_sub(pobj, dobj).to_working()) / (
+        1.0 + jnp.abs(pobj.to_working())
+    )
+
+    finite_b = jnp.abs(lp.u) < cfg.clamp
+    bscale = jnp.max(jnp.where(finite_b & mask_f, jnp.abs(lp.u), 0.0))
+    certified = (
+        ok
+        & (primal_rel < cfg.primal_tol)
+        & (bound_viol < cfg.primal_tol * (1.0 + bscale))
+        & (dual_rel < cfg.dual_tol)
+        & (gap < cfg.gap_tol)
+    )
+    cert = {
+        "certified": certified,
+        "factor_ok": ok,
+        "primal_rel": primal_rel,
+        "bound_violation": bound_viol,
+        "dual_rel": dual_rel,
+        "gap": gap,
+        "n_basic": jnp.sum(basic & mask_f),
+        "n_lower": jnp.sum(at_lower),
+        "n_upper": jnp.sum(at_upper),
+    }
+    return x_dd, y_d, z_out, w_out, pobj, dobj, primal_norm, cert
+
+
+def _mask_dot(mask, coef, v: DD) -> DD:
+    """Σ_mask coef_j * v_j in dd.  The caller folds the dual sign/support
+    condition into ``mask`` so no operand is ever negated (see the dobj
+    comment in _crossover_jit: neg upstream of a dd reduction is unsafe
+    under XLA:CPU fusion)."""
+    c = jnp.where(mask, coef, 0.0)
+    return ddm.dd_add_w(ddm.dd_dot(c, v.hi), jnp.dot(c, v.lo))
+
+
+def crossover(
+    result: SolveResult,
+    lp,
+    engine=None,
+    config: Optional[CrossoverConfig] = None,
+) -> SolveResult:
+    """Polish an IPM result to a vertex-exact, certified solution.
+
+    ``result`` must carry duals (extra y/w/z — pdas, pdas_dd and the api
+    front door all do).  ``lp`` is the DeviceLP / SparseKKTLP the solver
+    ran on; pass the same ``engine`` for the at-scale sparse path.  The
+    returned SolveResult has the polished x / objective / duals and
+    ``extra["crossover"]`` with the dd-evaluated certificate; when
+    ``certified`` is False the ORIGINAL iterate is returned unchanged
+    (plus the failed certificate for diagnosis) — crossover never makes
+    the answer worse.
+
+    Degenerate faces: up to ``config.max_repairs`` bound-repair passes —
+    a basic column whose completion leaves its box is pushed to the
+    violated bound and the reduced basis re-solved (the rank-deficiency
+    signature; see CrossoverConfig.max_repairs).  Each pass costs one
+    factorization; the loop is host-driven (mask inputs, no re-jit).
+    """
+    cfg = config or CrossoverConfig()
+    x = result.x
+    z = result.extra["z"]
+    w = result.extra["w"]
+    y0 = result.extra["y"]
+    x_lo = result.extra.get("x_lo")
+    if x_lo is None:
+        x_lo = jnp.zeros_like(x)
+    basic, at_lower, at_upper = classify_basis(
+        x, z, w, lp.l, lp.u, lp.col_mask, theta=cfg.theta, clamp=cfg.clamp
+    )
+    l_np = np.asarray(lp.l, np.float64)
+    u_np = np.asarray(lp.u, np.float64)
+    has_l = l_np > -0.999 * cfg.clamp
+    has_u = u_np < 0.999 * cfg.clamp
+    tol = cfg.primal_tol * (1.0 + np.max(np.abs(np.where(has_u, u_np, 0.0))))
+    repairs = 0
+    while True:
+        x_dd, y_d, z_out, w_out, pobj, dobj, primal_norm, cert = _polish_jit(
+            lp, x, x_lo, y0, basic, at_lower, at_upper, cfg, engine=engine
+        )
+        if bool(cert["certified"]) or repairs >= cfg.max_repairs:
+            break
+        xp = np.asarray(x_dd.hi, np.float64) + np.asarray(x_dd.lo, np.float64)
+        b_np = np.asarray(basic)
+        viol_l = b_np & has_l & (xp < l_np - tol)
+        viol_u = b_np & has_u & (xp > u_np + tol)
+        if not (viol_l.any() or viol_u.any()):
+            break  # failure is not a repairable bound violation
+        basic = jnp.asarray(b_np & ~(viol_l | viol_u))
+        at_lower = jnp.asarray(np.asarray(at_lower) | viol_l)
+        at_upper = jnp.asarray(np.asarray(at_upper) | viol_u)
+        repairs += 1
+    certified = bool(cert["certified"])
+    cert = {k: (bool(v) if k in ("certified", "factor_ok") else v)
+            for k, v in cert.items()}
+    cert["repairs"] = repairs
+    if not certified:
+        extra = dict(result.extra)
+        extra["crossover"] = cert
+        return dataclasses.replace(result, extra=extra)
+    extra = dict(result.extra)
+    extra.update(
+        gap=cert["gap"], dual_objective=dobj.to_working(),
+        x_lo=x_dd.lo, y=y_d.to_working(), w=w_out, z=z_out,
+        crossover=cert,
+    )
+    return SolveResult(
+        x=x_dd.to_working(),
+        objective=pobj.to_working(),
+        status=jnp.asarray(Status.OPTIMAL, jnp.int32),
+        iterations=result.iterations,
+        residual_norm=primal_norm,
+        extra=extra,
+    )

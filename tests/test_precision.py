@@ -159,3 +159,29 @@ def test_precision_floor_returns_best_iterate():
     assert int(r32.status) in (Status.PRECISION_FLOOR, Status.OPTIMAL)
     assert float(r32.extra["gap"]) < 1e-4
     assert float(r32.objective) == pytest.approx(float(r64.objective), rel=1e-3, abs=1e-3)
+
+
+def test_dd_reduction_neg_operand():
+    """XLA:CPU fusion trap (docs/DEVNOTES.md "neg upstream of a dd
+    reduction"): jitting dd_sum(two_prod(c, -hi)) must still carry the
+    compensation.  The SAFE form negates the reduction RESULT; this test
+    pins that form exact and documents the hazard by measuring the unsafe
+    form (xfail-style: if XLA ever fixes the rewrite, the assertion on
+    the safe form still holds and nothing breaks)."""
+    import jax
+
+    from cholesky_is_magic_tpu.ops import dd as ddm
+
+    rng = np.random.default_rng(0)
+    n = 64
+    c = jnp.asarray(rng.normal(size=n), jnp.float32)
+    hi = jnp.asarray(rng.normal(size=n), jnp.float32)
+    ref = float(np.sum(np.asarray(c, np.float64) * np.asarray(hi, np.float64)))
+
+    def safe(c, hi):  # negate the result, never the operands
+        s = ddm.dd_sum(ddm.two_prod(c, hi), axis=-1)
+        return ddm.dd_neg(s)
+
+    out = jax.jit(safe)(c, hi)
+    got = float(np.asarray(out.hi, np.float64) + np.asarray(out.lo, np.float64))
+    assert abs(got + ref) < 1e-12 * max(1.0, abs(ref))

@@ -100,6 +100,41 @@ class PDASConfig:
     # tight gap.  Off by default — the plain step is the
     # reference-faithful semantics.
     mehrotra: bool = False
+    # Gondzio multiple centrality correctors (requires mehrotra=True; a
+    # TPU-build extension like the Mehrotra step itself — the reference
+    # is pure affine scaling).  After the predictor-corrector direction,
+    # up to this many additional correctors run ON THE SAME factorization:
+    # each evaluates the complementarity products at an ENLARGED trial
+    # step (current + gondzio_delta), clips them into the centrality box
+    # [beta_min, beta_max]·(sigma mu), and re-solves with the outside
+    # part folded into the rhs deviations; a corrector is kept only if it
+    # grows the step by at least gondzio_gamma·gondzio_delta (Gondzio
+    # 1996, "Multiple centrality corrections...").  Cost: one extra
+    # solve-pair per corrector on the shared factor.  Measured, honest:
+    # on small dense dd solves it trims 1-2 iterations (11->9, 12->10 on
+    # the 30x48 suite LPs); on the at-scale tiled-sparse family
+    # (m=16384) it cut phase-1 iterations 15->13 but LOST wall-clock
+    # (455->613 ms — the recycled-factor solves there are ~40% of an
+    # iteration, so 2 corrector solve-pairs cost more than the saved
+    # iterations) and degraded the finisher's bounce-captured dip
+    # (8.6e-8 -> 1.2e-6).  Use only where factorization truly dominates
+    # the solve (dense operands, krylov_steps == 0).  0 disables.
+    gondzio_correctors: int = 0
+    gondzio_delta: float = 0.1
+    gondzio_beta_min: float = 0.1
+    gondzio_beta_max: float = 10.0
+    gondzio_gamma: float = 0.1
+    # Correctors run only while the relative gap is ABOVE this gate —
+    # they are a midgame tool.  At the f32 precision floor the trial
+    # complementarity products are rounding noise, so corrector solves
+    # there are wasted factor-backsolves (the accept test compares
+    # noise).  NB: raw iteration counts at the f32 floor are a lottery
+    # either way — on a 30x48 f32 run with gap_tol=1e-8 (unreachable)
+    # and no bounce exit, plain mehrotra exited at 31 only because its
+    # floor oscillation hit gap == 0.0 exactly, while gondzio ran to the
+    # stall window with a BETTER gap (1.2e-7); with the production
+    # bounce-exit config the counts are 13 (gondzio) vs 14 (plain).
+    gondzio_gate_gap: float = 1e-4
     # Step damping used for the corrector step when mehrotra=True: the
     # centered step tolerates far less conservative damping than the pure
     # affine step (0.9), and the tail convergence rate is set directly by
@@ -554,6 +589,73 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
             d2 = kkt_backsub(
                 red2, sl, su, st.w, st.z, wu + de, zl + df, y2, rmv(y2), ok
             )
+            if cfg.gondzio_correctors > 0:
+                # Gondzio centrality correctors on the same factor (see
+                # PDASConfig.gondzio_correctors).  Vectorized accept: the
+                # rejected candidate's work still executes (branchless
+                # under jit), which is the right trade exactly where this
+                # knob is meant to run — factorization-dominated
+                # iterations.
+                def g_step(dd_):
+                    return jnp.minimum(
+                        jnp.minimum(
+                            _box_step(sl_t, su_t, dd_.dx),
+                            jnp.minimum(_pos_step(st.w, dd_.dw),
+                                        _pos_step(st.z, dd_.dz)),
+                        ),
+                        1.0,
+                    )
+
+                def mu_pred(dd_, t_):
+                    # Duality measure at the DAMPED step this direction
+                    # would actually take — the acceptance must check
+                    # progress, not just step length: a degenerate
+                    # corrector with a near-zero direction earns step 1
+                    # while going nowhere (measured: accepting on step
+                    # alone turns a 12-iteration solve into 51).
+                    ts = cfg.mehrotra_gamma * t_
+                    return (
+                        jnp.sum(jnp.where(
+                            pu, (st.w - ts * dd_.dw) * (su + ts * dd_.dx),
+                            0.0))
+                        + jnp.sum(jnp.where(
+                            pl, (st.z - ts * dd_.dz) * (sl - ts * dd_.dx),
+                            0.0))
+                    ) / cnt
+
+                t_cur = g_step(d2)
+                mu_cur = mu_pred(d2, t_cur)
+                de_acc, df_acc = de, df
+                active = ok & (gap > cfg.gondzio_gate_gap)
+                lo_t = cfg.gondzio_beta_min * target
+                hi_t = cfg.gondzio_beta_max * target
+                for _ in range(cfg.gondzio_correctors):
+                    t_t = jnp.minimum(t_cur + cfg.gondzio_delta, 1.0)
+                    vu = (st.w - t_t * d2.dw) * (su + t_t * d2.dx)
+                    vl = (st.z - t_t * d2.dz) * (sl - t_t * d2.dx)
+                    dtu = jnp.where(pu, jnp.clip(vu, lo_t, hi_t) - vu, 0.0)
+                    dtl = jnp.where(pl, jnp.clip(vl, lo_t, hi_t) - vl, 0.0)
+                    de_t = de_acc - dtu
+                    df_t = df_acc - dtl
+                    red3 = kkt_reduce(sl, su, st.w, st.z, wu + de_t,
+                                      zl + df_t, dual)
+                    y3 = solve_fn(primal - mv(red3.alpha))
+                    d3 = kkt_backsub(red3, sl, su, st.w, st.z, wu + de_t,
+                                     zl + df_t, y3, rmv(y3), ok)
+                    t_new = g_step(d3)
+                    mu_new = mu_pred(d3, t_new)
+                    acc = active & (
+                        t_new >= t_cur
+                        + cfg.gondzio_gamma * cfg.gondzio_delta
+                    ) & (mu_new <= mu_cur)
+                    d2 = jax.tree.map(
+                        lambda a, b: jnp.where(acc, b, a), d2, d3
+                    )
+                    de_acc = jnp.where(acc, de_t, de_acc)
+                    df_acc = jnp.where(acc, df_t, df_acc)
+                    t_cur = jnp.where(acc, t_new, t_cur)
+                    mu_cur = jnp.where(acc, mu_new, mu_cur)
+                    active = acc
             d = jax.tree.map(
                 lambda a, c: jnp.where(newton_b, c, a), d, d2
             )

@@ -313,7 +313,7 @@ def _pdas_dd_jit(
 
     from cholesky_is_magic_tpu.kkt.newton import FILTER_THRESHOLD
 
-    def kkt_dd(st, sl_dd, su_dd, sl, su, wu, zl, g_dd, h_dd, op):
+    def kkt_dd(st, sl_dd, su_dd, sl, su, wu, zl, g_dd, h_dd, op, gap):
         """IPM-specialized FULL double-word elimination.  With the exact
         complementarity rhs e = w∘su, f = z∘sl, the eliminated terms
         simplify: e/su = w, f/sl = z, so alpha = beta·(-h - w + z) — an
@@ -463,6 +463,67 @@ def _pdas_dd_jit(
             dd0,
         )
         dw_dd, dx_dd, dy_dd, dz_dd = newton_dir(de_dd, df_dd)
+
+        if cfg.gondzio_correctors > 0:
+            # Gondzio centrality correctors, dd rendering (see
+            # PDASConfig.gondzio_correctors and the f32 twin in
+            # pdas.py).  The trial complementarity products and the
+            # centrality-box clip run in f32 — they only STEER the next
+            # rhs deviation (a heuristic target, not a residual); the
+            # deviation itself stays dd so the corrected direction keeps
+            # the solver's precision story intact.
+            def g_step(dw_, dx_, dz_):
+                s = _dd_box_step(sl_dd, su_dd, dx_)
+                for cand in (_dd_pos_step(st.w, dw_),
+                             _dd_pos_step(st.z, dz_)):
+                    s = ddm.dd_where(ddm.dd_less(cand, s), cand, s)
+                return jnp.minimum(s.to_working(), 1.0)
+
+            def mu_pred(dw_, dx_, dz_, t_):
+                # Progress guard for acceptance (see the f32 twin): the
+                # duality measure at the damped step, f32 on hi parts.
+                ts = cfg.mehrotra_gamma * t_
+                return (
+                    jnp.sum(jnp.where(
+                        pu, (st.w.hi - ts * dw_.hi) * (su + ts * dx_.hi),
+                        0.0))
+                    + jnp.sum(jnp.where(
+                        pl, (st.z.hi - ts * dz_.hi) * (sl - ts * dx_.hi),
+                        0.0))
+                ) / cnt
+
+            t_cur = g_step(dw_dd, dx_dd, dz_dd)
+            mu_cur = mu_pred(dw_dd, dx_dd, dz_dd, t_cur)
+            de_acc, df_acc = de_dd, df_dd
+            # Midgame gate (PDASConfig.gondzio_gate_gap): below it the
+            # f32 complementarity trials are noise — see the f32 twin.
+            active = ok & (gap > cfg.gondzio_gate_gap)
+            lo_t = cfg.gondzio_beta_min * target
+            hi_t = cfg.gondzio_beta_max * target
+            for _ in range(cfg.gondzio_correctors):
+                t_t = jnp.minimum(t_cur + cfg.gondzio_delta, 1.0)
+                vu = (st.w.hi - t_t * dw_dd.hi) * (su + t_t * dx_dd.hi)
+                vl = (st.z.hi - t_t * dz_dd.hi) * (sl - t_t * dx_dd.hi)
+                dtu = jnp.where(pu, jnp.clip(vu, lo_t, hi_t) - vu, 0.0)
+                dtl = jnp.where(pl, jnp.clip(vl, lo_t, hi_t) - vl, 0.0)
+                de_t = ddm.dd_add_w(de_acc, -dtu)
+                df_t = ddm.dd_add_w(df_acc, -dtl)
+                cw, cx, cy, cz = newton_dir(de_t, df_t)
+                t_new = g_step(cw, cx, cz)
+                mu_new = mu_pred(cw, cx, cz, t_new)
+                acc = active & (
+                    t_new >= t_cur + cfg.gondzio_gamma * cfg.gondzio_delta
+                ) & (mu_new <= mu_cur)
+                sel = lambda a, b: ddm.dd_where(acc, b, a)
+                dw_dd, dx_dd, dy_dd, dz_dd = (
+                    sel(dw_dd, cw), sel(dx_dd, cx),
+                    sel(dy_dd, cy), sel(dz_dd, cz),
+                )
+                de_acc = sel(de_acc, de_t)
+                df_acc = sel(df_acc, df_t)
+                t_cur = jnp.where(acc, t_new, t_cur)
+                mu_cur = jnp.where(acc, mu_new, mu_cur)
+                active = acc
         return dw_dd, dx_dd, dy_dd, dz_dd, ok
 
     def one_iteration(st: PDASDDState):
@@ -524,7 +585,7 @@ def _pdas_dd_jit(
                 krylov_gate=gate,
             )
         dw_dd, dx_dd, dy_dd, dz_dd, ok = kkt_dd(
-            st, sl_dd, su_dd, sl, su, wu, zl, primal_dd, dual_dd, op
+            st, sl_dd, su_dd, sl, su, wu, zl, primal_dd, dual_dd, op, gap
         )
         # Ratio tests in dd: the f32-rounded step scalar times an O(10)
         # delta is itself a ~1e-6 absolute perturbation of the iterate.

@@ -195,6 +195,54 @@ class TestMehrotra:
         assert int(r_meh.iterations) <= 0.65 * int(r_plain.iterations)
 
 
+class TestGondzio:
+    """Multiple centrality correctors (PDASConfig.gondzio_correctors):
+    same optimum, never more iterations than plain Mehrotra on the dd
+    path (measured: 9 vs 11, 11 vs 12, 11 vs 12 on these seeds).  The
+    knob is off by default — at-scale tiled-sparse runs LOSE wall-clock
+    with it (see the config docstring's measured numbers)."""
+
+    @pytest.mark.parametrize("seed", [2, 3, 5])
+    def test_dd_correctors_never_hurt_iterations(self, seed):
+        import dataclasses
+
+        ineq = random_lp(seed, n_ub=24, n_eq=6, n=32, bounded=True)
+        _, fun, _ = scipy_reference_solution(ineq)
+        sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+        lp = to_device_lp(sf, pad_multiple=16, dtype=jnp.float32)
+        base = PDASConfig(max_iters=300, gap_tol=1e-8, refine_steps=2,
+                          mehrotra=True)
+        r_meh = pdas_dd(make_pdas_dd(lp), base)
+        r_g = pdas_dd(make_pdas_dd(lp), dataclasses.replace(
+            base, gondzio_correctors=2))
+        assert float(r_g.extra["gap"]) < 1e-7
+        assert float(r_g.objective) == pytest.approx(fun, rel=1e-4, abs=1e-4)
+        assert int(r_g.iterations) <= int(r_meh.iterations)
+
+    def test_f32_endgame_gate_keeps_production_exit(self):
+        """At the f32 floor the correctors are gated off
+        (gondzio_gate_gap) and the production bounce-exit config must
+        stay in the same iteration class as plain Mehrotra (measured:
+        13 vs 14; ungated f32 floor exits are a lottery — see the
+        config docstring)."""
+        import dataclasses
+
+        from cholesky_is_magic_tpu.solvers import make_pdas, pdas
+
+        ineq = random_lp(3, n_ub=24, n_eq=6, n=32, bounded=True)
+        _, fun, _ = scipy_reference_solution(ineq)
+        sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+        lp = to_device_lp(sf, pad_multiple=16, dtype=jnp.float32)
+        base = PDASConfig(max_iters=300, gap_tol=1e-8, refine_steps=2,
+                          mehrotra=True, stall_exit_iters=12,
+                          bounce_exit_ratio=25.0)
+        r_meh = pdas(make_pdas(lp), base)
+        r_g = pdas(make_pdas(lp), dataclasses.replace(
+            base, gondzio_correctors=2))
+        assert float(r_g.objective) == pytest.approx(fun, rel=1e-3, abs=1e-3)
+        assert int(r_g.iterations) <= int(r_meh.iterations) + 3
+
+
 class TestWarmBlend:
     """Blended warm starts (make_pdas warm_blend): a 2%-drift re-solve
     chain must run BELOW the cold iteration count — the r2 recipe

@@ -98,6 +98,27 @@ class CrossoverConfig:
     # and re-solves — the classic crossover push-to-bound step, one
     # factorization per pass.  0 disables (single-shot classification).
     max_repairs: int = 3
+    # Widen-repair (the OTHER degenerate failure): when the certificate
+    # fails on the PRIMAL residual with no bound violation, the snap
+    # fixed a borderline column to a bound the optimal face does not pin
+    # — r = b - A_N x_N has a component outside range(B) that no amount
+    # of refinement removes (measured at m=16384/gap 7e-7: primal floor
+    # 1.3e-4).  The repair returns every nonbasic column whose dual is
+    # below widen_dual_tol·(1+|c_j|) to the basic set (zero-dual
+    # bound-active columns are exactly the face's flat directions) and
+    # re-solves; the proximal completion keeps the extra freedom tame.
+    widen_dual_tol: float = 1e-3
+    # Dual-snap repair reach: when the certificate fails on the DUAL
+    # residual, a basic column whose post-solve |rc| exceeds dual_tol
+    # cannot be basic at the optimum — if it sits within
+    # demote_near_tol·(1+|bound|) of a bound, the optimal face pins it
+    # THERE and the iterate just stopped ~sqrt(gap) short (measured at
+    # m=32768/gap 2.6e-7: dual floor 2.2e-4 from exactly such columns,
+    # sitting ~2e-4 off their bounds).  Demoting it to the near bound
+    # and re-solving removes the rc error at ~2e-4-sized primal cost,
+    # which the next completion absorbs.  Widened columns demote with
+    # no distance requirement (they were bound-active at classification).
+    demote_near_tol: float = 1e-3
     # Free-bound threshold: |bound| above this is "no bound" for snapping
     # (matches the PDAS clamp, primal-dual-affine-scaling.lisp:37-45).
     clamp: float = 1e8
@@ -245,11 +266,27 @@ def _polish_jit(lp, x_hi, x_lo, y0, basic, at_lower, at_upper,
     dy = _ir_solve(solve_fn, apply_dd, rhs_d, cfg.ir_steps)
     y_d = ddm.dd_add(y0_dd, dy)
     rc = ddm.dd_sub(rc0, rmv_dd(dy))  # c - Aᵀ y (dd)
-    z_out = jnp.where(at_lower, jnp.maximum(rc.hi, 0.0), 0.0)
-    w_out = jnp.where(at_upper, jnp.maximum(-rc.hi, 0.0), 0.0)
 
-    # --- Certificate, every term double-word. ---
+    # The duals — and the whole certificate below — are read off the
+    # POLISHED POINT, not the solve partition: a (widened) basic column
+    # that lands ON its bound may legitimately carry a dual (degenerate
+    # faces fail strict complementarity, so "basic" and "dual-free" are
+    # different sets there; measured at m=16384: partition-based dual
+    # scoring floors at sqrt(gap) ~1e-4 on exactly those columns).  Weak
+    # duality only needs (y, z, w) dual-feasible and complementary with
+    # x — both are point properties.
     mask_f = lp.col_mask
+    on_tol = cfg.primal_tol
+    on_l = mask_f & (lp.l > -0.999 * cfg.clamp) & (
+        jnp.abs(x_dd.hi - lp.l) <= on_tol * (1.0 + jnp.abs(lp.l))
+    )
+    on_u = mask_f & (lp.u < 0.999 * cfg.clamp) & (
+        jnp.abs(x_dd.hi - lp.u) <= on_tol * (1.0 + jnp.abs(lp.u))
+    ) & ~on_l
+    z_out = jnp.where(on_l, jnp.maximum(rc.hi, 0.0), 0.0)
+    w_out = jnp.where(on_u, jnp.maximum(-rc.hi, 0.0), 0.0)
+
+    # --- Certificate, every term double-word, all point-based. ---
     ax = mv_dd(x_dd)
     primal_res = ddm.dd_add_w(ax, -lp.b).to_working()
     primal_norm = jnp.linalg.norm(primal_res)
@@ -261,33 +298,32 @@ def _polish_jit(lp, x_hi, x_lo, y0, basic, at_lower, at_upper,
             0.0,
         )
     )
-    # Dual residual: on basic columns rc must vanish; on bound-active
+    # Dual residual: strictly-interior columns need rc = 0; on-bound
     # columns only the sign-violating part is an error (the clipped
     # remainder IS z / w).
     dual_err = jnp.where(
-        basic & mask_f,
-        jnp.abs(rc.to_working()),
+        on_l, jnp.maximum(-rc.hi, 0.0),
         jnp.where(
-            at_lower, jnp.maximum(-rc.hi, 0.0),
-            jnp.where(at_upper, jnp.maximum(rc.hi, 0.0), 0.0),
+            on_u, jnp.maximum(rc.hi, 0.0),
+            jnp.where(mask_f, jnp.abs(rc.to_working()), 0.0),
         ),
     )
     dual_rel = jnp.max(dual_err) / (1.0 + jnp.max(jnp.abs(lp.c)))
 
     pobj = _dd_dot_full(lp.c, x_dd)
-    # b'y + l'z - u'w over the active bounds (duals are supported there).
-    # Written WITHOUT negating any reduction operand: with w = -rc on the
-    # at_upper & rc<0 columns, -u'w = +Sigma u*rc there, so both bound
-    # payments are plain masked dots of rc.  XLA:CPU's simplifier defeats
-    # the two_prod/two_sum compensation when a `neg` sits upstream of the
-    # fused product->tree-sum (measured: 1.5e-7 on an O(8) dual objective,
-    # exactly eps_f32-sized; docs/DEVNOTES.md "neg upstream of dd
-    # reductions") — negate results, never inputs.
+    # b'y + l'z - u'w over the on-bound columns (duals are supported
+    # there).  Written WITHOUT negating any reduction operand: with
+    # w = -rc on the on_u & rc<0 columns, -u'w = +Sigma u*rc there, so
+    # both bound payments are plain masked dots of rc.  XLA:CPU's
+    # simplifier defeats the two_prod/two_sum compensation when a `neg`
+    # sits upstream of the fused product->tree-sum (measured: 1.5e-7 on
+    # an O(8) dual objective, exactly eps_f32-sized; docs/DEVNOTES.md
+    # "neg upstream of dd reductions") — negate results, never inputs.
     dobj = ddm.dd_add(
         _dd_dot_full(lp.b, y_d),
         ddm.dd_add(
-            _mask_dot(at_lower & (rc.hi > 0.0), lp.l, rc),
-            _mask_dot(at_upper & (rc.hi < 0.0), lp.u, rc),
+            _mask_dot(on_l & (rc.hi > 0.0), lp.l, rc),
+            _mask_dot(on_u & (rc.hi < 0.0), lp.u, rc),
         ),
     )
     gap = jnp.abs(ddm.dd_sub(pobj, dobj).to_working()) / (
@@ -311,10 +347,10 @@ def _polish_jit(lp, x_hi, x_lo, y0, basic, at_lower, at_upper,
         "dual_rel": dual_rel,
         "gap": gap,
         "n_basic": jnp.sum(basic & mask_f),
-        "n_lower": jnp.sum(at_lower),
-        "n_upper": jnp.sum(at_upper),
+        "n_lower": jnp.sum(on_l),
+        "n_upper": jnp.sum(on_u),
     }
-    return x_dd, y_d, z_out, w_out, pobj, dobj, primal_norm, cert
+    return x_dd, y_d, z_out, w_out, pobj, dobj, primal_norm, rc.hi, cert
 
 
 def _mask_dot(mask, coef, v: DD) -> DD:
@@ -343,11 +379,19 @@ def crossover(
     (plus the failed certificate for diagnosis) — crossover never makes
     the answer worse.
 
-    Degenerate faces: up to ``config.max_repairs`` bound-repair passes —
-    a basic column whose completion leaves its box is pushed to the
-    violated bound and the reduced basis re-solved (the rank-deficiency
-    signature; see CrossoverConfig.max_repairs).  Each pass costs one
-    factorization; the loop is host-driven (mask inputs, no re-jit).
+    Degenerate faces: up to ``config.max_repairs`` repair passes, each
+    one factorization, host-driven (mask inputs, no re-jit), chosen by
+    the failing certificate term:
+
+    - bound violation -> push-to-bound: a basic column whose completion
+      leaves its box goes to the violated bound (rank-deficiency
+      signature; CrossoverConfig.max_repairs);
+    - primal residual -> widen: zero-dual bound-active columns return
+      to the basis — the snap fixed a column the face does not pin
+      (CrossoverConfig.widen_dual_tol);
+    - dual residual -> demote: a near-bound basic column whose
+      post-solve |rc| stays large cannot be basic; it goes to its near
+      bound (CrossoverConfig.demote_near_tol).
     """
     cfg = config or CrossoverConfig()
     x = result.x
@@ -365,9 +409,13 @@ def crossover(
     has_l = l_np > -0.999 * cfg.clamp
     has_u = u_np < 0.999 * cfg.clamp
     tol = cfg.primal_tol * (1.0 + np.max(np.abs(np.where(has_u, u_np, 0.0))))
+    c_np = np.abs(np.asarray(lp.c, np.float64))
+    cm_np = np.asarray(lp.col_mask)
+    widened = np.zeros(c_np.shape, bool)
     repairs = 0
     while True:
-        x_dd, y_d, z_out, w_out, pobj, dobj, primal_norm, cert = _polish_jit(
+        (x_dd, y_d, z_out, w_out, pobj, dobj, primal_norm, rc_hi,
+         cert) = _polish_jit(
             lp, x, x_lo, y0, basic, at_lower, at_upper, cfg, engine=engine
         )
         if bool(cert["certified"]) or repairs >= cfg.max_repairs:
@@ -376,16 +424,71 @@ def crossover(
         b_np = np.asarray(basic)
         viol_l = b_np & has_l & (xp < l_np - tol)
         viol_u = b_np & has_u & (xp > u_np + tol)
-        if not (viol_l.any() or viol_u.any()):
-            break  # failure is not a repairable bound violation
-        basic = jnp.asarray(b_np & ~(viol_l | viol_u))
-        at_lower = jnp.asarray(np.asarray(at_lower) | viol_l)
-        at_upper = jnp.asarray(np.asarray(at_upper) | viol_u)
-        repairs += 1
+        if viol_l.any() or viol_u.any():
+            basic = jnp.asarray(b_np & ~(viol_l | viol_u))
+            at_lower = jnp.asarray(np.asarray(at_lower) | viol_l)
+            at_upper = jnp.asarray(np.asarray(at_upper) | viol_u)
+            repairs += 1
+            continue
+        if float(cert["primal_rel"]) > cfg.primal_tol:
+            # Widen-repair (CrossoverConfig.widen_dual_tol): degenerate
+            # bound-active columns back into the basis.
+            dual = np.abs(np.asarray(z, np.float64)) + np.abs(
+                np.asarray(w, np.float64)
+            )
+            degen = (~b_np) & cm_np & (
+                dual < cfg.widen_dual_tol * (1.0 + c_np)
+            ) & ~widened
+            if not degen.any():
+                break
+            widened |= degen
+            basic = jnp.asarray(b_np | degen)
+            at_lower = jnp.asarray(np.asarray(at_lower) & ~degen)
+            at_upper = jnp.asarray(np.asarray(at_upper) & ~degen)
+            repairs += 1
+            continue
+        if float(cert["dual_rel"]) > cfg.dual_tol:
+            # Dual-driven demotion: a DEGENERATE face mixes two kinds of
+            # near-bound columns — truly-basic (rc* = 0) and
+            # at-bound-with-dual (rc* != 0) — that the sqrt(gap)-sized
+            # iterate duals cannot separate at classification time.  The
+            # dual least-squares just computed separates them exactly:
+            # a basic column whose |rc| stayed large cannot be basic.
+            # Two eligibility classes (CrossoverConfig.demote_near_tol):
+            # widened columns demote unconditionally to their NEAR bound
+            # (they were bound-active at classification); other basic
+            # columns demote only if they sit within demote_near_tol of
+            # a bound (the iterate stopped ~sqrt(gap) short of the face).
+            rc_np = np.asarray(rc_hi, np.float64)
+            large_rc = np.asarray(basic) & cm_np & (
+                np.abs(rc_np) > cfg.dual_tol * (1.0 + c_np)
+            )
+            near_bound = (
+                (has_l & (np.abs(xp - l_np)
+                          <= cfg.demote_near_tol * (1.0 + np.abs(l_np))))
+                | (has_u & (np.abs(u_np - xp)
+                            <= cfg.demote_near_tol * (1.0 + np.abs(u_np))))
+            )
+            demote = large_rc & (widened | near_bound)
+            if not demote.any():
+                break
+            near_l = demote & has_l & (((xp - l_np) <= (u_np - xp)) | ~has_u)
+            near_u = demote & has_u & ~near_l
+            demote = near_l | near_u  # never demote a free column
+            if not demote.any():
+                break
+            widened &= ~demote
+            basic = jnp.asarray(np.asarray(basic) & ~demote)
+            at_lower = jnp.asarray(np.asarray(at_lower) | near_l)
+            at_upper = jnp.asarray(np.asarray(at_upper) | near_u)
+            repairs += 1
+            continue
+        break  # failure is not a repairable one
     certified = bool(cert["certified"])
     cert = {k: (bool(v) if k in ("certified", "factor_ok") else v)
             for k, v in cert.items()}
     cert["repairs"] = repairs
+    cert["widened"] = int(widened.sum())
     if not certified:
         extra = dict(result.extra)
         extra["crossover"] = cert

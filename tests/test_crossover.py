@@ -166,6 +166,162 @@ class TestCrossoverApi:
                       crossover=True)
 
 
+class TestWidenRepair:
+    """Widen-repair (CrossoverConfig.widen_dual_tol): the degenerate
+    failure where the snap fixes a borderline column to a bound the
+    optimal face does not pin — the completion's primal residual then
+    has a component outside range(B) that no refinement removes.  The
+    repair returns zero-dual bound-active columns to the basis and
+    re-solves (one extra factorization).  Crafted trigger: x2 is the
+    only column in row 3 (x2 = 5e-4 pinned strictly interior), the
+    iterate carries a 2e-3 dual on it, so classify_basis snaps it to
+    its lower bound and rows 1-3 become inconsistent for {x1, x3}."""
+
+    MPS = """NAME          WIDEN
+ROWS
+ N  COST
+ E  R1
+ E  R2
+ E  R3
+COLUMNS
+    X1        COST      1.0        R1        1.0
+    X2        COST      2.0        R1        1.0
+    X2        R2        1.0        R3        1.0
+    X3        COST      1.0        R2        1.0
+RHS
+    RHS       R1        1.0005     R2        1.0005
+    RHS       R3        0.0005
+BOUNDS
+ UP BND       X1        2.0
+ UP BND       X2        2.0
+ UP BND       X3        2.0
+ENDATA
+"""
+
+    def _adversarial_result(self, lp):
+        """The unique optimum is x* = (1, 5e-4, 1) with y* = (1, 1, 0)
+        and all-interior columns (rc* = 0).  The iterate is AT x* but
+        carries a stale 2e-3 dual on x2 (as a sqrt(gap)-sized IPM dual
+        would): smin = 5e-4 < theta * 2e-3 misreads x2 as at_lower."""
+        from cholesky_is_magic_tpu.solvers.result import SolveResult
+
+        d = 5e-4
+        n_pad = lp.A.shape[1]
+        m_pad = lp.A.shape[0]
+        x = jnp.asarray(np.pad([1.0, d, 1.0], (0, n_pad - 3)), jnp.float32)
+        y = jnp.asarray(np.pad([1.0, 1.0, 0.0], (0, m_pad - 3)), jnp.float32)
+        z = jnp.asarray(np.pad([0.0, 2e-3, 0.0], (0, n_pad - 3)), jnp.float32)
+        return SolveResult(
+            x=x, objective=jnp.vdot(lp.c, x),
+            status=jnp.asarray(Status.OPTIMAL, jnp.int32),
+            iterations=jnp.asarray(10, jnp.int32),
+            residual_norm=jnp.asarray(0.0),
+            extra={"y": y, "w": jnp.zeros(n_pad, jnp.float32), "z": z,
+                   "gap": jnp.asarray(1e-6)},
+        )
+
+    def test_snap_alone_fails_on_primal(self):
+        """With the widen pass disabled the misread is fatal: primal_rel
+        floors at ~2.5e-4 (the 5e-4 row-3 residual, unreachable by
+        {x1, x3}), there is no bound violation to repair, and the
+        original iterate passes through unchanged."""
+        sf = cim.to_standard_form(read_mps_string(self.MPS))
+        lp = to_device_lp(sf, pad_multiple=4, dtype=jnp.float32)
+        res = self._adversarial_result(lp)
+        out = crossover(res, lp, config=CrossoverConfig(widen_dual_tol=0.0))
+        cert = out.extra["crossover"]
+        assert not cert["certified"]
+        assert float(cert["primal_rel"]) > 1e-4
+        assert cert["widened"] == 0
+        np.testing.assert_array_equal(np.asarray(out.x), np.asarray(res.x))
+
+    def test_widen_recovers_the_degenerate_face(self):
+        sf = cim.to_standard_form(read_mps_string(self.MPS))
+        lp = to_device_lp(sf, pad_multiple=4, dtype=jnp.float32)
+        res = self._adversarial_result(lp)
+        out = crossover(res, lp)
+        cert = out.extra["crossover"]
+        assert cert["certified"], cert
+        assert cert["widened"] == 1
+        assert cert["repairs"] >= 1
+        assert float(cert["primal_rel"]) < 1e-10
+        assert float(cert["gap"]) < 1e-10
+        assert float(out.objective) == pytest.approx(2.001, rel=1e-6)
+        # x2 must be back at its strictly-interior pinned value.
+        assert float(out.x[1]) == pytest.approx(5e-4, rel=1e-3)
+
+
+class TestDemoteRepair:
+    """Dual-snap demotion (CrossoverConfig.demote_near_tol): the inverse
+    misread of the widen case — a column the optimal face pins AT a
+    bound, but the iterate stopped ~sqrt(gap) short of it with a
+    not-yet-grown dual, so classify_basis reads it as basic.  The dual
+    least-squares then cannot zero its reduced cost (rc* = 1 here), the
+    certificate fails on dual_rel, and the repair demotes the near-bound
+    large-rc column to its near bound and re-solves.  Crafted trigger:
+    min x1 + 2 x2 on x1 + x2 = 1.0002, x in [0, 2]^2 — optimum
+    (1.0002, 0) with y* = 1, rc* = (0, 1); the iterate (1.0, 2e-4)
+    carries z2 = 1e-5 so smin = 2e-4 > theta * 1e-5 reads x2 basic."""
+
+    MPS = """NAME          DEMOTE
+ROWS
+ N  COST
+ E  R1
+COLUMNS
+    X1        COST      1.0        R1        1.0
+    X2        COST      2.0        R1        1.0
+RHS
+    RHS       R1        1.0002
+BOUNDS
+ UP BND       X1        2.0
+ UP BND       X2        2.0
+ENDATA
+"""
+
+    def _adversarial_result(self, lp):
+        from cholesky_is_magic_tpu.solvers.result import SolveResult
+
+        n_pad = lp.A.shape[1]
+        m_pad = lp.A.shape[0]
+        x = jnp.asarray(np.pad([1.0, 2e-4], (0, n_pad - 2)), jnp.float32)
+        y = jnp.asarray(np.pad([1.0], (0, m_pad - 1)), jnp.float32)
+        z = jnp.asarray(np.pad([0.0, 1e-5], (0, n_pad - 2)), jnp.float32)
+        return SolveResult(
+            x=x, objective=jnp.vdot(lp.c, x),
+            status=jnp.asarray(Status.OPTIMAL, jnp.int32),
+            iterations=jnp.asarray(10, jnp.int32),
+            residual_norm=jnp.asarray(0.0),
+            extra={"y": y, "w": jnp.zeros(n_pad, jnp.float32), "z": z,
+                   "gap": jnp.asarray(1e-6)},
+        )
+
+    def _lp(self):
+        sf = cim.to_standard_form(read_mps_string(self.MPS))
+        return to_device_lp(sf, pad_multiple=4, dtype=jnp.float32)
+
+    def test_without_demotion_fails_on_dual(self):
+        lp = self._lp()
+        res = self._adversarial_result(lp)
+        out = crossover(res, lp, config=CrossoverConfig(
+            demote_near_tol=0.0, widen_dual_tol=0.0))
+        cert = out.extra["crossover"]
+        assert not cert["certified"]
+        assert float(cert["dual_rel"]) > 1e-3
+        np.testing.assert_array_equal(np.asarray(out.x), np.asarray(res.x))
+
+    def test_demotion_recovers_the_vertex(self):
+        lp = self._lp()
+        res = self._adversarial_result(lp)
+        out = crossover(res, lp)
+        cert = out.extra["crossover"]
+        assert cert["certified"], cert
+        assert cert["repairs"] >= 1
+        assert float(cert["dual_rel"]) < 1e-8
+        assert float(out.objective) == pytest.approx(1.0002, rel=1e-6)
+        assert float(out.x[0]) == pytest.approx(1.0002, rel=1e-6)
+        assert float(out.x[1]) == pytest.approx(0.0, abs=1e-9)
+
+
 class TestCrossoverNetlib:
     def test_afiro_published_optimum(self):
         """Real Netlib afiro + crossover reaches the published optimum to

@@ -52,6 +52,7 @@ factorization; crossover is ONE of those).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional
 
@@ -64,6 +65,9 @@ from cholesky_is_magic_tpu.ops import dd as ddm
 from cholesky_is_magic_tpu.ops.dd import DD
 from cholesky_is_magic_tpu.solvers.result import SolveResult, Status
 from cholesky_is_magic_tpu.utils.precision import highest_precision
+
+# Per-pass repair-loop tracing (developer aid): CIM_XO_DEBUG=1.
+_DEBUG = os.environ.get("CIM_XO_DEBUG", "") not in ("", "0")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,28 +101,46 @@ class CrossoverConfig:
     # pass moves the bound-violating basic columns to the violated bound
     # and re-solves — the classic crossover push-to-bound step, one
     # factorization per pass.  0 disables (single-shot classification).
-    max_repairs: int = 3
+    # 12 covers the full loose-gap sequence (demote passes -> widen ->
+    # push-evict-and-ban -> next widen candidate; see crossover()); the
+    # loop also stops on certificate success or a repeated
+    # (partition, ban-list) state, so the budget is an upper bound on
+    # factorizations, not a typical cost (measured: 1-5 passes).
+    max_repairs: int = 12
     # Widen-repair (the OTHER degenerate failure): when the certificate
     # fails on the PRIMAL residual with no bound violation, the snap
     # fixed a borderline column to a bound the optimal face does not pin
     # — r = b - A_N x_N has a component outside range(B) that no amount
     # of refinement removes (measured at m=16384/gap 7e-7: primal floor
-    # 1.3e-4).  The repair returns every nonbasic column whose dual is
-    # below widen_dual_tol·(1+|c_j|) to the basic set (zero-dual
-    # bound-active columns are exactly the face's flat directions) and
+    # 1.3e-4).  The repair returns every nonbasic column whose POLISHED
+    # reduced cost is below max(widen_dual_tol, sqrt(gap))·(1+|c_j|) to
+    # the basic set (zero-rc bound-active columns are exactly the face's
+    # flat directions; the post-solve rc separates them decades more
+    # sharply than the iterate's z+w, and the sqrt(gap) term tracks how
+    # far complementarity can be trusted at the incoming gap) and
     # re-solves; the proximal completion keeps the extra freedom tame.
+    # 0.0 disables the whole widen family (incl. pricing-widen) —
+    # ablation switch, used by the repair-rule tests.
     widen_dual_tol: float = 1e-3
     # Dual-snap repair reach: when the certificate fails on the DUAL
     # residual, a basic column whose post-solve |rc| exceeds dual_tol
     # cannot be basic at the optimum — if it sits within
-    # demote_near_tol·(1+|bound|) of a bound, the optimal face pins it
-    # THERE and the iterate just stopped ~sqrt(gap) short (measured at
-    # m=32768/gap 2.6e-7: dual floor 2.2e-4 from exactly such columns,
-    # sitting ~2e-4 off their bounds).  Demoting it to the near bound
-    # and re-solving removes the rc error at ~2e-4-sized primal cost,
-    # which the next completion absorbs.  Widened columns demote with
-    # no distance requirement (they were bound-active at classification).
+    # max(demote_near_tol, 3·sqrt(gap))·(1+|bound|) of a bound, the
+    # optimal face pins it THERE and the iterate just stopped ~sqrt(gap)
+    # short (measured at m=32768/gap 2.6e-7: dual floor 2.2e-4 from
+    # exactly such columns ~2e-4 off their bounds; at a phase-1 stop of
+    # gap 5.5e-5 the same columns sit 4-8e-3 away — hence the
+    # gap-scaled reach).  Demoting it to the near bound and re-solving
+    # removes the rc error at a reach-sized primal cost, which the next
+    # completion absorbs.  Widened columns demote with no distance
+    # requirement (they were bound-active at classification).  0.0
+    # disables the whole demote family (incl. the sign-directed forced
+    # demote) — ablation switch, used by the repair-rule tests.
     demote_near_tol: float = 1e-3
+    # Demote bulk cap when the primal side of the certificate is clean
+    # (rc trustworthy — see the primal-gated cap in crossover()); a
+    # dirty primal forces single-column pivot discipline regardless.
+    demote_max: int = 16
     # Free-bound threshold: |bound| above this is "no bound" for snapping
     # (matches the PDAS clamp, primal-dual-affine-scaling.lisp:37-45).
     clamp: float = 1e8
@@ -290,6 +312,14 @@ def _polish_jit(lp, x_hi, x_lo, y0, basic, at_lower, at_upper,
     ax = mv_dd(x_dd)
     primal_res = ddm.dd_add_w(ax, -lp.b).to_working()
     primal_norm = jnp.linalg.norm(primal_res)
+    # SIGNED residual pricing Aᵀ(Ax - b) for the pricing-widen repair
+    # (the pricing-widen repair); one rmatvec on the already-computed
+    # residual.  Sign matters: a column at its LOWER bound can only
+    # increase, so it absorbs infeasibility only when a_jᵀ(b - Ax) > 0,
+    # i.e. this signed score is NEGATIVE (and the mirror for upper) —
+    # the host applies the sign rule where the at_lower/at_upper masks
+    # live.
+    price = rmv_dd(ddm.dd_from(primal_res)).to_working()
     primal_rel = jnp.max(jnp.abs(primal_res)) / (1.0 + jnp.max(jnp.abs(lp.b)))
     bound_viol = jnp.max(
         jnp.where(
@@ -350,7 +380,19 @@ def _polish_jit(lp, x_hi, x_lo, y0, basic, at_lower, at_upper,
         "n_lower": jnp.sum(on_l),
         "n_upper": jnp.sum(on_u),
     }
-    return x_dd, y_d, z_out, w_out, pobj, dobj, primal_norm, rc.hi, cert
+    return (x_dd, y_d, z_out, w_out, pobj, dobj, primal_norm, rc.hi,
+            price, cert)
+
+
+def _column_norms(lp) -> np.ndarray:
+    """Host-side ‖a_j‖ per column, for pricing-score normalization (the
+    cosine form makes the score scale-invariant).  One-time O(nnz)."""
+    if isinstance(lp, SparseKKTLP):
+        vals = np.asarray(lp.ET.values, np.float64)  # row i of ET = col i of A
+        nrm = np.sqrt((vals * vals).sum(axis=1))
+    else:
+        nrm = np.linalg.norm(np.asarray(lp.A, np.float64), axis=0)
+    return np.maximum(nrm, 1e-30)
 
 
 def _mask_dot(mask, coef, v: DD) -> DD:
@@ -380,18 +422,37 @@ def crossover(
     the answer worse.
 
     Degenerate faces: up to ``config.max_repairs`` repair passes, each
-    one factorization, host-driven (mask inputs, no re-jit), chosen by
-    the failing certificate term:
+    one factorization, host-driven (mask inputs, no re-jit).  A bound
+    violation is repaired exclusively (push-to-bound: a basic column
+    whose completion leaves its box goes to the violated bound — the
+    rank-deficiency signature); otherwise the dual-side and primal-side
+    repairs are selected independently and applied in the SAME pass
+    (they act on disjoint column sets; sequential priority starves one
+    side of the repair budget):
 
-    - bound violation -> push-to-bound: a basic column whose completion
-      leaves its box goes to the violated bound (rank-deficiency
-      signature; CrossoverConfig.max_repairs);
-    - primal residual -> widen: zero-dual bound-active columns return
-      to the basis — the snap fixed a column the face does not pin
-      (CrossoverConfig.widen_dual_tol);
     - dual residual -> demote: a near-bound basic column whose
       post-solve |rc| stays large cannot be basic; it goes to its near
-      bound (CrossoverConfig.demote_near_tol).
+      bound (CrossoverConfig.demote_near_tol, sqrt(gap)-scaled reach;
+      bulk when the rc ranking is trustworthy, else one per pass).
+      With no near-bound candidate: sign-violation widen (a nonbasic
+      column whose rc has the infeasible sign must LEAVE its bound —
+      the simplex entering-column signal), then sign-directed forced
+      demote (rc > 0 at the optimum pins x_j at its lower bound).
+    - primal residual -> widen: zero-rc bound-active columns with
+      pricing relevance return to the basis — the snap fixed a column
+      the face does not pin (CrossoverConfig.widen_dual_tol,
+      sqrt(gap)-scaled); with no zero-rc candidate, pricing-widen
+      admits the nonbasic column most parallel to the residual, one
+      per pass (simplex phase-1 pricing discipline).
+
+    The thresholds scale with the CURRENT certificate gap, so the same
+    loop certifies from a tight finisher iterate (gap ~1e-7, the
+    original design point) and straight from a phase-1 stop (gap ~1e-4
+    — where misclassified columns sit ~sqrt(gap) off their bounds and
+    carry ~sqrt(gap) duals).  A repeated (partition, ban-list) state
+    ends the loop (the widen/demote pair can 2-cycle on a face the
+    thresholds straddle); evicted widen candidates are banned from
+    re-admission, so each retry reaches the next pricing candidate.
     """
     cfg = config or CrossoverConfig()
     x = result.x
@@ -411,15 +472,53 @@ def crossover(
     tol = cfg.primal_tol * (1.0 + np.max(np.abs(np.where(has_u, u_np, 0.0))))
     c_np = np.abs(np.asarray(lp.c, np.float64))
     cm_np = np.asarray(lp.col_mask)
+    col_norm = _column_norms(lp)
     widened = np.zeros(c_np.shape, bool)
+    gap_in = float(result.extra.get("gap", np.inf))  # IPM gap: trustworthy
     repairs = 0
+    seen_partitions = set()
     while True:
         (x_dd, y_d, z_out, w_out, pobj, dobj, primal_norm, rc_hi,
-         cert) = _polish_jit(
+         price, cert) = _polish_jit(
             lp, x, x_lo, y0, basic, at_lower, at_upper, cfg, engine=engine
         )
+        if _DEBUG:
+            print(f"[crossover] pass {repairs}: "
+                  f"certified={bool(cert['certified'])} "
+                  f"primal {float(cert['primal_rel']):.2e} "
+                  f"dual {float(cert['dual_rel']):.2e} "
+                  f"gap {float(cert['gap']):.2e} "
+                  f"bv {float(cert['bound_violation']):.2e} "
+                  f"basic {int(cert['n_basic'])}")
         if bool(cert["certified"]) or repairs >= cfg.max_repairs:
             break
+        # The loop state is (partition, ban list): a push-to-bound that
+        # evicts a just-widened column returns to the previous PARTITION
+        # but with that column banned from re-widening — the next pass
+        # must get to try the next pricing candidate, so `widened` is
+        # part of the cycle key (measured at m=256/block=64: a bad widen
+        # blew the dual to 1.6, push evicted it, and a partition-only
+        # key declared a cycle one pass before the good candidate).
+        key = (np.asarray(basic).tobytes()
+               + np.asarray(at_lower).tobytes()
+               + widened.tobytes())
+        if key in seen_partitions:
+            break  # true 2-cycle: the face straddles the tols
+        seen_partitions.add(key)
+        gap_now = max(float(cert["gap"]), 0.0)
+        sqrt_gap = float(np.sqrt(gap_now))
+        # Widen scaling gap: the smaller of the current certificate
+        # gap and the INCOMING iterate's IPM gap — a broken
+        # intermediate partition inflates the certificate gap, and
+        # letting that widen the rc-widen net admits junk.
+        sqrt_gap_safe = float(np.sqrt(min(gap_now, max(gap_in, 0.0))))
+        # Demote reach scales with the INCOMING gap alone: a
+        # misclassified basic column sits ~sqrt(gap_in) off the bound
+        # that pins it (measured at m=256/gap_in 6.4e-5: 1.24e-2 away,
+        # where the current-pass gap had already shrunk to 2.7e-6 and
+        # a min()-based reach of 4.9e-3 missed it).
+        sqrt_gap_in = float(np.sqrt(max(gap_in, 0.0))) \
+            if np.isfinite(gap_in) else sqrt_gap
         xp = np.asarray(x_dd.hi, np.float64) + np.asarray(x_dd.lo, np.float64)
         b_np = np.asarray(basic)
         viol_l = b_np & has_l & (xp < l_np - tol)
@@ -429,61 +528,172 @@ def crossover(
             at_lower = jnp.asarray(np.asarray(at_lower) | viol_l)
             at_upper = jnp.asarray(np.asarray(at_upper) | viol_u)
             repairs += 1
+            if _DEBUG:
+                print(f"[crossover]   push {int((viol_l | viol_u).sum())}")
             continue
-        if float(cert["primal_rel"]) > cfg.primal_tol:
-            # Widen-repair (CrossoverConfig.widen_dual_tol): degenerate
-            # bound-active columns back into the basis.
-            dual = np.abs(np.asarray(z, np.float64)) + np.abs(
-                np.asarray(w, np.float64)
-            )
-            degen = (~b_np) & cm_np & (
-                dual < cfg.widen_dual_tol * (1.0 + c_np)
-            ) & ~widened
-            if not degen.any():
-                break
-            widened |= degen
-            basic = jnp.asarray(b_np | degen)
-            at_lower = jnp.asarray(np.asarray(at_lower) & ~degen)
-            at_upper = jnp.asarray(np.asarray(at_upper) & ~degen)
-            repairs += 1
-            continue
-        if float(cert["dual_rel"]) > cfg.dual_tol:
-            # Dual-driven demotion: a DEGENERATE face mixes two kinds of
-            # near-bound columns — truly-basic (rc* = 0) and
+        # --- Select repairs.  Demote (evict basic) and widen (admit
+        # nonbasic) act on DISJOINT column sets, so when both sides of
+        # the certificate fail, both repairs apply in the SAME pass —
+        # sequential priority starves one side of the budget (measured
+        # at m=4096/phase-1: primal stuck at 1.75e-4 for 12 straight
+        # single-demote passes that never reached the widen rule).  The
+        # early junk-admission hazard of widening on a dirty dual is
+        # contained by the pricing-relevance gate below, not by
+        # ordering.
+        sel_dem_l = np.zeros_like(b_np)
+        sel_dem_u = np.zeros_like(b_np)
+        sel_wid = np.zeros_like(b_np)
+        if float(cert["dual_rel"]) > cfg.dual_tol and cfg.demote_near_tol > 0:
+            # Dual-driven demotion: a DEGENERATE face mixes two kinds
+            # of near-bound columns — truly-basic (rc* = 0) and
             # at-bound-with-dual (rc* != 0) — that the sqrt(gap)-sized
-            # iterate duals cannot separate at classification time.  The
-            # dual least-squares just computed separates them exactly:
-            # a basic column whose |rc| stayed large cannot be basic.
-            # Two eligibility classes (CrossoverConfig.demote_near_tol):
-            # widened columns demote unconditionally to their NEAR bound
-            # (they were bound-active at classification); other basic
-            # columns demote only if they sit within demote_near_tol of
-            # a bound (the iterate stopped ~sqrt(gap) short of the face).
+            # iterate duals cannot separate at classification time.
+            # The dual least-squares just computed separates them
+            # exactly: a basic column whose |rc| stayed large cannot be
+            # basic.  Two eligibility classes
+            # (CrossoverConfig.demote_near_tol): widened columns demote
+            # unconditionally to their NEAR bound (they were
+            # bound-active at classification); other basic columns
+            # demote only if they sit within the gap-scaled reach of a
+            # bound (the iterate stopped ~sqrt(gap) short of the face).
             rc_np = np.asarray(rc_hi, np.float64)
-            large_rc = np.asarray(basic) & cm_np & (
+            large_rc = b_np & cm_np & (
                 np.abs(rc_np) > cfg.dual_tol * (1.0 + c_np)
             )
+            reach = max(cfg.demote_near_tol, 3.0 * sqrt_gap_in)
             near_bound = (
                 (has_l & (np.abs(xp - l_np)
-                          <= cfg.demote_near_tol * (1.0 + np.abs(l_np))))
+                          <= reach * (1.0 + np.abs(l_np))))
                 | (has_u & (np.abs(u_np - xp)
-                            <= cfg.demote_near_tol * (1.0 + np.abs(u_np))))
+                            <= reach * (1.0 + np.abs(u_np))))
             )
             demote = large_rc & (widened | near_bound)
+            # Bulk cap: when the primal side is CLEAN and no candidate
+            # is a widened (experimentally admitted) column, the rc
+            # ranking is trustworthy and each near-bound eviction costs
+            # only its ~reach-sized snap — demote every offender in one
+            # pass (the measured at-scale case: m=32768, dual floor
+            # 2.2e-4 spread over many columns each ~2e-4 off bound).
+            # Otherwise single-column pivot discipline: a bulk demote
+            # on a dirty primal evicts truly-basic columns wholesale
+            # (measured at m=512: demote-3 sent the primal 4.6e-5 ->
+            # 3.8e-3 and the loop 2-cycled), and when two widened
+            # columns carry large rc (an inconsistent dual) bulk
+            # eviction throws out the right one with the wrong one
+            # (measured at m=256) — one at a time lets each re-solve
+            # re-rank the rest.
+            primal_clean = float(cert["primal_rel"]) < cfg.primal_tol
+            bulk = (cfg.demote_max
+                    if primal_clean and not (demote & widened).any() else 1)
+            if int(demote.sum()) > bulk:
+                keep = np.argsort(-np.abs(np.where(demote, rc_np, 0.0))
+                                  )[:bulk]
+                demote = np.zeros_like(demote)
+                demote[keep] = True
             if not demote.any():
-                break
-            near_l = demote & has_l & (((xp - l_np) <= (u_np - xp)) | ~has_u)
-            near_u = demote & has_u & ~near_l
-            demote = near_l | near_u  # never demote a free column
-            if not demote.any():
-                break
-            widened &= ~demote
-            basic = jnp.asarray(np.asarray(basic) & ~demote)
-            at_lower = jnp.asarray(np.asarray(at_lower) | near_l)
-            at_upper = jnp.asarray(np.asarray(at_upper) | near_u)
-            repairs += 1
-            continue
-        break  # failure is not a repairable one
+                # Sign-violation widen (one column): a NONBASIC on-bound
+                # column with an infeasible-sign rc — rc < 0 at a lower
+                # bound says the objective IMPROVES by raising x_j, so
+                # the optimum cannot hold it there — is the simplex
+                # entering-column signal; neither demote (scans basic
+                # columns) nor the primal widen (gated on a dirty
+                # primal) can see it (measured at m=256/block=64: the
+                # exact optimum point, gap 2e-15, with rc=-0.64 on one
+                # at-lower column — the dual least-squares zeroed rc on
+                # a dependent basic column instead; widening lets the
+                # next dual solve zero both or demote evict the wrong
+                # one).  Banned (previously evicted) columns excluded.
+                sviol = cm_np & ~b_np & ~widened & (
+                    (np.asarray(at_lower)
+                     & (rc_np < -cfg.dual_tol * (1.0 + c_np)))
+                    | (np.asarray(at_upper)
+                       & (rc_np > cfg.dual_tol * (1.0 + c_np)))
+                )
+                if sviol.any():
+                    j_s = int(np.argmax(np.where(sviol, np.abs(rc_np), 0.0)))
+                    sel_wid[j_s] = True
+                    if _DEBUG:
+                        print(f"[crossover]   sign-widen j={j_s} "
+                              f"rc={rc_np[j_s]:.2e}")
+                elif large_rc.any():
+                    # Forced demote (one column, SIGN-directed): no
+                    # basic large-rc column sits near a bound, yet
+                    # rc != 0 on a basic column means the optimum pins
+                    # it SOMEWHERE (if it could move freely, rc would
+                    # have to vanish) — typical when the indicator
+                    # admits > m basic columns and the overdetermined
+                    # dual solve cannot zero every basic rc.  rc_j > 0:
+                    # the objective grows with x_j, so the optimum holds
+                    # it at its LOWER bound; rc_j < 0 the mirror.  The
+                    # nearer-bound rule is useless here (the min-norm
+                    # completion parked the column far from both
+                    # bounds); the sign rule is exact.  One column per
+                    # pass — the primal re-solve must absorb a possibly
+                    # large shift, and the push/widen rules clean up any
+                    # overshoot next pass.
+                    j_f = int(np.argmax(
+                        np.where(large_rc, np.abs(rc_np), 0.0)))
+                    to_l = rc_np[j_f] > 0.0
+                    if (to_l and has_l[j_f]) or (not to_l and not has_u[j_f]):
+                        sel_dem_l[j_f] = has_l[j_f]
+                    else:
+                        sel_dem_u[j_f] = has_u[j_f]
+            else:
+                near_l = (demote & has_l
+                          & (((xp - l_np) <= (u_np - xp)) | ~has_u))
+                near_u = demote & has_u & ~near_l
+                sel_dem_l, sel_dem_u = near_l, near_u  # free cols excluded
+        if (float(cert["primal_rel"]) > cfg.primal_tol
+                and cfg.widen_dual_tol > 0):
+            # Widen-repair (CrossoverConfig.widen_dual_tol): degenerate
+            # bound-active columns back into the basis, identified by
+            # the POLISHED rc (decades sharper than the iterate duals;
+            # the sqrt(gap) term covers how far complementarity can be
+            # trusted at the incoming gap).
+            rc_ab = np.abs(np.asarray(rc_hi, np.float64))
+            wtol = max(cfg.widen_dual_tol, sqrt_gap_safe)
+            # Signed eligibility (see the price comment in _polish_jit):
+            # at-lower columns may only increase (signed score < 0),
+            # at-upper columns only decrease (signed score > 0).
+            signed = np.asarray(price, np.float64) / col_norm
+            can_move = ((np.asarray(at_lower) & (signed < 0.0))
+                        | (np.asarray(at_upper) & (signed > 0.0)))
+            score = np.where(can_move & cm_np, np.abs(signed), 0.0)
+            smax = float(score.max())
+            # rc-widen requires pricing RELEVANCE too: a zero-rc column
+            # with no component along the residual cannot reduce the
+            # primal error — adding it only risks a rank-deficient
+            # basis whose dual least-squares goes wild (measured: six
+            # rc<1e-3 irrelevant columns sent dual_rel to 3.7e-1).
+            degen = (~b_np) & cm_np & (
+                rc_ab < wtol * (1.0 + c_np)
+            ) & (score >= 0.02 * smax) & ~widened
+            if not degen.any():
+                # Pricing-widen: no zero-rc candidate — the dual solve
+                # is exact for the wrong point, so rc cannot see the
+                # missing column; the residual direction can.  ONE
+                # column per pass (the simplex entering-column
+                # discipline): bulk pricing admits near-parallel junk
+                # whose cleanup demotes the true column along with it.
+                score = np.where(widened, 0.0, score)
+                if float(score.max()) > 0.0:
+                    degen = np.zeros_like(b_np)
+                    degen[int(np.argmax(score))] = True
+            if degen.any() and _DEBUG:
+                print(f"[crossover]   widen {int(degen.sum())}")
+            sel_wid |= degen
+        sel_dem = sel_dem_l | sel_dem_u
+        if not (sel_dem.any() or sel_wid.any()):
+            break  # failure is not a repairable one
+        if _DEBUG and sel_dem.any():
+            print(f"[crossover]   demote {int(sel_dem.sum())}")
+        widened = (widened & ~sel_dem) | sel_wid
+        basic = jnp.asarray((b_np & ~sel_dem) | sel_wid)
+        at_lower = jnp.asarray(
+            (np.asarray(at_lower) | sel_dem_l) & ~sel_wid)
+        at_upper = jnp.asarray(
+            (np.asarray(at_upper) | sel_dem_u) & ~sel_wid)
+        repairs += 1
     certified = bool(cert["certified"])
     cert = {k: (bool(v) if k in ("certified", "factor_ok") else v)
             for k, v in cert.items()}

@@ -183,6 +183,28 @@ def main(m: int = 16384):
           f"(rel err {abs(obj - ref.fun) / abs(ref.fun):.2e})")
     print(f"total warm solve: {(t1 + t2) * 1e3:.0f} ms")
 
+    # --- Phase 3 (optional endgame shortcut): crossover.  The iterate's
+    # ACTIVE SET converges decades before its values, so once phase 1
+    # (gap ~1e-4) is done, a handful of basis factorizations certify a
+    # vertex-exact solution — no finisher iterations at all.  Both entry
+    # points are measured: from the phase-2 iterate (tightest) and
+    # straight from phase 1 (cheapest path to a certified solution).
+    from cholesky_is_magic_tpu.solvers.crossover import crossover
+
+    for tag, src in (("phase 2", r), ("phase 1", p1)):
+        crossover(src, st.lp, engine=eng)  # compile
+        t0 = time.time()
+        out = crossover(src, st.lp, engine=eng)
+        t3 = time.time() - t0
+        cert = out.extra["crossover"]
+        ob = float(out.objective)
+        print(f"crossover from {tag}: certified={cert['certified']} "
+              f"gap {float(cert['gap']):.2e} "
+              f"primal {float(cert['primal_rel']):.2e} "
+              f"dual {float(cert['dual_rel']):.2e} "
+              f"repairs {cert['repairs']} warm {t3 * 1e3:.0f} ms "
+              f"(rel err vs HiGHS {abs(ob - ref.fun) / abs(ref.fun):.2e})")
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 16384)

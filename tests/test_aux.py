@@ -128,6 +128,18 @@ class TestNetlibScale:
 
 
 class TestCLI:
+    # The subprocess must not register the axon TPU plugin: during a
+    # tunnel outage the plugin BLOCKS at first device query regardless of
+    # JAX_PLATFORM_NAME (docs/DEVNOTES.md "Tunnel outages"), hanging the
+    # CLI until the 600 s timeout.  Clearing PALLAS_AXON_POOL_IPS skips
+    # registration entirely; the in-process suite is already safe via
+    # conftest's jax.config.update.
+    CPU_ENV = {
+        "JAX_PLATFORM_NAME": "cpu",
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+    }
+
     def test_cli_pdas_json(self):
         out = subprocess.run(
             [
@@ -136,7 +148,7 @@ class TestCLI:
                 "--solver", "pdas", "--f64", "--pad", "8", "--json",
             ],
             capture_output=True, text=True, timeout=600,
-            env={**os.environ, "JAX_PLATFORM_NAME": "cpu"},
+            env={**os.environ, **self.CPU_ENV},
         )
         assert out.returncode == 0, out.stderr[-2000:]
         payload = json.loads(out.stdout.strip().splitlines()[-1])
@@ -151,7 +163,7 @@ class TestCLI:
                 "--solver", "affine", "--f64", "--pad", "8", "--report",
             ],
             capture_output=True, text=True, timeout=600,
-            env={**os.environ, "JAX_PLATFORM_NAME": "cpu"},
+            env={**os.environ, **self.CPU_ENV},
         )
         assert out.returncode == 0, out.stderr[-2000:]
         assert "Factor:" in out.stdout

@@ -25,6 +25,8 @@ equivalents:
 from __future__ import annotations
 
 import contextlib
+import gc
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import checkify
@@ -123,6 +125,36 @@ def live_buffer_report() -> dict:
         "count": len(arrays),
         "bytes": int(sum(a.nbytes for a in arrays)),
     }
+
+
+def memory_map_count() -> int:
+    """Number of memory mappings held by this process (Linux; -1
+    elsewhere).  Every XLA:CPU executable keeps tens of mmap'd code/data
+    regions alive while cached; a long-lived process that compiles
+    hundreds of distinct programs (parameter sweeps, serving drivers)
+    creeps toward the kernel's vm.max_map_count limit (65,530 default),
+    past which the NEXT compile segfaults inside LLVM (measured: the
+    full test suite crossed it ~165 tests in; docs/DEVNOTES.md r3)."""
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return -1
+
+
+def release_jit_maps(threshold: int = 45_000) -> bool:
+    """Drop the jit caches when the process map count exceeds
+    ``threshold``, unmapping dead executables (returns True when it
+    fired).  Call between solves in long-lived compile-heavy processes;
+    re-compiles of anything still in use cost seconds.  The 45k default
+    leaves one compile-heavy phase (~12k maps measured) of headroom
+    under the 65,530 kernel default."""
+    n = memory_map_count()
+    if 0 <= n <= threshold:
+        return False
+    jax.clear_caches()
+    gc.collect()
+    return True
 
 
 @contextlib.contextmanager

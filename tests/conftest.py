@@ -24,3 +24,26 @@ jax.config.update("jax_platforms", "cpu")
 # the x64 path directly.  The TPU path uses f32 + double-word refinement and
 # is exercised by the dtype-parametrized tests.
 jax.config.update("jax_enable_x64", True)
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _release_jit_maps():
+    """Keep the process under vm.max_map_count (docs/DEVNOTES.md).
+
+    Every XLA:CPU executable this jax (0.9.0) compiles holds tens of
+    mmap'd code/data regions that are never unmapped while the executable
+    sits in the jit cache.  At this suite's size the process crosses the
+    default 65,530-map limit ~165 tests in, and the NEXT compile
+    segfaults inside LLVM (deterministic at
+    test_presolve.py::test_presolved_solve_matches_oracle; the test is
+    innocent — it is merely where the budget runs out; confirmed by a
+    maps monitor reading 65,395 at the sample before the crash).
+    Dropping the jit caches when the map count nears the limit unmaps
+    the dead executables; the occasional re-compiles cost seconds.
+    """
+    yield
+    from cholesky_is_magic_tpu.utils.diag import release_jit_maps
+
+    release_jit_maps()

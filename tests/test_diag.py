@@ -83,3 +83,25 @@ class TestProfiler:
         for root, _dirs, files in os.walk(logdir):
             found.extend(files)
         assert found, "profiler trace directory is empty"
+
+
+def test_memory_map_hygiene():
+    """The map-count guard behind the suite's anti-segfault fixture
+    (conftest._release_jit_maps; docs/DEVNOTES.md r3 "vm.max_map_count"):
+    the count reads positive on Linux, a sky-high threshold never fires,
+    and a zero threshold fires and still leaves jax usable."""
+    import sys
+
+    import jax.numpy as jnp
+
+    from cholesky_is_magic_tpu.utils import diag
+
+    n = diag.memory_map_count()
+    if sys.platform.startswith("linux"):
+        assert n > 0
+    else:
+        assert n == -1
+        return
+    assert diag.release_jit_maps(threshold=10**9) is False
+    assert diag.release_jit_maps(threshold=0) is True
+    assert float(jnp.asarray(2.0) * 3.0) == 6.0  # caches rebuild fine

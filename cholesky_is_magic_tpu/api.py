@@ -561,8 +561,10 @@ def solve(
             # Exact dual postsolve (ingest.presolve.restore_duals):
             # substitution rows get the complementarity-consistent
             # y_i = c_j/a_ij, eliminated columns' reduced costs are
-            # recomputed from the original data.
-            return psv.restore_duals(sf, y, rc)
+            # recomputed from the original data, and x_full drives the
+            # bound-transfer corrections (a doubleton bound binding in
+            # the reduced space shifts its dual onto the eliminated row).
+            return psv.restore_duals(sf, y, rc, x_full=x_full)
         return y, rc
 
     if psv is not None:

@@ -92,22 +92,39 @@ class Presolve:
                 x[j] = (bi - float(coefs @ x[cols])) / aij
         return x
 
-    def restore_duals(self, sf, y_reduced, rc_reduced):
+    def restore_duals(self, sf, y_reduced, rc_reduced, x_full=None):
         """Full-space (y, reduced costs) from the reduced solve's duals.
 
-        Eliminated substitution rows get y_i = c_j / a_ij (c_j at
-        elimination time): with the c-fold c_k -= c_j a_ik / a_ij this
-        choice makes row i's contribution a_ik y_i cancel the fold
-        exactly, so kept columns' reduced costs are unchanged.  Rule-3/4
-        rows (redundant / handled by a fixed variable) take y_i = 0.
-        Eliminated columns' reduced costs are recomputed from the
-        original data as c_j - (A'y)_j.
+        Pass 1 — defaults: every eliminated substitution row takes
+        y_i = c_j / a_ij (c_j at elimination time).  With the c-fold
+        c_k -= c_j a_ik / a_ij this makes row i's contribution a_ik y_i
+        equal the fold delta, so by telescoping the kept columns' reduced
+        costs EQUAL the reduced solve's and every substituted column's
+        rc is exactly 0.  Rule-3/4 rows (redundant / handled by a fixed
+        variable) take y_i = 0.  Eliminated columns' reduced costs are
+        recomputed from the original data as c_j - (A'y)_j.
+
+        Pass 2 — bound-transfer corrections (needs ``x_full``, the
+        :meth:`restore`-d primal): when the reduced solve pins x_k at a
+        TRANSFERRED doubleton bound strictly inside x_k's original box,
+        the surplus rc_k = delta belongs to the substituted column, not
+        to x_k (the binding constraint is really x_j at its bound) —
+        under the defaults the restored duals would violate
+        complementarity (rc_k != 0 at an interior x_k) and
+        b'y + l'z - u'w would miss c'x.  The correction shifts it:
+        y_i += delta / a_ik, which zeroes rc_k and puts
+        rc_j = -a_ij delta / a_ik on the at-bound x_j.  Steps replay
+        LATEST FIRST with incremental rc updates, so transfer chains
+        (x_j itself at a bound transferred from an even earlier
+        doubleton) cascade the surplus to the row that really binds.
+        Without ``x_full`` the defaults-only result is returned
+        (correct whenever no transferred bound is binding).
         """
         y = np.zeros(sf.ncons, dtype=np.float64)
         y[self.kept_rows] = np.asarray(y_reduced, np.float64)[
             : len(self.kept_rows)
         ]
-        for step in reversed(self.steps):
+        for step in self.steps:
             if step[0] == "doubleton":
                 _, _j, _k, i, aij, *_rest, cj = step
                 y[i] = cj / aij
@@ -122,6 +139,32 @@ class Presolve:
         rc[self.kept_cols] = np.asarray(rc_reduced, np.float64)[
             : len(self.kept_cols)
         ]
+        if x_full is None:
+            return y, rc
+        x = np.asarray(x_full, np.float64)
+        l0 = np.asarray(sf.l, np.float64)
+        u0 = np.asarray(sf.u, np.float64)
+        inf_b = 1e29  # the standard-form +/-1e30 infinity encoding
+
+        def at_bound(v, bnd):
+            return abs(bnd) < inf_b and abs(v - bnd) <= 1e-6 * (1.0 + abs(bnd))
+
+        for step in reversed(self.steps):
+            if step[0] != "doubleton":
+                continue  # freecol: x_j free => rc_j = 0 is forced; no shift
+            _, j, k, i, aij, aik, _bi, lj, uj, _cj = step
+            delta = rc[k]
+            if delta == 0.0:
+                continue
+            j_pinned = at_bound(x[j], lj) or at_bound(x[j], uj)
+            k_interior = (
+                (l0[k] <= -inf_b or x[k] > l0[k] + 1e-6 * (1.0 + abs(l0[k])))
+                and (u0[k] >= inf_b or x[k] < u0[k] - 1e-6 * (1.0 + abs(u0[k])))
+            )
+            if j_pinned and k_interior:
+                y[i] += delta / aik
+                rc[k] = 0.0
+                rc[j] -= aij * delta / aik
         return y, rc
 
     def report(self) -> str:

@@ -176,7 +176,7 @@ def _mask_dd(m, v: DD) -> DD:
 
 
 def _ops_for(lp, engine):
-    """(prepare, mv_dd, rmv_dd, mv_f32, boost, A-like) for the operand set."""
+    """(prepare, mv_dd, rmv_dd, boost) for the operand set."""
     if isinstance(lp, SparseKKTLP):
         from cholesky_is_magic_tpu.ops import sparse_ops as so
 
@@ -194,7 +194,6 @@ def _ops_for(lp, engine):
             prepare,
             lambda v: so.dd_matvec_dd(lp.E, v),
             lambda v: so.dd_matvec_dd(lp.ET, v),
-            lambda v: so.dd_matvec(lp.E, v),
             jnp.zeros(lp.b.shape, lp.b.dtype),
         )
 
@@ -224,7 +223,6 @@ def _ops_for(lp, engine):
         prepare,
         lambda v: ddm.dd_matvec_dd(lp.A, v),
         lambda v: ddm.dd_rmatvec_dd(lp.A, v),
-        lambda v: ddm.dd_matvec(lp.A, v),
         boost,
     )
 
@@ -263,7 +261,7 @@ def _polish_jit(lp, x_hi, x_lo, y0, basic, at_lower, at_upper,
     O(gap)-sized correction rhs and the completion stays proximal to
     the (in-box, near-feasible) iterate."""
     d = basic.astype(lp.c.dtype)
-    prepare, mv_dd, rmv_dd, mv_f32, boost = _ops_for(lp, engine)
+    prepare, mv_dd, rmv_dd, boost = _ops_for(lp, engine)
     solve_fn, ok = prepare(d, cfg)
 
     def apply_dd(v: DD) -> DD:
@@ -631,13 +629,23 @@ def crossover(
                     # pass — the primal re-solve must absorb a possibly
                     # large shift, and the push/widen rules clean up any
                     # overshoot next pass.
-                    j_f = int(np.argmax(
-                        np.where(large_rc, np.abs(rc_np), 0.0)))
-                    to_l = rc_np[j_f] > 0.0
-                    if (to_l and has_l[j_f]) or (not to_l and not has_u[j_f]):
-                        sel_dem_l[j_f] = has_l[j_f]
-                    else:
-                        sel_dem_u[j_f] = has_u[j_f]
+                    # Only columns whose SIGN-PREFERRED bound exists are
+                    # candidates: rc_j > 0 pins at lower, rc_j < 0 at
+                    # upper, and pinning the OPPOSITE bound is a
+                    # dual-infeasible placement the next certificate is
+                    # guaranteed to reject (a burnt pass).  A large-rc
+                    # column with no preferred bound is not repairable by
+                    # this rule — leave it basic and let the loop end
+                    # honestly if nothing else fires.
+                    pref_ok = np.where(rc_np > 0.0, has_l, has_u)
+                    cand = large_rc & pref_ok
+                    if cand.any():
+                        j_f = int(np.argmax(
+                            np.where(cand, np.abs(rc_np), 0.0)))
+                        if rc_np[j_f] > 0.0:
+                            sel_dem_l[j_f] = True
+                        else:
+                            sel_dem_u[j_f] = True
             else:
                 near_l = (demote & has_l
                           & (((xp - l_np) <= (u_np - xp)) | ~has_u))
@@ -665,9 +673,13 @@ def crossover(
             # primal error — adding it only risks a rank-deficient
             # basis whose dual least-squares goes wild (measured: six
             # rc<1e-3 irrelevant columns sent dual_rel to 3.7e-1).
+            # smax == 0 (no movable column at all) would make the
+            # relevance gate `score >= 0.02 * smax` vacuously true and
+            # bulk-admit every small-rc column — the exact hazard the
+            # gate exists to prevent; require a live pricing signal.
             degen = (~b_np) & cm_np & (
                 rc_ab < wtol * (1.0 + c_np)
-            ) & (score >= 0.02 * smax) & ~widened
+            ) & (smax > 0.0) & (score >= 0.02 * smax) & ~widened
             if not degen.any():
                 # Pricing-widen: no zero-rc candidate — the dual solve
                 # is exact for the wrong point, so rc cannot see the

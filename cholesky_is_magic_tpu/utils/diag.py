@@ -150,7 +150,9 @@ def release_jit_maps(threshold: int = 45_000) -> bool:
     leaves one compile-heavy phase (~12k maps measured) of headroom
     under the 65,530 kernel default."""
     n = memory_map_count()
-    if 0 <= n <= threshold:
+    if n < 0 or n <= threshold:
+        # n < 0: no /proc (non-Linux) — no map-count limit to guard, and
+        # clearing every call would force a full recompile per solve.
         return False
     jax.clear_caches()
     gc.collect()

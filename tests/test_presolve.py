@@ -248,6 +248,55 @@ class TestSubstitutionRules:
         assert not np.any(np.isnan(y))
         np.testing.assert_allclose(y, ref.eqlin.marginals, atol=1e-3)
 
+    def test_dual_postsolve_binding_transferred_bound(self):
+        """The r3 code-review case: the reduced solve pins x_k at a
+        TRANSFERRED doubleton bound strictly inside x_k's original box.
+        The defaults-only postsolve (y_i = c_j/a_ij) then leaves the
+        surplus rc on the interior x_k — non-complementary duals whose
+        b'y misses c'x.  The x_full-driven correction shifts it onto the
+        eliminated row: here R0 (x1 + x0 = 3, x1 in [0,1] only in R0)
+        transfers x0 <= 3; the optimum sits AT that bound (x1 = 0), so
+        y_R0 must carry the full -1.05 (HiGHS marginal), not c_j/a = 0."""
+        from scipy.optimize import linprog
+
+        sf = _sf(
+            A=[[1.0, 1.0, 0.0, 0.0],
+               [1.0, 0.0, 1.0, 1.0],
+               [0.0, 0.0, 1.0, -1.0]],
+            b=[3.0, 6.0, 1.0],
+            c=[-1.0, 0.0, 0.0, 0.1],
+            l=[0.0, 0.0, 0.0, 0.0],
+            u=[10.0, 1.0, 10.0, 10.0],
+        )
+        ref = linprog(sf.dense_c(), A_eq=sf.dense_A(), b_eq=sf.b,
+                      bounds=list(zip(sf.l, sf.u)), method="highs")
+        assert ref.status == 0
+
+        # Unit level: reduced HiGHS duals through restore_duals.
+        red, info = presolve(sf)
+        assert info.status == "reduced"
+        assert any(s[0] == "doubleton" for s in info.steps)
+        res_red = linprog(red.dense_c(), A_eq=red.dense_A(), b_eq=red.b,
+                          bounds=list(zip(red.l, red.u)), method="highs")
+        assert res_red.status == 0
+        x_full = info.restore(res_red.x)
+        rc_red = red.dense_c() - red.dense_A().T @ res_red.eqlin.marginals
+        y, rc = info.restore_duals(sf, res_red.eqlin.marginals, rc_red,
+                                   x_full=x_full)
+        np.testing.assert_allclose(y, ref.eqlin.marginals, atol=1e-8)
+        # Complementarity + strong duality in the ORIGINAL space.
+        z = np.maximum(rc, 0.0)
+        w = np.maximum(-rc, 0.0)
+        dual_obj = sf.b @ y + sf.l @ z - sf.u @ w
+        assert dual_obj == pytest.approx(sf.dense_c() @ x_full, abs=1e-8)
+
+        # End-to-end through the front door.
+        rep = cim.solve(sf, "pdas_dd", presolve=True, pad_multiple=8,
+                        max_iters=300, refine_steps=2, dtype=None)
+        assert rep.objective == pytest.approx(ref.fun, rel=1e-6, abs=1e-6)
+        np.testing.assert_allclose(rep.solution["y"], ref.eqlin.marginals,
+                                   atol=1e-3)
+
     def test_fixpoint_chain_free_then_doubleton(self):
         """Free-col elimination exposes a doubleton, which then fires —
         the rules compose to fixpoint."""

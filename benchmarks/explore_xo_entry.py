@@ -32,7 +32,10 @@ def main(m: int = 8192):
 
     from cholesky_is_magic_tpu.ops import dd as ddm
     from cholesky_is_magic_tpu.solvers import PDASConfig, pdas
-    from cholesky_is_magic_tpu.solvers.crossover import crossover
+    from cholesky_is_magic_tpu.solvers.crossover import (
+        CrossoverConfig,
+        crossover,
+    )
     from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse
     from cholesky_is_magic_tpu.solvers.pdas_dd import (
         PDASDDState,
@@ -82,9 +85,13 @@ def main(m: int = 8192):
             r = pdas_dd(st2, cfg2, engine=eng)
             t2 = time.time() - t0
             src = r
-        crossover(src, st.lp, engine=eng)  # compile
+        # Larger repair budget than the default 12: the loose-gap entry
+        # widens mostly one column per pass, and the misclassified-column
+        # count grows with m.
+        xo_cfg = CrossoverConfig(max_repairs=24)
+        crossover(src, st.lp, engine=eng, config=xo_cfg)  # compile
         t0 = time.time()
-        out = crossover(src, st.lp, engine=eng)
+        out = crossover(src, st.lp, engine=eng, config=xo_cfg)
         t3 = time.time() - t0
         cert = out.extra["crossover"]
         ob = float(out.objective)

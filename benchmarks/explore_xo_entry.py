@@ -60,6 +60,7 @@ def main(m: int = 8192):
     float(p1.extra["gap"])
     t0 = time.time()
     p1 = pdas(st, cfg1, engine=eng)
+    float(p1.extra["gap"])  # block: async dispatch returns in ~1 ms
     t1 = time.time() - t0
     print(f"phase 1: gap {float(p1.extra['gap']):.2e} "
           f"iters {int(p1.iterations)} warm {t1 * 1e3:.0f} ms")
@@ -72,23 +73,37 @@ def main(m: int = 8192):
                       z=to_dd(z), lp=st.lp)
 
     # Each distinct K recompiles the finisher (~60-150 s, DEVNOTES) —
-    # keep the sweep small.
-    for K in (0, 3, 6, 9):
+    # keep the sweep small.  CIM_XO_KS="6,9" overrides for focused runs.
+    ks = tuple(int(t) for t in os.environ.get("CIM_XO_KS", "0,3,6,9").split(","))
+    for K in ks:
         if K == 0:
             src, t2 = p1, 0.0
         else:
+            # CIM_XO_FIN_KRYLOV: PCG refinement inside the capped
+            # finisher — required past the Richardson wall (m >= 32768),
+            # where plain refinement leaves the iterate diffusely
+            # primal-infeasible (~2e-4/row) and the snap residual lands
+            # outside range(B) no matter what crossover admits.
             cfg2 = PDASConfig(max_iters=K, gap_tol=1e-12, refine_steps=2,
-                              mehrotra=True)
+                              mehrotra=True,
+                              krylov_steps=int(
+                                  os.environ.get("CIM_XO_FIN_KRYLOV", "0")))
             r = pdas_dd(st2, cfg2, engine=eng)
             float(r.extra["gap"])
             t0 = time.time()
             r = pdas_dd(st2, cfg2, engine=eng)
+            float(r.extra["gap"])  # block: async dispatch returns in ~1 ms
             t2 = time.time() - t0
             src = r
         # Larger repair budget than the default 12: the loose-gap entry
         # widens mostly one column per pass, and the misclassified-column
-        # count grows with m.
-        xo_cfg = CrossoverConfig(max_repairs=24)
+        # count grows with m.  CIM_XO_KRYLOV / CIM_XO_IR probe whether a
+        # stuck certificate is solve accuracy rather than classification.
+        xo_cfg = CrossoverConfig(
+            max_repairs=24,
+            krylov_steps=int(os.environ.get("CIM_XO_KRYLOV", "6")),
+            ir_steps=int(os.environ.get("CIM_XO_IR", "3")),
+        )
         crossover(src, st.lp, engine=eng, config=xo_cfg)  # compile
         t0 = time.time()
         out = crossover(src, st.lp, engine=eng, config=xo_cfg)

@@ -472,9 +472,18 @@ def crossover(
     cm_np = np.asarray(lp.col_mask)
     col_norm = _column_norms(lp)
     widened = np.zeros(c_np.shape, bool)
+    # Persistent ban set: a widened column that a later pass evicted
+    # (demote or revert) may not be re-admitted by ANY widen rule.  The
+    # transient `widened` flag cannot carry the ban — demote clears it,
+    # and at m=32768 the same column sign-widened and demoted in a
+    # 2-pass ping-pong that grew `basic` by a side-admission each round,
+    # so the exact-state cycle key never repeated and the loop burned
+    # its whole budget (measured: dual stuck at 5.9e-2 for 20 passes).
+    banned = np.zeros(c_np.shape, bool)
     gap_in = float(result.extra.get("gap", np.inf))  # IPM gap: trustworthy
     repairs = 0
     seen_partitions = set()
+    prev = None  # (basic, at_lower, at_upper, widened, score, act_wid)
     while True:
         (x_dd, y_d, z_out, w_out, pobj, dobj, primal_norm, rc_hi,
          price, cert) = _polish_jit(
@@ -490,16 +499,37 @@ def crossover(
                   f"basic {int(cert['n_basic'])}")
         if bool(cert["certified"]) or repairs >= cfg.max_repairs:
             break
+        # How badly the certificate fails, in tolerance units.
+        fail_score = max(float(cert["primal_rel"]) / cfg.primal_tol,
+                         float(cert["dual_rel"]) / cfg.dual_tol)
+        if prev is not None and prev[5].any() and fail_score > 10.0 * prev[4]:
+            # Revert-on-regression: the last action admitted columns and
+            # made the certificate DECISIVELY worse (a widen into a
+            # rank-deficiency sends the dual least-squares wild —
+            # measured at m=32768: dual 8.1e-6 -> 5.9e-2 after one
+            # widen, never recovered).  Restore the pre-action
+            # partition, permanently ban the admitted columns, and let
+            # the next pass pick the next candidate.  Each revert bans
+            # at least one column, so this cannot loop forever.
+            basic, at_lower, at_upper, widened = prev[:4]
+            banned = banned | prev[5]
+            if _DEBUG:
+                print(f"[crossover]   revert+ban {int(prev[5].sum())} "
+                      f"(score {prev[4]:.1e} -> {fail_score:.1e})")
+            prev = None
+            repairs += 1
+            continue
         # The loop state is (partition, ban list): a push-to-bound that
         # evicts a just-widened column returns to the previous PARTITION
         # but with that column banned from re-widening — the next pass
-        # must get to try the next pricing candidate, so `widened` is
-        # part of the cycle key (measured at m=256/block=64: a bad widen
-        # blew the dual to 1.6, push evicted it, and a partition-only
-        # key declared a cycle one pass before the good candidate).
+        # must get to try the next pricing candidate, so `widened` and
+        # `banned` are part of the cycle key (measured at m=256/block=64:
+        # a bad widen blew the dual to 1.6, push evicted it, and a
+        # partition-only key declared a cycle one pass before the good
+        # candidate).
         key = (np.asarray(basic).tobytes()
                + np.asarray(at_lower).tobytes()
-               + widened.tobytes())
+               + widened.tobytes() + banned.tobytes())
         if key in seen_partitions:
             break  # true 2-cycle: the face straddles the tols
         seen_partitions.add(key)
@@ -601,7 +631,7 @@ def crossover(
                 # a dependent basic column instead; widening lets the
                 # next dual solve zero both or demote evict the wrong
                 # one).  Banned (previously evicted) columns excluded.
-                sviol = cm_np & ~b_np & ~widened & (
+                sviol = cm_np & ~b_np & ~widened & ~banned & (
                     (np.asarray(at_lower)
                      & (rc_np < -cfg.dual_tol * (1.0 + c_np)))
                     | (np.asarray(at_upper)
@@ -679,7 +709,7 @@ def crossover(
             # gate exists to prevent; require a live pricing signal.
             degen = (~b_np) & cm_np & (
                 rc_ab < wtol * (1.0 + c_np)
-            ) & (smax > 0.0) & (score >= 0.02 * smax) & ~widened
+            ) & (smax > 0.0) & (score >= 0.02 * smax) & ~widened & ~banned
             if not degen.any():
                 # Pricing-widen: no zero-rc candidate — the dual solve
                 # is exact for the wrong point, so rc cannot see the
@@ -687,18 +717,34 @@ def crossover(
                 # column per pass (the simplex entering-column
                 # discipline): bulk pricing admits near-parallel junk
                 # whose cleanup demotes the true column along with it.
-                score = np.where(widened, 0.0, score)
+                score = np.where(widened | banned, 0.0, score)
                 if float(score.max()) > 0.0:
                     degen = np.zeros_like(b_np)
                     degen[int(np.argmax(score))] = True
             if degen.any() and _DEBUG:
                 print(f"[crossover]   widen {int(degen.sum())}")
             sel_wid |= degen
+            # NO rank-fill rule: when the basis has fewer live columns
+            # than live rows AND the primal is stalled, bulk-admitting
+            # the top pricing candidates to close the count was measured
+            # (m=32768 phase-1.5 entry) to wreck the dual least-squares
+            # (9e+1) every pass without moving the primal at all — an
+            # fp64 LSQR oracle showed the needed correction is DIFFUSE
+            # (~5,500 columns x ~1e-3 each): the ENTRY ITERATE itself is
+            # primal-infeasible at that level (finisher past the
+            # Richardson wall), and no column selection can absorb a
+            # residual the iterate carries everywhere.  The fix lives at
+            # the entry (PCG-refined finisher iterations), not here.
         sel_dem = sel_dem_l | sel_dem_u
         if not (sel_dem.any() or sel_wid.any()):
             break  # failure is not a repairable one
         if _DEBUG and sel_dem.any():
             print(f"[crossover]   demote {int(sel_dem.sum())}")
+        # Record the pre-action state for revert-on-regression; a
+        # demoted WIDENED column was tried-and-rejected — ban it.
+        prev = (basic, at_lower, at_upper, widened, fail_score,
+                sel_wid.copy())
+        banned = banned | (widened & sel_dem)
         widened = (widened & ~sel_dem) | sel_wid
         basic = jnp.asarray((b_np & ~sel_dem) | sel_wid)
         at_lower = jnp.asarray(

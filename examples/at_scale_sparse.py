@@ -184,17 +184,41 @@ def main(m: int = 16384):
     print(f"total warm solve: {(t1 + t2) * 1e3:.0f} ms")
 
     # --- Phase 3 (optional endgame shortcut): crossover.  The iterate's
-    # ACTIVE SET converges decades before its values, so once phase 1
-    # (gap ~1e-4) is done, a handful of basis factorizations certify a
-    # vertex-exact solution — no finisher iterations at all.  Both entry
-    # points are measured: from the phase-2 iterate (tightest) and
-    # straight from phase 1 (cheapest path to a certified solution).
-    from cholesky_is_magic_tpu.solvers.crossover import crossover
+    # ACTIVE SET converges decades before its values, so a handful of
+    # basis factorizations certify a vertex-exact solution.  Three entry
+    # points measured: from the phase-2 iterate (tightest), straight
+    # from phase 1 (fails on the dual at these sizes — the documented
+    # at-scale limitation), and the SWEET SPOT "phase 1.5": a finisher
+    # capped at ~6 iterations (gap only ~1e-6) sharpens the active set
+    # enough that crossover certifies at machine precision in a few
+    # repair passes — the cheapest CERTIFIED at-scale solve
+    # (benchmarks/explore_xo_entry.py for the K sweep).  Holds for
+    # m <= 16384; at m=32768 NO entry depth certifies — the iterate's
+    # diffuse primal infeasibility past the Richardson wall floors the
+    # certificate at ~1e-4 (docs/DEVNOTES.md "Crossover entry quality").
+    from cholesky_is_magic_tpu.solvers.crossover import (
+        CrossoverConfig,
+        crossover,
+    )
 
-    for tag, src in (("phase 2", r), ("phase 1", p1)):
-        crossover(src, st.lp, engine=eng)  # compile
+    cfg15 = PDASConfig(max_iters=6, gap_tol=1e-12, refine_steps=2,
+                       mehrotra=True)
+    r15 = pdas_dd(st2, cfg15, engine=eng)
+    float(r15.extra["gap"])
+    t0 = time.time()
+    r15 = pdas_dd(st2, cfg15, engine=eng)
+    float(r15.extra["gap"])  # block: async dispatch returns in ~1 ms
+    t15 = time.time() - t0
+    print(f"phase 1.5 (6-iter finisher): gap {float(r15.extra['gap']):.2e} "
+          f"warm {t15 * 1e3:.0f} ms")
+
+    xo_cfg = CrossoverConfig(max_repairs=24)
+    for tag, src, tin in (("phase 2", r, t1 + t2),
+                          ("phase 1.5", r15, t1 + t15),
+                          ("phase 1", p1, t1)):
+        crossover(src, st.lp, engine=eng, config=xo_cfg)  # compile
         t0 = time.time()
-        out = crossover(src, st.lp, engine=eng)
+        out = crossover(src, st.lp, engine=eng, config=xo_cfg)
         t3 = time.time() - t0
         cert = out.extra["crossover"]
         ob = float(out.objective)
@@ -203,6 +227,7 @@ def main(m: int = 16384):
               f"primal {float(cert['primal_rel']):.2e} "
               f"dual {float(cert['dual_rel']):.2e} "
               f"repairs {cert['repairs']} warm {t3 * 1e3:.0f} ms "
+              f"| total {(tin + t3) * 1e3:.0f} ms "
               f"(rel err vs HiGHS {abs(ob - ref.fun) / abs(ref.fun):.2e})")
 
 

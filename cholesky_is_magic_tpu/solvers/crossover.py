@@ -141,6 +141,16 @@ class CrossoverConfig:
     # (rc trustworthy — see the primal-gated cap in crossover()); a
     # dirty primal forces single-column pivot discipline regardless.
     demote_max: int = 16
+    # OMP basis completion (escalation): when a MULTI-column widen has
+    # regressed and been reverted — the signature of a rank-deficient
+    # basis whose missing columns correlation-only bulk admission cannot
+    # find (near-parallel candidates admitted together are themselves
+    # rank-deficient) — the widen rule switches to host-side orthogonal
+    # matching pursuit on the polish residual (_omp_select): each pick
+    # deflates the residual by the selected direction before re-scoring,
+    # so the admitted set is mutually well-conditioned by construction.
+    # Value = max columns per OMP pass; 0 disables the escalation.
+    omp_widen_max: int = 64
     # Free-bound threshold: |bound| above this is "no bound" for snapping
     # (matches the PDAS clamp, primal-dual-affine-scaling.lisp:37-45).
     clamp: float = 1e8
@@ -393,6 +403,93 @@ def _column_norms(lp) -> np.ndarray:
     return np.maximum(nrm, 1e-30)
 
 
+def _host_csc(lp):
+    """Host-side fp64 CSC of A (one-time, lazy — built only when the OMP
+    completion triggers).  For the ELL operand set the padded slots carry
+    value 0.0 and are eliminated."""
+    import scipy.sparse as sp
+
+    if isinstance(lp, SparseKKTLP):
+        idx = np.asarray(lp.E.indices, np.int64)
+        vals = np.asarray(lp.E.values, np.float64)
+        m, k = idx.shape
+        rows = np.repeat(np.arange(m, dtype=np.int64), k)
+        A = sp.csc_matrix(
+            (vals.ravel(), (rows, idx.ravel())), shape=(m, lp.E.n_cols)
+        )
+        A.eliminate_zeros()
+        return A
+    return sp.csc_matrix(np.asarray(lp.A, np.float64))
+
+
+def _omp_select(A_csc, r0, basic, elig_l, elig_u, col_norm, k_max: int,
+                stop_inf: float):
+    """Orthogonal-matching-pursuit basis completion (host fp64).
+
+    The rank-deficit failure mode: the classified basis B is missing a
+    HANDFUL of columns (|B| < rank needed), so the snap residual
+    r0 = b - A x_polish has a component outside range(B) that no
+    refinement removes — and correlation-only bulk admission (the
+    rc-widen) keeps picking near-PARALLEL candidates whose joint
+    admission is rank-deficient, wrecking the dual least-squares
+    (measured at m=32768: dual 9e+1 every pass).  OMP fixes the
+    selection, not the scoring: after each pick the candidate pool is
+    re-scored against the RESIDUAL DEFLATED by the selected direction's
+    range(B)-COMPLEMENT component (LSMR projection + Gram-Schmidt), so
+    near-parallel junk scores ~0 once its direction is covered.  The
+    complement projection is essential, not a nicety: deflating by the
+    raw column direction leaks range(B) components into the residual,
+    and with |B| spanning all but ~1e-3 of the row space a candidate is
+    ~99.9% inside range(B) — the leak swamps the signal within a few
+    picks (measured in the unit fixture: 32 picks where 4 suffice).
+    r0 itself needs no projection (the polish residual IS the basic
+    least-squares residual, already orthogonal to range(B)).
+
+    Sign eligibility per step: an at-lower column may only increase
+    (a_jᵀ r > 0), an at-upper column only decrease (mirror) — the same
+    rule as the pricing-widen (see the `price` comment in _polish_jit).
+
+    Returns (selection mask, deflated residual inf-norm).
+    """
+    from scipy.sparse.linalg import lsmr
+
+    r = np.asarray(r0, np.float64).copy()
+    n = A_csc.shape[1]
+    B = A_csc[:, np.flatnonzero(basic)]
+    Q: list[np.ndarray] = []
+    sel: list[int] = []
+    for _ in range(max(k_max, 0)):
+        if np.linalg.norm(r, np.inf) <= stop_inf:
+            break
+        s = (A_csc.T @ r) / col_norm
+        score = np.where((elig_l & (s > 0.0)) | (elig_u & (s < 0.0)),
+                         np.abs(s), 0.0)
+        if sel:
+            score[np.asarray(sel)] = 0.0
+        j = int(np.argmax(score))
+        if score[j] <= stop_inf * 1e-3:
+            break  # no sign-eligible candidate sees the leftover residual
+        a_j = np.asarray(A_csc[:, [j]].todense(), np.float64).ravel()
+        # range(B)-complement component of a_j (LSMR: min ‖B t − a_j‖).
+        t = lsmr(B, a_j, atol=1e-12, btol=1e-12, maxiter=2000)[0]
+        q = a_j - B @ t
+        for qk in Q:
+            q -= (qk @ q) * qk
+        nq = np.linalg.norm(q)
+        if nq <= 1e-10 * col_norm[j]:
+            # Numerically inside span(B ∪ selected): the correlation was
+            # projection noise — stop rather than admit junk.
+            break
+        q /= nq
+        Q.append(q)
+        sel.append(j)
+        r -= (q @ r) * q
+    mask = np.zeros(n, bool)
+    if sel:
+        mask[np.asarray(sel)] = True
+    return mask, float(np.linalg.norm(r, np.inf))
+
+
 def _mask_dot(mask, coef, v: DD) -> DD:
     """Σ_mask coef_j * v_j in dd.  The caller folds the dual sign/support
     condition into ``mask`` so no operand is ever negated (see the dobj
@@ -484,6 +581,9 @@ def crossover(
     repairs = 0
     seen_partitions = set()
     prev = None  # (basic, at_lower, at_upper, widened, score, act_wid)
+    use_omp = False  # escalate widen selection to OMP (see omp_widen_max)
+    n_reverts = 0
+    A_host = None  # lazy host CSC, built only if OMP fires
     while True:
         (x_dd, y_d, z_out, w_out, pobj, dobj, primal_norm, rc_hi,
          price, cert) = _polish_jit(
@@ -513,9 +613,18 @@ def crossover(
             # at least one column, so this cannot loop forever.
             basic, at_lower, at_upper, widened = prev[:4]
             banned = banned | prev[5]
+            n_reverts += 1
+            # A reverted MULTI-column widen is the rank-deficient-
+            # admission signature; repeated single-column reverts mean
+            # correlation pricing keeps missing too.  Either way the
+            # next widen goes through OMP (mutually-orthogonalized
+            # selection) instead of raw correlation.
+            if int(prev[5].sum()) > 1 or n_reverts >= 3:
+                use_omp = True
             if _DEBUG:
                 print(f"[crossover]   revert+ban {int(prev[5].sum())} "
-                      f"(score {prev[4]:.1e} -> {fail_score:.1e})")
+                      f"(score {prev[4]:.1e} -> {fail_score:.1e})"
+                      + (" -> OMP" if use_omp else ""))
             prev = None
             repairs += 1
             continue
@@ -681,7 +790,38 @@ def crossover(
                           & (((xp - l_np) <= (u_np - xp)) | ~has_u))
                 near_u = demote & has_u & ~near_l
                 sel_dem_l, sel_dem_u = near_l, near_u  # free cols excluded
-        if (float(cert["primal_rel"]) > cfg.primal_tol
+        omp_fired = False
+        if (use_omp and cfg.omp_widen_max > 0
+                and float(cert["primal_rel"]) > cfg.primal_tol
+                and cfg.widen_dual_tol > 0):
+            # OMP escalation (CrossoverConfig.omp_widen_max): the
+            # correlation widen regressed — select a mutually
+            # orthogonalized completion set on the host instead.
+            try:
+                if A_host is None:
+                    A_host = _host_csc(lp)
+            except ImportError:
+                A_host = False  # no scipy: escalation unavailable
+            if A_host is not False:
+                b_host = np.asarray(lp.b, np.float64)
+                r_host = b_host - A_host @ xp
+                elig = cm_np & ~b_np & ~widened & ~banned
+                omp_sel, r_left = _omp_select(
+                    A_host, r_host, b_np,
+                    elig & np.asarray(at_lower),
+                    elig & np.asarray(at_upper),
+                    col_norm, cfg.omp_widen_max,
+                    0.5 * cfg.primal_tol * (1.0 + np.max(np.abs(b_host))),
+                )
+                if omp_sel.any():
+                    sel_wid |= omp_sel
+                    omp_fired = True
+                    if _DEBUG:
+                        print(f"[crossover]   omp-widen "
+                              f"{int(omp_sel.sum())} "
+                              f"(residual left {r_left:.2e})")
+        if (not omp_fired
+                and float(cert["primal_rel"]) > cfg.primal_tol
                 and cfg.widen_dual_tol > 0):
             # Widen-repair (CrossoverConfig.widen_dual_tol): degenerate
             # bound-active columns back into the basis, identified by
@@ -724,17 +864,14 @@ def crossover(
             if degen.any() and _DEBUG:
                 print(f"[crossover]   widen {int(degen.sum())}")
             sel_wid |= degen
-            # NO rank-fill rule: when the basis has fewer live columns
-            # than live rows AND the primal is stalled, bulk-admitting
-            # the top pricing candidates to close the count was measured
-            # (m=32768 phase-1.5 entry) to wreck the dual least-squares
-            # (9e+1) every pass without moving the primal at all — an
-            # fp64 LSQR oracle showed the needed correction is DIFFUSE
-            # (~5,500 columns x ~1e-3 each): the ENTRY ITERATE itself is
-            # primal-infeasible at that level (finisher past the
-            # Richardson wall), and no column selection can absorb a
-            # residual the iterate carries everywhere.  The fix lives at
-            # the entry (PCG-refined finisher iterations), not here.
+            # NO raw rank-fill rule: bulk-admitting the top pricing
+            # candidates by CORRELATION alone was measured (m=32768
+            # phase-1.5 entry) to wreck the dual least-squares (9e+1)
+            # every pass — the top-k correlated columns are near-parallel
+            # and jointly rank-deficient.  The principled completion is
+            # the OMP escalation above (omp_widen_max), which
+            # re-orthogonalizes the candidate pool after every pick and
+            # only takes over after a bulk widen has regressed.
         sel_dem = sel_dem_l | sel_dem_u
         if not (sel_dem.any() or sel_wid.any()):
             break  # failure is not a repairable one

@@ -356,3 +356,129 @@ class TestCrossoverNetlib:
                                                   rel=2e-6)
         else:
             assert rep.summary["status"] != "optimal" or True
+
+
+class TestOMPCompletion:
+    """_omp_select: the rank-deficit escalation (CrossoverConfig.
+    omp_widen_max).  The basis is missing a handful of columns; the
+    polish residual lies outside range(B); OMP must find a small,
+    mutually well-conditioned admission set — where correlation-only
+    bulk admission picks near-parallel junk (the measured m=32768
+    failure)."""
+
+    def _deficit_fixture(self, seed=0, m=60, n=120, k_missing=4):
+        """Random full-rank sparse A, a feasible x* supported on
+        basic ∪ missing, and the basic-only least-squares residual r0
+        (⊥ range(B) by construction — exactly what _polish_jit hands
+        the repair loop)."""
+        rng = np.random.default_rng(seed)
+        A = np.where(rng.random((m, n)) < 0.08, rng.normal(size=(m, n)), 0.0)
+        A[:, :m] += np.eye(m)  # guarantee full row rank over the basics
+        basic = np.zeros(n, bool)
+        basic[:m - 10] = True  # 50 basic columns: a 10-row-rank deficit
+        missing = rng.choice(np.flatnonzero(~basic), k_missing,
+                             replace=False)
+        x_star = np.zeros(n)
+        x_star[basic] = rng.random(m - 10) + 0.5
+        x_star[missing] = rng.random(k_missing) + 0.5  # above l = 0
+        b = A @ x_star
+        # Snap the missing columns to their lower bound (0): the
+        # residual is what their true values carried.
+        x0 = np.where(basic, x_star, 0.0)
+        raw = b - A @ x0
+        B = A[:, basic]
+        coef, *_ = np.linalg.lstsq(B, raw, rcond=None)
+        r0 = raw - B @ coef  # LS residual: orthogonal to range(B)
+        return A, basic, missing, r0, raw
+
+    def test_selects_a_feasibility_restoring_set(self):
+        import scipy.sparse as sp
+
+        from cholesky_is_magic_tpu.solvers.crossover import _omp_select
+
+        A, basic, missing, r0, raw = self._deficit_fixture()
+        n = A.shape[1]
+        col_norm = np.maximum(np.linalg.norm(A, axis=0), 1e-30)
+        elig_l = ~basic  # every nonbasic sits at l=0 and may increase
+        sel, r_left = _omp_select(
+            sp.csc_matrix(A), r0, basic, elig_l, np.zeros(n, bool),
+            col_norm, k_max=32,
+            stop_inf=1e-9 * (1.0 + np.abs(raw).max()),
+        )
+        # The functional property: the augmented basis absorbs the snap
+        # residual (feasibility is restorable), with a SMALL set.
+        assert sel.any() and int(sel.sum()) <= 3 * len(missing)
+        aug = A[:, basic | sel]
+        coef, *_ = np.linalg.lstsq(aug, raw, rcond=None)
+        rel = np.abs(raw - aug @ coef).max() / (1.0 + np.abs(raw).max())
+        assert rel < 1e-8, rel
+        assert r_left < 1e-6 * (1.0 + np.abs(raw).max())
+
+    def test_sign_eligibility_blocks_wrong_direction(self):
+        """An at-lower column may only increase; at-upper only decrease.
+        Orthogonal construction: the unique completing column e4 is at
+        its UPPER bound but correlates POSITIVELY with the residual
+        (would have to increase) — sign-ineligible — and every other
+        candidate is orthogonal to the residual, so OMP must select
+        NOTHING rather than admit a bounds-forbidden move."""
+        import scipy.sparse as sp
+
+        from cholesky_is_magic_tpu.solvers.crossover import _omp_select
+
+        m = 4
+        A = np.eye(m, 6)
+        A[:, 4] = [1.0, 1.0, 0.0, 0.0]  # inside range(B): corr 0 with r0
+        A[:, 5] = [0.0, 1.0, 1.0, 0.0]
+        basic = np.array([True, True, True, False, False, False])
+        r0 = np.array([0.0, 0.0, 0.0, 1.0])  # needs e4 = column 3
+        col_norm = np.maximum(np.linalg.norm(A, axis=0), 1e-30)
+        at_upper = ~basic
+        sel, r_left = _omp_select(
+            sp.csc_matrix(A), r0, basic, np.zeros(6, bool), at_upper,
+            col_norm, k_max=8, stop_inf=1e-9,
+        )
+        assert not sel.any()
+        assert r_left == pytest.approx(1.0)
+        # Mark column 3 at its LOWER bound instead (may increase): now
+        # it is the legal pick and OMP takes exactly it.
+        at_lower = np.zeros(6, bool)
+        at_lower[3] = True
+        sel, r_left = _omp_select(
+            sp.csc_matrix(A), r0, basic, at_lower, np.zeros(6, bool),
+            col_norm, k_max=8, stop_inf=1e-9,
+        )
+        assert sel[3] and int(sel.sum()) == 1
+        assert r_left < 1e-9
+
+    def test_near_parallel_decoys_are_not_bulk_admitted(self):
+        """The measured m=32768 failure: the top-k CORRELATED candidates
+        are near-parallel copies, and admitting them together is itself
+        rank-deficient.  OMP deflates after each pick, so the decoys
+        score ~0 once the true direction is in."""
+        import scipy.sparse as sp
+
+        from cholesky_is_magic_tpu.solvers.crossover import _omp_select
+
+        A, basic, missing, r0, raw = self._deficit_fixture(seed=7)
+        rng = np.random.default_rng(11)
+        # Append 8 near-copies of the strongest missing column.
+        j0 = missing[0]
+        decoys = A[:, [j0]] + 1e-4 * rng.normal(size=(A.shape[0], 8))
+        A2 = np.hstack([A, decoys])
+        n2 = A2.shape[1]
+        basic2 = np.concatenate([basic, np.zeros(8, bool)])
+        col_norm = np.maximum(np.linalg.norm(A2, axis=0), 1e-30)
+        sel, _ = _omp_select(
+            sp.csc_matrix(A2), r0, basic2, ~basic2, np.zeros(n2, bool), col_norm,
+            k_max=32, stop_inf=1e-9 * (1.0 + np.abs(raw).max()),
+        )
+        # At most ONE of the {true column, its decoys} family is taken.
+        family = np.zeros(n2, bool)
+        family[j0] = True
+        family[A.shape[1]:] = True
+        assert int((sel & family).sum()) <= 1
+        # And the completion still works.
+        aug = A2[:, basic2 | sel]
+        coef, *_ = np.linalg.lstsq(aug, raw, rcond=None)
+        rel = np.abs(raw - aug @ coef).max() / (1.0 + np.abs(raw).max())
+        assert rel < 1e-6, rel

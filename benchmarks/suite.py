@@ -95,23 +95,26 @@ def host_splu_ms(sf):
 
 
 def _sf_for(name):
+    """(sf, real_mps, known_optimum): a REAL fixture when one exists,
+    else a constructed-exact-optimum instance at the named scale
+    (utils.testing.constructed_optimum_lp) — every stand-in row now
+    carries a published-optimum-class check instead of only an oracle."""
     import cholesky_is_magic_tpu as cim
-    from cholesky_is_magic_tpu.ingest.mps import read_mps_string
-    from cholesky_is_magic_tpu.utils.testing import netlib_like_lp, write_mps
+    from cholesky_is_magic_tpu.utils.testing import constructed_optimum_lp
 
     fixtures = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "..", "tests", "fixtures")
     real = os.path.join(fixtures, f"{name}.mps")
     if os.path.exists(real):
-        return cim.to_standard_form(cim.read_mps_file(real)), True
-    ineq = netlib_like_lp(name)
-    return cim.to_standard_form(read_mps_string(write_mps(ineq))), False
+        return cim.to_standard_form(cim.read_mps_file(real)), True, None
+    sf, info = constructed_optimum_lp(name)
+    return sf, False, info["objective"]
 
 
 def config_afiro():
     import cholesky_is_magic_tpu as cim
 
-    sf, real = _sf_for("afiro")
+    sf, real, _known = _sf_for("afiro")
     t0 = time.time()
     # Row equilibration is required in f32: unscaled afiro stalls at
     # obj -379 (measured); rescaled it converges in ~24 iterations.  The
@@ -138,7 +141,7 @@ def config_dense_pdas(name):
     from cholesky_is_magic_tpu.ingest import to_device_lp
     from cholesky_is_magic_tpu.ops import dense as dense_ops
 
-    sf, real = _sf_for(name)
+    sf, real, known = _sf_for(name)
     lp = to_device_lp(sf, pad_multiple=128, dtype=jnp.float32)
     # r3: predictor-corrector on (the perf mode — roughly half the
     # iterations for one extra pair of triangular solves per iteration).
@@ -154,7 +157,7 @@ def config_dense_pdas(name):
         d0, g0,
     )
     host = host_splu_ms(sf)
-    return {
+    row = {
         "config": f"{name} / pdas / dense factor + dd refinement",
         "real_mps": real,
         "m": sf.ncons, "n": sf.nvars,
@@ -165,6 +168,12 @@ def config_dense_pdas(name):
         "iter_ms_host_sparse": round(host, 4),
         "vs_host": round(host / ms, 2),
     }
+    if known is not None:
+        row["objective_known"] = known
+        row["objective_rel_err"] = abs(rep.objective - known) / max(
+            1.0, abs(known)
+        )
+    return row
 
 
 def config_sparse_dd(name):
@@ -174,7 +183,7 @@ def config_sparse_dd(name):
     from cholesky_is_magic_tpu.ops import sparse_ops
     from cholesky_is_magic_tpu.sparse.tiled import engine_for_sparse
 
-    sf, real = _sf_for(name)
+    sf, real, known = _sf_for(name)
     # iterations-to-1e-8-gap through the two-phase flow (r3: mehrotra).
     t0 = time.time()
     rep = cim.solve(sf, "pdas_dd", pad_multiple=128, max_iters=400,
@@ -199,7 +208,7 @@ def config_sparse_dd(name):
         d0, g0,
     )
     host = host_splu_ms(sf)
-    return {
+    row = {
         "config": f"{name} / pdas->pdas_dd to 1e-8 gap / planned sparse factor",
         "real_mps": real,
         "m": sf.ncons, "n": sf.nvars,
@@ -213,6 +222,12 @@ def config_sparse_dd(name):
         "iter_ms_host_sparse": round(host, 4),
         "vs_host": round(host / ms, 2),
     }
+    if known is not None:
+        row["objective_known"] = known
+        row["objective_rel_err"] = abs(rep.objective - known) / max(
+            1.0, abs(known)
+        )
+    return row
 
 
 def config_alm():

@@ -534,6 +534,7 @@ def solve(
         summary["crossover"] = {
             k: (v if isinstance(v, bool)
                 else int(v) if (k.startswith("n_") or k == "repairs")
+                else [float(t) for t in v] if isinstance(v, (tuple, list))
                 else float(v))
             for k, v in cert.items()
         }

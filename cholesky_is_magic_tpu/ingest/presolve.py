@@ -355,8 +355,16 @@ def presolve(
                 aik = float(row_vals[list(row_cols).index(k)])
                 if abs(aik) < 1e-10 * scale:
                     continue
-                t1 = (float(b[i]) - aij * u[j]) / aik
-                t2 = (float(b[i]) - aij * l[j]) / aik
+                # An infinite x_j bound transfers an INFINITE endpoint
+                # (x_k -> -sign(aij/aik)*inf as x_j -> +inf) — computing it
+                # from the +/-1e30 sentinel instead fabricates a ~1e28
+                # "finite" bound on x_k (never binding thanks to the pivot
+                # guard, but semantically wrong).
+                r = aij / aik
+                t1 = ((-1e30 if r > 0 else 1e30) if u[j] > inf_b
+                      else (float(b[i]) - aij * u[j]) / aik)
+                t2 = ((1e30 if r > 0 else -1e30) if l[j] < -inf_b
+                      else (float(b[i]) - aij * l[j]) / aik)
                 klo, khi = (t1, t2) if t1 <= t2 else (t2, t1)
                 new_l = max(l[k], np.clip(klo, -1e30, 1e30))
                 new_u = min(u[k], np.clip(khi, -1e30, 1e30))

@@ -82,8 +82,12 @@ def batched_pdas_slabbed(
 
     Semantics notes (documented deviations from the monolithic loop):
     per-slab restarts reset the repair flag, divergence counter, and
-    best-iterate window, so ``stall_exit_iters`` counts within a slab;
-    ``record_trace`` is unsupported (trace buffers would need splicing).
+    best-iterate window, so ``stall_exit_iters`` counts within a slab —
+    and is therefore clamped to ``slab_iters - 2`` (a window that cannot
+    fit inside a slab would make the precision-floor exit unreachable:
+    every non-converging lane would burn the full max_iters budget and
+    report MAX_ITERS); ``record_trace`` is unsupported (trace buffers
+    would need splicing).
 
     Measured (v5e, 256 mixed-difficulty LPs incl. 32 max_iters
     stragglers): 525 -> 1215 solves/s (see benchmarks).
@@ -107,14 +111,29 @@ def batched_pdas_slabbed(
 
     while active.size and budget > 0:
         k = min(slab_iters, budget)
-        slab_cfg = dataclasses.replace(cfg, max_iters=k)
+        # Clamp the stall window into the slab (it resets every slab, so
+        # a window > slab_iters could never fire and non-converging lanes
+        # would silently burn the whole budget).  A window beyond
+        # max_iters means the caller disabled the exit — honor that.
+        stall = cfg.stall_exit_iters
+        if stall <= cfg.max_iters:
+            stall = max(2, min(stall, k - 2))
+        slab_cfg = dataclasses.replace(cfg, max_iters=k,
+                                       stall_exit_iters=stall)
         # Bucket to the next power of two: pad by repeating lane 0 (its
         # duplicate results are discarded).
         bucket = 1 << (int(active.size - 1)).bit_length()
+        if mesh is not None:
+            # Keep the bucket dp-divisible so every slab stays sharded
+            # (pad lanes are discarded anyway); for power-of-two dp this
+            # preserves the power-of-two compile reuse.
+            dp_n = int(mesh.shape["dp"])
+            bucket = max(bucket, dp_n)
+            bucket = ((bucket + dp_n - 1) // dp_n) * dp_n
         pad = bucket - active.size
         sel = np.concatenate([np.arange(active.size), np.zeros(pad, np.int64)])
         dev = jax.tree.map(lambda a: jnp.asarray(a[sel]), cur)
-        if mesh is not None and bucket % mesh.shape["dp"] == 0:
+        if mesh is not None:
             dev = shard_batched_pdas(dev, mesh)
         res = jax.device_get(batched_pdas(dev, slab_cfg))
         status = np.asarray(res.status)[: active.size]

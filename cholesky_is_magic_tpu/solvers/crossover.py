@@ -154,6 +154,25 @@ class CrossoverConfig:
     # Free-bound threshold: |bound| above this is "no bound" for snapping
     # (matches the PDAS clamp, primal-dual-affine-scaling.lisp:37-45).
     clamp: float = 1e8
+    # Entry min-norm repair (r4): past the Richardson wall the capped
+    # finisher drifts off Ax=b DIFFUSELY (m=32768 measured: ~5,500
+    # columns x ~1e-3 — docs/DEVNOTES.md "Crossover entry quality"), and
+    # no basis the repair loop can reach contains that residual.  The
+    # reference's own repair iteration is the tool: one min-norm LS
+    # correction toward Ax=b over ALL columns (affine-scaling.lisp:
+    # 226-243; one-repair-iteration, primal-dual-affine-scaling.lisp:
+    # 268-288), executed here in dd with PCG refinement on a d=1
+    # factorization of AAᵀ, applied to the ENTRY ITERATE before
+    # classification.  Triggered only when the entry's relative primal
+    # infeasibility exceeds this (so clean entries pay nothing); costs
+    # one extra factorization when it fires.  0.0 disables.  Default
+    # 1e-6: a converged phase-1 pdas entry sits at ~3e-7 relative
+    # (measured, m=96) and must NOT fire; the diffuse at-scale failure
+    # signature is 1e-3-class.
+    entry_repair_tol: float = 1e-6
+    # Refinement rounds for the repair solve (the correction is diffuse
+    # and O(pviol)-sized; modest depth suffices on top of PCG).
+    entry_repair_ir: int = 2
 
 
 def classify_basis(x, z, w, l, u, col_mask, theta: float = 1.0,
@@ -368,8 +387,14 @@ def _polish_jit(lp, x_hi, x_lo, y0, basic, at_lower, at_upper,
         1.0 + jnp.abs(pobj.to_working())
     )
 
-    finite_b = jnp.abs(lp.u) < cfg.clamp
-    bscale = jnp.max(jnp.where(finite_b & mask_f, jnp.abs(lp.u), 0.0))
+    # Bound-magnitude scale over ALL finite bounds (boxes whose magnitude
+    # lives in the lower bounds must scale the tolerance too).
+    bscale = jnp.maximum(
+        jnp.max(jnp.where((jnp.abs(lp.u) < cfg.clamp) & mask_f,
+                          jnp.abs(lp.u), 0.0)),
+        jnp.max(jnp.where((jnp.abs(lp.l) < cfg.clamp) & mask_f,
+                          jnp.abs(lp.l), 0.0)),
+    )
     certified = (
         ok
         & (primal_rel < cfg.primal_tol)
@@ -390,6 +415,43 @@ def _polish_jit(lp, x_hi, x_lo, y0, basic, at_lower, at_upper,
     }
     return (x_dd, y_d, z_out, w_out, pobj, dobj, primal_norm, rc.hi,
             price, cert)
+
+
+@partial(jax.jit, static_argnames=("cfg", "engine"))
+@highest_precision
+def _entry_repair_jit(lp, x_hi, x_lo, cfg: CrossoverConfig, engine=None):
+    """Min-norm LS correction of the ENTRY iterate toward Ax = b.
+
+    The reference's repair iteration (affine-scaling.lisp:226-243 /
+    primal-dual-affine-scaling.lisp:268-288) over ALL columns: with
+    r = b - Ax, solve (AAᵀ) dy = r (d = col_mask: identity weight on
+    real columns, padding inert) and take x += Aᵀ dy — the smallest
+    correction reaching Ax = b, which a DIFFUSE infeasibility (the
+    m=32768 entry signature) is the best case for.  All in double-word
+    with PCG refinement on the f32 factor.  Returns (x_hi, x_lo,
+    pviol_before, pviol_after) with pviol the relative ∞-norm primal
+    infeasibility the certificate uses."""
+    prepare, mv_dd, rmv_dd, boost = _ops_for(lp, engine)
+    d = lp.col_mask.astype(lp.c.dtype)
+    solve_fn, ok = prepare(d, cfg)
+
+    def apply_dd(v: DD) -> DD:
+        t = _mask_dd(d, rmv_dd(v))
+        out = mv_dd(t)
+        return ddm.dd_add_w(out, boost * v.to_working())
+
+    x = DD(x_hi, x_lo)
+    bscale = 1.0 + jnp.max(jnp.abs(lp.b))
+    r0 = ddm.dd_sub(ddm.dd_from(lp.b), mv_dd(x))
+    pv0 = jnp.max(jnp.abs(r0.to_working())) / bscale
+    dy = _ir_solve(solve_fn, apply_dd, r0, cfg.entry_repair_ir)
+    x1 = ddm.dd_add(x, _mask_dd(d, rmv_dd(dy)))
+    r1 = ddm.dd_sub(ddm.dd_from(lp.b), mv_dd(x1))
+    pv1 = jnp.max(jnp.abs(r1.to_working())) / bscale
+    # Keep the repair only where it helped (ok guards a singular factor).
+    use = ok & (pv1 < pv0)
+    x_out = DD(jnp.where(use, x1.hi, x.hi), jnp.where(use, x1.lo, x.lo))
+    return x_out.hi, x_out.lo, pv0, jnp.where(use, pv1, pv0)
 
 
 def _column_norms(lp) -> np.ndarray:
@@ -557,6 +619,21 @@ def crossover(
     x_lo = result.extra.get("x_lo")
     if x_lo is None:
         x_lo = jnp.zeros_like(x)
+    entry_pviol = (None, None)
+    if cfg.entry_repair_tol > 0.0:
+        # Gate host-side on the solver's own primal residual so clean
+        # entries pay nothing (the 2-norm bounds the relative ∞-norm the
+        # repair targets).
+        rel = float(result.residual_norm) / (
+            1.0 + float(np.max(np.abs(np.asarray(lp.b))))
+        )
+        if rel > cfg.entry_repair_tol:
+            x, x_lo, pv0, pv1 = _entry_repair_jit(lp, x, x_lo, cfg,
+                                                  engine=engine)
+            entry_pviol = (float(pv0), float(pv1))
+            if _DEBUG:
+                print(f"[crossover] entry repair: pviol {entry_pviol[0]:.3e}"
+                      f" -> {entry_pviol[1]:.3e}")
     basic, at_lower, at_upper = classify_basis(
         x, z, w, lp.l, lp.u, lp.col_mask, theta=cfg.theta, clamp=cfg.clamp
     )
@@ -564,7 +641,16 @@ def crossover(
     u_np = np.asarray(lp.u, np.float64)
     has_l = l_np > -0.999 * cfg.clamp
     has_u = u_np < 0.999 * cfg.clamp
-    tol = cfg.primal_tol * (1.0 + np.max(np.abs(np.where(has_u, u_np, 0.0))))
+    # Violation tolerance scales with the magnitude of ALL finite bounds
+    # (mirroring the certificate's bscale): scaling by |u| alone
+    # under-sizes it on boxes whose magnitude lives in the lower bounds
+    # (large negative l, small u), making push repair fire on
+    # refinement-noise-sized "violations".
+    bmag = max(
+        np.max(np.abs(np.where(has_u, u_np, 0.0))),
+        np.max(np.abs(np.where(has_l, l_np, 0.0))),
+    )
+    tol = cfg.primal_tol * (1.0 + bmag)
     c_np = np.abs(np.asarray(lp.c, np.float64))
     cm_np = np.asarray(lp.col_mask)
     col_norm = _column_norms(lp)
@@ -894,6 +980,8 @@ def crossover(
             for k, v in cert.items()}
     cert["repairs"] = repairs
     cert["widened"] = int(widened.sum())
+    if entry_pviol[0] is not None:
+        cert["entry_repair_pviol"] = entry_pviol
     if not certified:
         extra = dict(result.extra)
         extra["crossover"] = cert

@@ -98,7 +98,13 @@ class PDASConfig:
     # triangular solves per iteration (the factorization is shared via
     # prepare_scaled_normal); gain: roughly half the iterations to a
     # tight gap.  Off by default — the plain step is the
-    # reference-faithful semantics.
+    # reference-faithful semantics.  Branch-cost note (the same vmap trap
+    # documented on the repair/recenter branches): the corrector solves
+    # run BRANCHLESSLY and are selected out on repair/recenter
+    # iterations — wasted backsolves exactly on off-fast-path iterations.
+    # Accepted: they ride the shared factorization (cheap), a lax.cond
+    # would recompute it per branch under vmap, and repair/recenter
+    # iterations are rare (<10% on the measured suites).
     mehrotra: bool = False
     # Gondzio multiple centrality correctors (requires mehrotra=True; a
     # TPU-build extension like the Mehrotra step itself — the reference

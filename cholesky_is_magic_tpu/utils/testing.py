@@ -166,6 +166,137 @@ def netlib_like_lp(name: str, seed: int = 0) -> InequalityLP:
     return InequalityLP(c=c, A_ub=A_ub, b_ub=b_ub, A_eq=A_eq, b_eq=b_eq, l=l, u=u)
 
 
+def constructed_optimum_lp(
+    name: str | None = None,
+    m: int | None = None,
+    seed: int = 0,
+    width: int = 8,
+):
+    """A staircase LP whose EXACT optimal vertex is known by construction
+    — published-optimum-class evidence at ANY scale, independent of any
+    oracle (the real Netlib files are unreachable offline; this is the
+    generalization of the Klee-Minty analytic family the VERDICT asked
+    for: pick the basis and optimum first, then build (b, c) around it).
+
+    Construction (min c'x, Ax = b, l <= x <= u):
+
+    1. The BASIS is nonsingular and well-conditioned BY CONSTRUCTION:
+       basis column i has its bottom-most nonzero in row i with a
+       dominant pivot (|a_ii| in [2, 4]) and a few small entries in
+       nearby rows above — so under the (row = bottom-row) permutation
+       B is upper triangular with dominant diagonal.  (A random sparse
+       basis, by contrast, is both occasionally singular and
+       exponentially ill-conditioned in m.)
+    2. Nonbasic columns are ordinary staircase columns (~6 nnz, stage
+       coupling) plus an identity block (what slack insertion produces,
+       standard-form.lisp:48-86).
+    3. x*: nonbasic at a randomly chosen finite bound, basic strictly
+       interior with margin >= 0.5 (a NONDEGENERATE vertex); b = A x*.
+    4. y* ~ N(0,1); reduced costs rc_B = 0, rc_N signed by the active
+       bound with |rc| >= 0.1 (STRICT complementarity); c = A'y* + rc.
+
+    Strict complementarity + the nonsingular basis make (x*, y*) the
+    UNIQUE primal-dual optimum, so solvers can be asserted against
+    info["objective"] (= c'x*) and info["x"] / info["y"] exactly.
+
+    ``name`` picks a NETLIB_SCALES entry for (m, n_struct); an explicit
+    ``m`` overrides with n_struct = 2m (the at-scale staircase shape).
+    Returns (StandardForm, info) with info = {x, y, z, w, objective,
+    basic} (z/w the bound duals: z = max(rc, 0), w = max(-rc, 0)).
+    """
+    from cholesky_is_magic_tpu.ingest.standard_form import StandardForm
+
+    rng = np.random.default_rng(seed)
+    if name is not None and m is None:
+        m, n_struct = NETLIB_SCALES[name]
+    else:
+        assert m is not None, "pass name= or m="
+        n_struct = 2 * m
+    n = n_struct + m  # + identity block
+
+    rows, cols, vals = [], [], []
+    # Structural staircase columns.  Every K-th column is a BASIS column
+    # for its bottom row (round-robin over rows so each row gets at most
+    # one structural basis candidate); the rest are generic.
+    basis_col_of_row = np.full(m, -1, np.int64)
+    stride = max(1, n_struct // m)
+    for j in range(n_struct):
+        # Stage locality: columns sweep the rows like a staircase.
+        center = int(j * max(m - 1, 1) / max(n_struct - 1, 1))
+        is_basis = (j % stride == 0) and basis_col_of_row[center] < 0
+        if is_basis:
+            bottom = center
+            k = int(rng.integers(1, min(width, bottom + 1) + 1))
+            above = bottom - 1 - rng.choice(
+                min(width, max(bottom, 1)), size=max(k - 1, 0), replace=False
+            )
+            above = above[above >= 0]
+            rows.append(bottom)
+            cols.append(j)
+            vals.append(float(rng.choice([-1, 1]) * (2.0 + 2.0 * rng.random())))
+            for r in above:
+                rows.append(int(r))
+                cols.append(j)
+                vals.append(float(0.3 * rng.standard_normal()))
+            basis_col_of_row[bottom] = j
+        else:
+            k = int(rng.integers(3, width))
+            rr = np.clip(center + rng.choice(2 * width, size=k, replace=False)
+                         - width, 0, m - 1)
+            for r in np.unique(rr):
+                rows.append(int(r))
+                cols.append(j)
+                vals.append(float(rng.standard_normal()))
+    # Identity block: column n_struct + i covers row i (and is the basis
+    # column wherever no structural one was assigned).
+    for i in range(m):
+        rows.append(i)
+        cols.append(n_struct + i)
+        vals.append(1.0)
+    basic = np.where(basis_col_of_row >= 0, basis_col_of_row,
+                     n_struct + np.arange(m))
+    is_basic = np.zeros(n, bool)
+    is_basic[basic] = True
+
+    # Bounds + x*: nonbasic at a finite bound, basic strictly interior.
+    l = np.where(rng.random(n) < 0.7, 0.0, -1.0 - rng.random(n))
+    u = l + 1.0 + 4.0 * rng.random(n)
+    at_upper = rng.random(n) < 0.4
+    x = np.where(at_upper, u, l)
+    xb = rng.standard_normal(m)
+    x[basic] = xb
+    l[basic] = xb - 0.5 - rng.random(m)
+    u[basic] = xb + 0.5 + rng.random(m)
+
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(
+        (np.asarray(vals), (np.asarray(rows), np.asarray(cols))), shape=(m, n)
+    )
+    b = A @ x
+
+    y = rng.standard_normal(m)
+    rc = np.where(at_upper, -(0.1 + rng.random(n)), 0.1 + rng.random(n))
+    rc[basic] = 0.0
+    c = np.asarray(A.T @ y + rc, np.float64)
+
+    sf = StandardForm(
+        nvars=n, ncons=m, c=c,
+        a_rows=np.asarray(rows, np.int32),
+        a_cols=np.asarray(cols, np.int32),
+        a_vals=np.asarray(vals, np.float64),
+        b=np.asarray(b, np.float64),
+        row_type=np.zeros(m, np.int8),
+        l=l, u=u, initial_vars=n_struct,
+    )
+    info = {
+        "x": x, "y": y,
+        "z": np.maximum(rc, 0.0), "w": np.maximum(-rc, 0.0),
+        "objective": float(c @ x), "basic": basic,
+    }
+    return sf, info
+
+
 def scipy_reference_solution(lp: InequalityLP):
     """Solve with scipy's HiGHS as the trusted oracle. Returns (status, fun, x)."""
     from scipy.optimize import linprog

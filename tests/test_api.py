@@ -34,6 +34,7 @@ class TestSolve:
         assert rep.summary["gap"] < 1e-8
         assert rep.objective == pytest.approx(-7.0, abs=1e-6)
 
+    @pytest.mark.slow
     def test_sparse_pipeline_afiro(self):
         rep = cim.solve(AFIRO, "pdas_dd", sparse=True, block=16,
                         max_iters=300)
@@ -48,6 +49,7 @@ class TestSolve:
         rep3 = cim.solve(SIMPLE, "aalm", pad_multiple=16, max_iters=60)
         assert rep3.summary["value"] == pytest.approx(-7.0, abs=5e-2)
 
+    @pytest.mark.slow
     def test_duals_match_highs_marginals(self):
         """Row duals (unscaled back through the equilibration) and reduced
         costs match scipy/HiGHS's eqlin.marginals convention, and satisfy
@@ -91,6 +93,7 @@ class TestSolve:
             rc[3:6], (sf.dense_c() - A.T @ y)[3:6], atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_solve_batch_heterogeneous(self):
         """Different-sized LPs embedded into one common box, solved as one
         vmapped computation, each matching its own single solve; sharded
@@ -123,6 +126,7 @@ class TestSolve:
             np.testing.assert_allclose(rep.solution["y"],
                                        single.solution["y"], atol=1e-2)
 
+    @pytest.mark.slow
     def test_warm_resolve_through_api(self):
         """The serving flow at the front door: warm=prev report skips
         phase 1 and converges in fewer finisher iterations than cold on a
@@ -153,6 +157,7 @@ class TestSolve:
                       + cold2.summary["phase1_iterations"])
         assert total_warm < total_cold
 
+    @pytest.mark.slow
     def test_krylov_escalation_path_runs(self):
         """An unreachable gap target drives the finisher to its precision
         floor and through the PCG auto-escalation branch; the solve still

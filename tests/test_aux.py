@@ -70,6 +70,7 @@ class TestCheckpoint:
         assert int(res2.iterations) <= int(res1.iterations)
         assert float(res2.objective) == pytest.approx(-7.0, abs=1e-3)
 
+    @pytest.mark.slow
     def test_warm_push_resolve_perturbed_instance(self):
         """Cross-instance warm start (the serving re-solve pattern): a 2%
         objective drift moves the optimum; warm-starting pdas_dd from the

@@ -73,6 +73,7 @@ class TestClassify:
 
 
 class TestCrossoverDense:
+    @pytest.mark.slow
     @pytest.mark.parametrize("seed", [0, 1, 2, 3])
     def test_certified_from_loose_pdas_gap(self, seed):
         """pdas stopped at the reference's loose 1e-4 gap + crossover must
@@ -112,6 +113,7 @@ class TestCrossoverDense:
         assert float(out.objective) == float(res.objective)
         assert int(out.status) == int(res.status)
 
+    @pytest.mark.slow
     def test_x64_reaches_dd_of_f64_floor(self):
         lp, fun = _solved_pair(5, dtype=jnp.float64)
         res = pdas(make_pdas(lp), PDASConfig(gap_tol=1e-4))
@@ -132,6 +134,7 @@ class TestCrossoverApi:
         assert rep.summary["status"] == "optimal"
         assert rep.objective == pytest.approx(fun, rel=2e-6, abs=2e-6)
 
+    @pytest.mark.slow
     def test_front_door_duals_match_highs_after_polish(self):
         """_duals() must keep working on the polished result: the crossover
         y is certified against the solver's equilibrated lp, so the
@@ -150,6 +153,7 @@ class TestCrossoverApi:
         np.testing.assert_allclose(rep.solution["y"], marg,
                                    rtol=1e-3, atol=1e-4)
 
+    @pytest.mark.slow
     def test_front_door_sparse_engine_path(self):
         ineq = random_lp(13, n_ub=12, n_eq=4, n=14)
         status, fun, _ = scipy_reference_solution(ineq)
@@ -220,6 +224,7 @@ ENDATA
                    "gap": jnp.asarray(1e-6)},
         )
 
+    @pytest.mark.slow
     def test_snap_alone_fails_on_primal(self):
         """With the widen pass disabled the misread is fatal: primal_rel
         floors at ~2.5e-4 (the 5e-4 row-3 residual, unreachable by
@@ -299,6 +304,7 @@ ENDATA
         sf = cim.to_standard_form(read_mps_string(self.MPS))
         return to_device_lp(sf, pad_multiple=4, dtype=jnp.float32)
 
+    @pytest.mark.slow
     def test_without_demotion_fails_on_dual(self):
         lp = self._lp()
         res = self._adversarial_result(lp)
@@ -322,7 +328,71 @@ ENDATA
         assert float(out.x[1]) == pytest.approx(0.0, abs=1e-9)
 
 
+class TestEntryRepair:
+    """Entry min-norm repair (r4): a DIFFUSE primal infeasibility on the
+    entry iterate (the m=32768 signature — docs/DEVNOTES.md "Crossover
+    entry quality") is projected out toward Ax = b with the reference's
+    own repair iteration (affine-scaling.lisp:226-243) before
+    classification."""
+
+    def _perturbed_entry(self, seed=0):
+        import dataclasses
+
+        from cholesky_is_magic_tpu.utils.testing import constructed_optimum_lp
+
+        sf, info = constructed_optimum_lp(m=96, seed=seed)
+        lp = to_device_lp(sf, pad_multiple=16, dtype=jnp.float32)
+        p1 = pdas(make_pdas(lp), PDASConfig(max_iters=300, refine_steps=2))
+        # Diffuse perturbation over EVERY real column: the entry is now
+        # primal-infeasible by ~1e-3 per row, spread across all columns
+        # — exactly the shape no basis-restricted repair can absorb.
+        rng = np.random.default_rng(seed + 7)
+        dx = jnp.asarray(
+            1e-3 * rng.standard_normal(p1.x.shape), p1.x.dtype
+        ) * lp.col_mask
+        x_pert = p1.x + dx
+        r = np.asarray(lp.A) @ np.asarray(x_pert) - np.asarray(lp.b)
+        pert = dataclasses.replace(
+            p1, x=x_pert,
+            residual_norm=jnp.asarray(np.linalg.norm(r), p1.x.dtype),
+        )
+        return lp, info, pert
+
+    def test_repair_restores_feasibility_and_certifies(self):
+        lp, info, pert = self._perturbed_entry()
+        out = crossover(pert, lp)
+        cert = out.extra["crossover"]
+        pv = cert.get("entry_repair_pviol")
+        assert pv is not None, "repair did not fire on an infeasible entry"
+        assert pv[1] < 1e-2 * pv[0], f"repair barely moved pviol: {pv}"
+        assert bool(cert["certified"])
+        # f32 operand rounding of (A, b, c) bounds the match to the f64
+        # constructed optimum (same floor as TestCrossoverDense).
+        assert float(out.objective) == pytest.approx(info["objective"],
+                                                     rel=2e-6)
+
+    def test_clean_entry_pays_nothing(self):
+        """On a feasible entry the gate must not fire (no extra
+        factorization, no cert key)."""
+        from cholesky_is_magic_tpu.utils.testing import constructed_optimum_lp
+
+        sf, info = constructed_optimum_lp(m=96, seed=2)
+        lp = to_device_lp(sf, pad_multiple=16, dtype=jnp.float32)
+        p1 = pdas(make_pdas(lp), PDASConfig(max_iters=300, refine_steps=2))
+        out = crossover(p1, lp)
+        cert = out.extra["crossover"]
+        assert "entry_repair_pviol" not in cert
+        assert bool(cert["certified"])
+
+    def test_disabled_gate_skips_repair(self):
+        lp, info, pert = self._perturbed_entry(seed=1)
+        out = crossover(pert, lp,
+                        config=CrossoverConfig(entry_repair_tol=0.0))
+        assert "entry_repair_pviol" not in out.extra["crossover"]
+
+
 class TestCrossoverNetlib:
+    @pytest.mark.slow
     def test_afiro_published_optimum(self):
         """Real Netlib afiro + crossover reaches the published optimum to
         the f32-operand floor.  afiro's cold start is primal-infeasible

@@ -93,6 +93,7 @@ def _standard_form(A_ub, b_ub, A_eq, b_eq, c, l, u):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("m", [192, 256])
 def test_phase1_crossover_certifies(m):
     A_ub, b_ub, A_eq, b_eq, c, l, u = staircase_lp(m)
@@ -124,6 +125,7 @@ def test_phase1_crossover_certifies(m):
     assert float(out.objective) == pytest.approx(ref.fun, rel=1e-7)
 
 
+@pytest.mark.slow
 def test_phase1_crossover_never_worse():
     """Uncertified or not, crossover must never degrade the iterate: on
     a fresh seed the result either certifies or passes through."""

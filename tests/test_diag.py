@@ -63,6 +63,7 @@ def test_nan_debug_toggles():
 
 
 class TestProfiler:
+    @pytest.mark.slow
     def test_profile_trace_writes_a_trace(self, tmp_path):
         import os
 

@@ -25,6 +25,7 @@ def _highs(sf):
     return res
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(8))
 def test_random_lp_through_front_door(seed):
     rng = np.random.default_rng(100 + seed)

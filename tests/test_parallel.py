@@ -70,6 +70,7 @@ class TestShardedNormal:
         assert bool(ok) and bool(ok_ref)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-9, atol=1e-9)
 
+    @pytest.mark.slow
     def test_with_refinement_and_boost(self):
         mesh = lp_mesh(dp=1, tp=8)
         rng = np.random.default_rng(1)
@@ -183,6 +184,7 @@ class TestShardedConditioning:
         x64 = np.linalg.solve(Af @ Af.T, np.asarray(g, np.float64))
         return A, g, x64
 
+    @pytest.mark.slow
     def test_mesh_dbound_singular_retry_plus_krylov(self):
         mesh = lp_mesh(dp=1, tp=8)
         A, g, x64 = self._conditioned(1e9)
@@ -199,6 +201,7 @@ class TestShardedConditioning:
         # order costs a small factor at this extreme kappa (measured 4.9e-5).
         assert rel < 2e-4, rel
 
+    @pytest.mark.slow
     def test_mesh_krylov_matches_single_chip_accuracy(self):
         mesh = lp_mesh(dp=1, tp=8)
         A, g, x64 = self._conditioned(1e8, seed=3)
@@ -219,6 +222,7 @@ class TestShardedConditioning:
 
 
 class TestShardedDDRefinement:
+    @pytest.mark.slow
     def test_sharded_refine_is_double_word_accurate(self):
         """The tp refinement residual runs in double-word (per-shard dd
         partials, separate hi/lo psums): an f32 sharded solve with

@@ -122,6 +122,7 @@ class TestMehrotra:
     roughly HALF the iterations — the corrector re-solves on the shared
     factorization with the sigma*mu-centered second-order rhs."""
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("seed", [2, 3, 5])
     def test_dd_corrector_halves_iterations(self, seed):
         import dataclasses
@@ -173,6 +174,7 @@ class TestMehrotra:
         assert float(res.objective) == pytest.approx(-464.753, rel=1e-3)
         assert int(res.iterations) <= 30
 
+    @pytest.mark.slow
     def test_corrector_sparse_engine(self):
         """Mehrotra through the fully sparse pipeline (the corrector's
         second solve rides prepare_normal_ell's recycled factor)."""
@@ -202,6 +204,7 @@ class TestGondzio:
     knob is off by default — at-scale tiled-sparse runs LOSE wall-clock
     with it (see the config docstring's measured numbers)."""
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("seed", [2, 3, 5])
     def test_dd_correctors_never_hurt_iterations(self, seed):
         import dataclasses
@@ -249,6 +252,7 @@ class TestWarmBlend:
     (push-only) measured ~1.25x cold; blend+mehrotra measured 0.63x at
     25fv47 scale (examples/warm_resolve.py)."""
 
+    @pytest.mark.slow
     def test_drift_chain_saves_iterations(self):
         import dataclasses
 

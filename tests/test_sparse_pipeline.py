@@ -42,6 +42,7 @@ def test_sparse_pdas_dd_tight_gap(seed):
     assert float(res.objective) == pytest.approx(fun, rel=1e-4, abs=1e-4)
 
 
+@pytest.mark.slow
 def test_sparse_matches_dense_path():
     """Same LP through SparseKKTLP and the padded-dense DeviceLP: both
     reach the optimum; iterates agree to f32-trajectory tolerance."""
@@ -278,6 +279,7 @@ class TestMeshSparsePipeline:
         np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
                                    rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow
     def test_mesh_sparse_pdas_dd_end_to_end(self):
         """Fully sparse pdas_dd, every factorization tile/pair-sharded
         over 'tp': matches the single-chip solve and the HiGHS oracle at

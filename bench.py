@@ -375,6 +375,36 @@ def atscale_rows(detail: dict) -> None:
             f"(host splu {detail[f'host_splu_m{m}']})")
 
 
+def alm_row(detail: dict, m: int = None) -> None:
+    """Matrix-free path at scale: the accelerated APPROX inner iteration
+    (two value-&-gradient passes = 4 SpMVs + prox) per-iteration on the
+    ELL operands vs the faithful scipy CSR host baseline — the TPU
+    rendering of the reference's hottest pure-Lisp loop
+    (alm-approx.lisp:240-262)."""
+    import importlib.util
+
+    if m is None:
+        m = 256 if SMOKE else 16384
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "alm_at_scale", os.path.join(here, "examples", "alm_at_scale.py")
+    )
+    demo = importlib.util.module_from_spec(spec)
+    sys.path.insert(0, os.path.join(here, "examples"))
+    spec.loader.exec_module(demo)
+
+    import jax.numpy as jnp
+
+    from cholesky_is_magic_tpu.ingest.device import to_sparse_lp
+
+    sf = _atscale_sf(m)
+    lp = to_sparse_lp(sf, dtype=jnp.float32)
+    detail[f"alm_inner_m{m}_tpu_ms"] = round(demo.tpu_inner_iter_ms(lp), 4)
+    detail[f"alm_inner_m{m}_host_ms"] = round(demo.host_inner_iter_ms(sf), 4)
+    log(f"[bench] alm inner m={m}: tpu {detail[f'alm_inner_m{m}_tpu_ms']} ms "
+        f"host {detail[f'alm_inner_m{m}_host_ms']} ms")
+
+
 def twophase_row(detail: dict, m: int = None) -> None:
     """Warm two-phase (sparse pdas -> dd finisher) total at m=16384."""
     if m is None:
@@ -524,6 +554,7 @@ def child_main() -> None:
     emit(detail)
     for name, section in (("at-scale", atscale_rows),
                           ("batched", batched_rows),
+                          ("alm", alm_row),
                           ("two-phase", twophase_row)):
         try:
             log(f"[bench] section: {name} ...")

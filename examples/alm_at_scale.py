@@ -158,8 +158,11 @@ def main(m: int = 16384):
     print(f"APPROX inner iteration: TPU {tpu_ms:.3f} ms vs host (scipy CSR, "
           f"same arithmetic) {host_ms:.3f} ms -> {host_ms / tpu_ms:.1f}x")
 
-    # --- End-to-end ALM over ELL operands. ---
-    cfg = ALMConfig(max_outer=60)
+    # --- End-to-end ALM over ELL operands.  f32 tolerances (ALMConfig
+    # docstring / api.solve): the reference's f64 targets sit below f32
+    # resolution and would burn the full inner budget every outer step. ---
+    cfg = ALMConfig(max_outer=60, violation_tol=1e-4, pg_tol=1e-4,
+                    omega_floor=1e-4, inner_iters=20_000)
     res = alm(make_alm(lp), config=cfg)
     float(res.value)  # compile + run
     t0 = time.time()

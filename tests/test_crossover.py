@@ -340,7 +340,7 @@ class TestEntryRepair:
 
         from cholesky_is_magic_tpu.utils.testing import constructed_optimum_lp
 
-        sf, info = constructed_optimum_lp(m=96, seed=seed)
+        sf, info = constructed_optimum_lp(m=64, seed=seed)
         lp = to_device_lp(sf, pad_multiple=16, dtype=jnp.float32)
         p1 = pdas(make_pdas(lp), PDASConfig(max_iters=300, refine_steps=2))
         # Diffuse perturbation over EVERY real column: the entry is now
@@ -376,7 +376,7 @@ class TestEntryRepair:
         factorization, no cert key)."""
         from cholesky_is_magic_tpu.utils.testing import constructed_optimum_lp
 
-        sf, info = constructed_optimum_lp(m=96, seed=2)
+        sf, info = constructed_optimum_lp(m=64, seed=2)
         lp = to_device_lp(sf, pad_multiple=16, dtype=jnp.float32)
         p1 = pdas(make_pdas(lp), PDASConfig(max_iters=300, refine_steps=2))
         out = crossover(p1, lp)

@@ -173,7 +173,7 @@ class TestConstructedOptimum:
         from cholesky_is_magic_tpu.solvers.pdas_dd import make_pdas_dd, pdas_dd
         from cholesky_is_magic_tpu.utils.testing import constructed_optimum_lp
 
-        sf, info = constructed_optimum_lp(m=96, seed=0)
+        sf, info = constructed_optimum_lp(m=64, seed=0)
         lp = to_device_lp(sf, pad_multiple=16, dtype=jnp.float32)
         cfg = PDASConfig(max_iters=300, refine_steps=2, mehrotra=True)
         p1 = pdas(make_pdas(lp), cfg)
@@ -193,7 +193,7 @@ class TestConstructedOptimum:
         from cholesky_is_magic_tpu.solvers.crossover import crossover
         from cholesky_is_magic_tpu.utils.testing import constructed_optimum_lp
 
-        sf, info = constructed_optimum_lp(m=96, seed=1)
+        sf, info = constructed_optimum_lp(m=64, seed=1)
         lp = to_device_lp(sf, pad_multiple=16, dtype=jnp.float32)
         p1 = pdas(make_pdas(lp), PDASConfig(max_iters=300, refine_steps=2))
         out = crossover(p1, lp)

@@ -56,6 +56,9 @@ def solve_batch(
     mesh=None,
     mehrotra: bool = False,
     slab_iters: int = 0,
+    warm: Optional[list] = None,
+    warm_push: float = 0.0,
+    warm_blend: float = 0.0,
 ) -> list:
     """Solve a batch of (possibly heterogeneous) LPs as ONE vmapped pdas
     computation — the dp serving mode at the front door.
@@ -73,6 +76,14 @@ def solve_batch(
     iterations per slab and converged LPs are compacted out between
     slabs, so a few hard (or non-converging) members no longer drag the
     whole batch to max_iters.  ~16 is a good slab for mixed batches.
+
+    ``warm``: the report list from a PREVIOUS solve_batch over the same
+    problem list (same padded box) — each lane restarts from its prior
+    (x, y, w, z), the batch analog of ``solve(warm=...)``.  For
+    perturbed re-solves combine with ``warm_blend`` (blend toward the
+    cold init) and/or ``warm_push`` (re-open slacks by an absolute
+    margin) exactly as in solve(); the recommended drift recipe is
+    ``warm_blend=0.2, mehrotra=True`` (examples/warm_resolve.py).
 
     pdas only: the other families either need per-problem symbolic
     analysis (sparse engines) or consume true-count metadata that cannot
@@ -115,6 +126,41 @@ def solve_batch(
     ]
     stacked_lp = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *lps)
     batched = jax.vmap(lambda lp: make_pdas(lp, cfg))(stacked_lp)
+    if warm is not None:
+        from cholesky_is_magic_tpu.solvers.affine import _into_interior
+        from cholesky_is_magic_tpu.solvers.pdas import push_interior
+
+        if len(warm) != len(sfs):
+            raise ValueError(
+                f"warm has {len(warm)} reports for {len(sfs)} problems"
+            )
+        # Stack host-side (one transfer, like the LP build above).
+        wx = jnp.asarray(np.stack([np.asarray(r.result.x) for r in warm]),
+                         dtype)
+        stack_e = lambda k: jnp.asarray(
+            np.stack([np.asarray(r.result.extra[k]) for r in warm]), dtype
+        )
+        wy = stack_e("y")
+        if wx.shape != batched.x.shape or wy.shape != batched.y.shape:
+            raise ValueError(
+                "warm reports come from a different padded box "
+                f"(x {wx.shape} vs {batched.x.shape}, y {wy.shape} vs "
+                f"{batched.y.shape}); re-solve cold or use the same "
+                "problem list and pad_multiple"
+            )
+        ww = jnp.maximum(stack_e("w"), 1e-8)
+        wz = jnp.maximum(stack_e("z"), 1e-8)
+        lpb = batched.lp
+        if warm_blend > 0.0:
+            bl = warm_blend
+            wx = (1 - bl) * wx + bl * batched.x
+            wy = (1 - bl) * wy + bl * batched.y
+            ww = jnp.maximum((1 - bl) * ww + bl * batched.w, 1e-8)
+            wz = jnp.maximum((1 - bl) * wz + bl * batched.z, 1e-8)
+        if warm_push > 0.0:
+            wx = push_interior(wx, lpb.l, lpb.u, lpb.col_mask, warm_push)
+        wx = _into_interior(wx, lpb.l, lpb.u, lpb.col_mask)
+        batched = dataclasses.replace(batched, x=wx, y=wy, w=ww, z=wz)
     if slab_iters > 0:
         from cholesky_is_magic_tpu.parallel import batched_pdas_slabbed
 

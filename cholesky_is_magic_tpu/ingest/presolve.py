@@ -26,6 +26,15 @@ Andersen 1995, §"simple presolve"):
    substitution causes no fill): x_j = (b_i - a_ik x_k) / a_ij; x_j's
    bounds transfer onto x_k, c_j folds into c_k, row i and column j
    leave.
+8. row activity bounds (forcing constraints, Andersen & Andersen §4):
+   with Lmin_i/Lmax_i the extreme achievable activities of row i over
+   the live columns' bounds, b_i outside [Lmin, Lmax] is infeasible;
+   b_i = Lmax (resp. Lmin) FORCES every live column to its
+   activity-maximizing (minimizing) bound — all pinned, row dropped.
+   Dual postsolve: for an Lmax-forcing row every pinned column demands
+   y_i >= rc_j/a_ij (both bound sides reduce to the same inequality
+   direction), so y_i = max_j rc_j/a_ij restores sign-correct
+   complementarity exactly; Lmin mirrors with min.
 
 Every elimination is recorded (``steps``); :meth:`Presolve.restore` maps a
 reduced solution back to the ORIGINAL variable space by replaying the
@@ -72,6 +81,7 @@ class Presolve:
     # reverse by restore()/restore_duals().  Entries:
     #   ("doubleton", j, k, i, aij, aik, bi, lj, uj, cj)
     #   ("freecol",   j, i, aij, bi, cols, coefs, cj)
+    #   ("forcing",   i, cols, vals, side)   side=+1: Lmax, -1: Lmin
     steps: list = dataclasses.field(default_factory=list)
 
     def restore(self, x_reduced=None) -> np.ndarray:
@@ -139,6 +149,32 @@ class Presolve:
         rc[self.kept_cols] = np.asarray(rc_reduced, np.float64)[
             : len(self.kept_cols)
         ]
+        # Forcing rows (rule 8), latest first: every pinned column gives
+        # the SAME inequality direction on y_i (at-lower needs
+        # rc_j - a_ij y_i >= 0 with a_ij > 0, at-upper needs <= 0 with
+        # a_ij < 0 — both say y_i <= rc_j/a_ij for Lmin-forcing, >= for
+        # Lmax), so the extreme ratio restores exact sign-correct
+        # complementarity.  rc of every original column in row i (all
+        # eliminated — a forcing row pins its whole live support, and
+        # earlier-dead columns stay dead) updates incrementally so
+        # chained forcing rows cascade correctly.
+        if any(s[0] == "forcing" for s in self.steps):
+            import scipy.sparse as sp
+
+            A0 = sp.csr_matrix(
+                (np.asarray(sf.a_vals), (np.asarray(sf.a_rows),
+                                         np.asarray(sf.a_cols))),
+                shape=(sf.ncons, sf.nvars),
+            )
+            A0.sum_duplicates()
+            for step in reversed(self.steps):
+                if step[0] != "forcing":
+                    continue
+                _, i, cols_p, vals_p, side = step
+                ratios = rc[cols_p] / vals_p
+                y[i] = float(ratios.max() if side > 0 else ratios.min())
+                sl0 = slice(A0.indptr[i], A0.indptr[i + 1])
+                rc[A0.indices[sl0]] -= A0.data[sl0] * y[i]
         if x_full is None:
             return y, rc
         x = np.asarray(x_full, np.float64)
@@ -385,6 +421,58 @@ def presolve(
                 A.data[slice(A.indptr[j], A.indptr[j + 1])] = 0.0
                 kill_row(i)
                 changed = True
+
+        # Rule 8: row activity bounds — infeasibility + forcing rows.
+        Ac = sp.csc_matrix(A)
+        Ac.eliminate_zeros()
+        Ar = Ac.tocsr()
+        for i in np.flatnonzero(row_alive):
+            sl_ = slice(Ar.indptr[i], Ar.indptr[i + 1])
+            cols_i = Ar.indices[sl_]
+            vals_i = Ar.data[sl_]
+            live = col_alive[cols_i]
+            cols_i, vals_i = cols_i[live], vals_i[live]
+            if cols_i.size == 0:
+                continue  # rule 3 handles it next sweep
+            lo_c = np.where(vals_i > 0, l[cols_i], u[cols_i])
+            hi_c = np.where(vals_i > 0, u[cols_i], l[cols_i])
+            lo_fin = np.isfinite(lo_c) & (np.abs(lo_c) < inf_b)
+            hi_fin = np.isfinite(hi_c) & (np.abs(hi_c) < inf_b)
+            Lmin = float(vals_i @ np.where(lo_fin, lo_c, 0.0)) if lo_fin.all() else -np.inf
+            Lmax = float(vals_i @ np.where(hi_fin, hi_c, 0.0)) if hi_fin.all() else np.inf
+            mag = float(
+                np.abs(vals_i) @ np.maximum(
+                    np.abs(np.where(lo_fin, lo_c, 0.0)),
+                    np.abs(np.where(hi_fin, hi_c, 0.0)),
+                )
+            )
+            feas_wid = 1e-7 * (1.0 + abs(b[i]) + mag)
+            if b[i] > Lmax + feas_wid or b[i] < Lmin - feas_wid:
+                return fail(
+                    "infeasible",
+                    f"row {i} activity in [{Lmin:.6g}, {Lmax:.6g}] cannot "
+                    f"reach b={b[i]:.6g}",
+                )
+            # Forcing acceptance: tight tolerance (a wrong accept pins
+            # columns), and a pivot guard against tiny entries whose
+            # rc/a ratios would blow up in the dual postsolve.
+            force_wid = 1e-9 * (1.0 + abs(b[i]) + mag)
+            if np.min(np.abs(vals_i)) < 1e-10 * (1.0 + np.max(np.abs(vals_i))):
+                continue
+            if np.isfinite(Lmax) and b[i] >= Lmax - force_wid and Lmax - Lmin > force_wid:
+                pin = hi_c
+                side = 1
+            elif np.isfinite(Lmin) and b[i] <= Lmin + force_wid and Lmax - Lmin > force_wid:
+                pin = lo_c
+                side = -1
+            else:
+                continue
+            steps.append(("forcing", int(i), cols_i.copy(),
+                          vals_i.copy(), side))
+            for j, v in zip(cols_i, pin):
+                fix_column(int(j), float(v))
+            kill_row(i)
+            changed = True
 
     kept_cols = np.flatnonzero(col_alive)
     kept_rows = np.flatnonzero(row_alive)

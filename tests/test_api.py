@@ -126,6 +126,33 @@ class TestSolve:
             np.testing.assert_allclose(rep.solution["y"],
                                        single.solution["y"], atol=1e-2)
 
+    def test_solve_batch_warm_restart(self):
+        """Batch warm re-solve: the same problem list restarted from its
+        prior reports converges in far fewer iterations; a box-mismatched
+        warm list is rejected."""
+        import numpy as np
+
+        from cholesky_is_magic_tpu.ingest.mps import read_mps_string
+        from cholesky_is_magic_tpu.utils.testing import random_lp, write_mps
+
+        sfs = []
+        for seed in range(4):
+            ineq = random_lp(60 + seed, n_ub=8, n_eq=2, n=12)
+            sfs.append(cim.to_standard_form(read_mps_string(write_mps(ineq))))
+        cold = cim.solve_batch(sfs, pad_multiple=16, max_iters=200)
+        assert all(r.status == "optimal" for r in cold)
+        warm = cim.solve_batch(sfs, pad_multiple=16, max_iters=200,
+                               warm=cold, warm_push=1e-3)
+        assert all(r.status == "optimal" for r in warm)
+        it_cold = sum(r.summary["iterations"] for r in cold)
+        it_warm = sum(r.summary["iterations"] for r in warm)
+        assert it_warm < 0.7 * it_cold, (it_warm, it_cold)
+        for c, w in zip(cold, warm):
+            tol = 2e-4 * max(1.0, abs(c.objective)) + 1e-4
+            assert abs(w.objective - c.objective) < tol
+        with pytest.raises(ValueError, match="padded box|reports"):
+            cim.solve_batch(sfs, pad_multiple=32, max_iters=50, warm=cold)
+
     @pytest.mark.slow
     def test_warm_resolve_through_api(self):
         """The serving flow at the front door: warm=prev report skips

@@ -91,6 +91,96 @@ class TestRules:
         assert info.status == "infeasible"
 
 
+class TestForcingRows:
+    """Rule 8: row activity bounds (Andersen & Andersen forcing
+    constraints) — infeasibility detection and full-support pinning with
+    exact dual postsolve."""
+
+    def test_lmax_forcing_pins_support(self):
+        """x0 + x1 + x2 = 3 with all three in [0, 1] forces all to 1
+        (columns appear in other rows too, so rules 6/7 cannot fire
+        first)."""
+        sf = _sf(
+            A=[[1.0, 1.0, 1.0, 0.0],
+               [1.0, 1.0, 0.0, 1.0],
+               [0.0, 0.0, 1.0, 1.0]],
+            b=[3.0, 2.5, 1.5],
+            c=[1.0, -1.0, 2.0, 0.5],
+            l=[0.0, 0.0, 0.0, 0.0], u=[1.0, 1.0, 1.0, 10.0],
+        )
+        red, info = presolve(sf)
+        assert any(s[0] == "forcing" for s in info.steps)
+        x_full = info.restore(None if info.status == "solved"
+                              else _highs_on_sf(red)[0])
+        np.testing.assert_allclose(x_full[:3], 1.0, atol=1e-9)
+        _, f_ref = _highs_on_sf(sf)
+        assert sf.dense_c() @ x_full == pytest.approx(f_ref, abs=1e-9)
+
+    def test_lmin_forcing_with_mixed_signs(self):
+        """x0 - x1 + x2 = -2 with x0, x2 in [0, 1], x1 in [0, 2]:
+        Lmin = -2 = b -> pins x0 = 0, x1 = 2 (negative coefficient at
+        its MAX), x2 = 0."""
+        sf = _sf(
+            A=[[1.0, -1.0, 1.0, 0.0],
+               [1.0, 1.0, 0.0, 1.0],
+               [0.0, 0.0, 1.0, 1.0]],
+            b=[-2.0, 2.5, 0.5],
+            c=[1.0, 1.0, 1.0, 0.2],
+            l=[0.0, 0.0, 0.0, 0.0], u=[1.0, 2.0, 1.0, 10.0],
+        )
+        red, info = presolve(sf)
+        assert any(s[0] == "forcing" for s in info.steps)
+        x_full = info.restore(None if info.status == "solved"
+                              else _highs_on_sf(red)[0])
+        assert x_full[0] == pytest.approx(0.0, abs=1e-9)
+        assert x_full[1] == pytest.approx(2.0)
+        assert x_full[2] == pytest.approx(0.0, abs=1e-9)
+
+    def test_activity_bound_infeasible(self):
+        sf = _sf(
+            A=[[1.0, 1.0, 1.0]],
+            b=[5.0],  # max activity is 3
+            c=[1.0, 1.0, 1.0],
+            l=[0.0, 0.0, 0.0], u=[1.0, 1.0, 1.0],
+        )
+        red, info = presolve(sf)
+        assert info.status == "infeasible"
+        assert "activity" in info.detail
+
+    def test_forcing_dual_postsolve_matches_highs(self):
+        """The forcing row carries a NONZERO optimal dual here (pinned
+        columns' reduced costs demand it); restore_duals' extreme-ratio
+        rule must reproduce the HiGHS marginal, not default to 0."""
+        from scipy.optimize import linprog
+
+        import cholesky_is_magic_tpu as cim
+
+        sf = _sf(
+            A=[[1.0, 1.0, 0.0, 0.0],
+               [1.0, 0.0, 1.0, 1.0],
+               [0.0, 1.0, -1.0, 2.0]],
+            b=[2.0, 2.5, 0.2],
+            c=[-3.0, -1.0, 2.0, 0.5],
+            l=[0.0, 0.0, 0.0, 0.0], u=[1.0, 1.0, 10.0, 10.0],
+        )
+        _red, info = presolve(sf)
+        assert any(s[0] == "forcing" for s in info.steps)
+        ref = linprog(sf.dense_c(), A_eq=sf.dense_A(), b_eq=sf.b,
+                      bounds=list(zip(sf.l, sf.u)), method="highs")
+        assert ref.status == 0
+        rep = cim.solve(sf, "pdas_dd", presolve=True, pad_multiple=8,
+                        max_iters=300, refine_steps=2, dtype=None)
+        assert rep.objective == pytest.approx(ref.fun, rel=1e-5, abs=1e-5)
+        y = rep.solution["y"]
+        assert not np.any(np.isnan(y))
+        np.testing.assert_allclose(y, ref.eqlin.marginals, atol=1e-3)
+        # Complementarity of the restored reduced costs on the pinned
+        # columns: sign-correct at the bound each sits on.
+        rc = rep.solution["reduced_costs"]
+        x = rep.solution["x"] if "x" in rep.solution else None
+        assert rc[0] <= 1e-6 and rc[1] <= 1e-6  # pinned at upper bounds
+
+
 class TestEndToEnd:
     def test_presolved_solve_matches_oracle(self):
         """Random LP augmented with fixed variables and singleton rows:

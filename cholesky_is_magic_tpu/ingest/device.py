@@ -63,20 +63,31 @@ class DeviceLP:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["E", "c", "b", "l", "u", "row_type"],
+    data_fields=["E", "EB", "ETB", "c", "b", "l", "u", "row_type"],
     meta_fields=["m", "n"],
 )
 @dataclasses.dataclass(frozen=True)
 class SparseLP:
-    """Sparse (ELL) device operands for the matrix-free path.
+    """Sparse device operands for the matrix-free path.
 
     Unlike DeviceLP there is no padding: the APPROX/ALM solvers are pure
-    gather/scatter + elementwise, so the only static-shape requirement is
-    the ELL slot count.  This is the at-scale operand set: memory follows
-    nnz(A), not m*n.
+    gather + elementwise, so the only static-shape requirement is the ELL
+    slot count.  This is the at-scale operand set: memory follows nnz(A),
+    not m*n.
+
+    ``EB``/``ETB`` are optional block-ELL renderings of A and Aᵀ
+    (ops.bell): XLA's elementwise gather/scatter lowering of the plain
+    ELL products SERIALIZES on TPU (~1.07 ms forward / ~1.10 ms
+    scatter-transpose at m=16384, 0.0003% of f32 peak), while the
+    (8, 128)-tile BELL products run at HBM bandwidth (0.047 / 0.149 ms —
+    23x / 7.4x; measured on v5e, docs/DEVNOTES.md r4).  They are None
+    when the pattern inflates past bell.from_coo's byte gate, in which
+    case the hot paths fall back to the ELL gather + scatter-add.
     """
 
-    E: object  # ops.sparse_ops.ELLMatrix
+    E: object  # ops.sparse_ops.ELLMatrix, (m, n)
+    EB: object  # ops.bell.BellMatrix of A, or None (gate: bell.from_coo)
+    ETB: object  # ops.bell.BellMatrix of Aᵀ, or None
     c: jax.Array  # (n,)
     b: jax.Array  # (m,)
     l: jax.Array  # (n,)
@@ -119,11 +130,21 @@ def to_sparse_lp(sf: StandardForm, *, dtype=jnp.float32, big: float = 1e30) -> S
     """StandardForm -> ELL-backed sparse operands (no padding)."""
     from cholesky_is_magic_tpu.ops import sparse_ops
 
+    from cholesky_is_magic_tpu.ops import bell
+
     E = sparse_ops.from_coo(
         sf.a_rows, sf.a_cols, sf.a_vals, (sf.ncons, sf.nvars), dtype=dtype
     )
+    EB = bell.from_coo(
+        sf.a_rows, sf.a_cols, sf.a_vals, (sf.ncons, sf.nvars), dtype=dtype
+    )
+    ETB = bell.from_coo(
+        sf.a_cols, sf.a_rows, sf.a_vals, (sf.nvars, sf.ncons), dtype=dtype
+    )
     return SparseLP(
         E=E,
+        EB=EB,
+        ETB=ETB,
         c=jnp.asarray(sf.c, dtype=dtype),
         b=jnp.asarray(sf.b, dtype=dtype),
         l=jnp.asarray(np.clip(sf.l, -big, big), dtype=dtype),

@@ -14,6 +14,9 @@ a C shim (wrapper.c), this package supplies compiled-in XLA/Pallas kernels:
   kernel (the native-kernel replacement for CHOLMOD's supernodal LLᵀ).
 - :mod:`.sparse_ops` — block/COO sparse products for the matrix-free path
   (analogue of cholmod_sdmult, sparse-cholesky.lisp:567-614).
+- :mod:`.bell`       — block-ELL (dense (8, 128)-tile) sparse matvec:
+  the HBM-bandwidth SpMV the hot matrix-free paths ride; plain ELL
+  gather/scatter serializes on TPU (docs/DEVNOTES.md r4).
 """
 
 from cholesky_is_magic_tpu.ops.dense import (

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cholesky_is_magic_tpu.ingest.device import DeviceLP, SparseLP, round_up
+from cholesky_is_magic_tpu.ops import bell as bell_ops
 from cholesky_is_magic_tpu.ops import sparse_ops
 from cholesky_is_magic_tpu.ops.sparse_ops import ELLMatrix
 from cholesky_is_magic_tpu.utils.precision import highest_precision
@@ -44,15 +45,26 @@ from cholesky_is_magic_tpu.utils.precision import highest_precision
 BIG = 1e30  # encoded infinity (see ingest.device)
 
 
-def _qmv(Q, v):
-    """Q @ v for a dense array or an ELLMatrix."""
+def _qmv(Q, v, QB=None):
+    """Q @ v for a dense array or an ELLMatrix; rides the block-ELL
+    rendering when one exists (23x the ELL gather on TPU at m=16k,
+    HBM-bandwidth-bound — see ops.bell / SparseLP.EB)."""
+    if QB is not None:
+        return bell_ops.matvec(QB, v)
     if isinstance(Q, ELLMatrix):
         return sparse_ops.matvec(Q, v)
     return Q @ v
 
 
-def _qrmv(Q, y):
-    """Qᵀ @ y for a dense array or an ELLMatrix."""
+def _qrmv(Q, y, QTB=None):
+    """Qᵀ @ y for a dense array or an ELLMatrix; rides the block-ELL of
+    Qᵀ when one exists (7.4x over the XLA scatter-add at m=16k).  NOTE
+    the measured TPU ordering of the fallbacks: the ELL scatter-add
+    BEATS a plain-ELL gather of the pre-transposed matrix (1.10 vs
+    1.50 ms at m=16k) — element gathers serialize just like scatters,
+    so only whole-tile BELL products are worth a transposed operand."""
+    if QTB is not None:
+        return bell_ops.matvec(QTB, y)
     if isinstance(Q, ELLMatrix):
         return sparse_ops.rmatvec(Q, y)
     return Q.T @ y
@@ -61,7 +73,7 @@ def _qrmv(Q, y):
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "Q", "q", "s", "beta", "c_lin", "nu", "l", "u", "z0",
+        "Q", "QB", "QTB", "q", "s", "beta", "c_lin", "nu", "l", "u", "z0",
         "comp_a", "comp_b", "comp_a0", "comp_b0", "comp_sign",
     ],
     meta_fields=["n_quads", "n_vars"],
@@ -72,7 +84,9 @@ class ApproxProblem:
     + sum_k comp_sign_k (v[comp_a_k] - comp_a0_k)(v[comp_b_k] - comp_b0_k)
     (+ constant z0)."""
 
-    Q: jax.Array  # (P, N) padded
+    Q: jax.Array  # (P, N) padded dense, or an ELLMatrix
+    QB: object  # ops.bell.BellMatrix of Q, or None (dense path / gated out)
+    QTB: object  # ops.bell.BellMatrix of Qᵀ, or None
     q: jax.Array  # (P,)
     s: jax.Array  # (P,) per-quad scale; 0 on padded rows
     beta: jax.Array  # (P,) nnz per quad row (ESO beta, tau = n)
@@ -125,6 +139,8 @@ def make_alm_subproblem(lp, lam: jax.Array, mu) -> ApproxProblem:
     z0 = -jnp.dot(lam, lp.b)
     return ApproxProblem(
         Q=lp.A,
+        QB=None,
+        QTB=None,
         q=lp.b,
         s=s,
         beta=beta,
@@ -145,12 +161,24 @@ def _make_alm_subproblem_ell(lp: SparseLP, lam: jax.Array, mu) -> ApproxProblem:
     mu = jnp.asarray(mu, dtype=dtype)
     s = jnp.full((lp.m,), jnp.sqrt(mu), dtype=dtype)
     beta = jnp.sum(E.values != 0, axis=1).astype(dtype)
-    c_lin = lp.c + sparse_ops.rmatvec(E, lam)
-    E2 = E._replace(values=E.values * E.values)
-    nu = sparse_ops.rmatvec(E2, beta * s * s)
+    # Transpose products ride the block-ELL of Aᵀ when the pattern
+    # admits one (HBM-bandwidth products; see SparseLP.EB/ETB), else the
+    # ELL scatter-add.  The squared-operand product for nu reuses the
+    # same layout: padded tiles/slots are zero, so squaring keeps them
+    # inert.
+    if lp.ETB is not None:
+        c_lin = lp.c + bell_ops.matvec(lp.ETB, lam)
+        ETB2 = dataclasses.replace(lp.ETB, blocks=lp.ETB.blocks * lp.ETB.blocks)
+        nu = bell_ops.matvec(ETB2, beta * s * s)
+    else:
+        c_lin = lp.c + sparse_ops.rmatvec(E, lam)
+        E2 = E._replace(values=E.values * E.values)
+        nu = sparse_ops.rmatvec(E2, beta * s * s)
     z0 = -jnp.dot(lam, lp.b)
     return ApproxProblem(
         Q=E,
+        QB=lp.EB,
+        QTB=lp.ETB,
         q=lp.b,
         s=s,
         beta=beta,
@@ -281,6 +309,8 @@ def make_approx_selfdual(
     hi = np.clip(hi, -BIG, BIG)
     return ApproxProblem(
         Q=jnp.asarray(Qp, dtype=dtype),
+        QB=None,
+        QTB=None,
         q=padv(q, Pp),
         s=padv(s, Pp),  # padded rows scale 0 => inert
         beta=padv(beta, Pp),
@@ -303,9 +333,9 @@ def value_and_gradient(prob: ApproxProblem, v: jax.Array):
     """One pass over every term (value-&-gradient, alm-approx.lisp:177-194):
     value, gradient, and the max |term violation| — two matvecs + prox-free
     elementwise work.  Padded quad rows have s = 0 and vanish."""
-    r = prob.s * (_qmv(prob.Q, v) - prob.q)
+    r = prob.s * (_qmv(prob.Q, v, prob.QB) - prob.q)
     value = 0.5 * jnp.sum(r * r) + jnp.dot(prob.c_lin, v)
-    g = _qrmv(prob.Q, prob.s * r) + prob.c_lin
+    g = _qrmv(prob.Q, prob.s * r, prob.QTB) + prob.c_lin
     maxviol = jnp.max(jnp.abs(r)) if r.shape[0] else jnp.asarray(0.0, v.dtype)
     if prob.comp_a.shape[0]:
         va = v[prob.comp_a] - prob.comp_a0
@@ -326,7 +356,7 @@ def dual_value(prob: ApproxProblem, v: jax.Array):
 def quad_violations(prob: ApproxProblem, v: jax.Array):
     """Raw (unscaled) per-quad residuals Q v - q, zero on padded rows —
     `violation c x nil` as used by the ALM outer loop (alm-approx.lisp:507-511)."""
-    return jnp.where(prob.s != 0, _qmv(prob.Q, v) - prob.q, 0.0)
+    return jnp.where(prob.s != 0, _qmv(prob.Q, v, prob.QB) - prob.q, 0.0)
 
 
 def _solve_coordinate(z, nu, theta, g, l, u):

@@ -5,7 +5,8 @@ reference — pure gather/scatter + elementwise, no factorization (the
 reference's hottest pure-Lisp loop, alm-approx.lisp:240-262).  This demo
 gives it the at-scale story the IPM path already has:
 
-  1. end-to-end `alm` over ELL operands (SparseLP; memory ~ nnz) at
+  1. end-to-end `alm` over sparse operands (SparseLP; memory ~ nnz, with
+     block-ELL renderings for the hot products — ops.bell) at
      m = 16384, with the HiGHS value for context;
   2. the inner-iteration kernel (one accelerated APPROX step: two
      value-&-gradient passes = 4 SpMVs + elementwise prox) timed per

@@ -287,8 +287,10 @@ def config_batched(n_lps=256):
     batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
     # r3: mehrotra halves the iteration tail that gates the vmapped
     # while_loop (the batch runs to its slowest member); the corrector's
-    # extra solves ride the shared factorization.
-    cfg = PDASConfig(max_iters=60, mehrotra=True)
+    # extra solves ride the shared factorization.  r4: the inverse
+    # factor/solve kernel collapses the vmapped serial trisolves into
+    # batched matmuls (PDASConfig.factor_method).
+    cfg = PDASConfig(max_iters=60, mehrotra=True, factor_method="inverse")
     res = batched_pdas(batched, cfg)  # compile + run
     float(res.objective[0])
     t0 = time.time()

@@ -59,6 +59,7 @@ def solve_batch(
     warm: Optional[list] = None,
     warm_push: float = 0.0,
     warm_blend: float = 0.0,
+    factor_method: str = "inverse",
 ) -> list:
     """Solve a batch of (possibly heterogeneous) LPs as ONE vmapped pdas
     computation — the dp serving mode at the front door.
@@ -85,6 +86,13 @@ def solve_batch(
     margin) exactly as in solve(); the recommended drift recipe is
     ``warm_blend=0.2, mehrotra=True`` (examples/warm_resolve.py).
 
+    ``factor_method`` defaults to "inverse" here (and ONLY here): the
+    vmapped dense kernel — blocked Cholesky + one explicit triangular
+    inverse per iteration, solves as matvec pairs — because under vmap
+    the per-rhs serial triangular solves are the dominant batched
+    iteration cost (PDASConfig.factor_method has the measurements).
+    Pass "direct" to get the single-LP kernel for comparison.
+
     pdas only: the other families either need per-problem symbolic
     analysis (sparse engines) or consume true-count metadata that cannot
     vary across a stacked batch (affine/approx) — solve() covers those
@@ -109,8 +117,12 @@ def solve_batch(
     M = round_up(max(sf.ncons for sf in sfs), pad_multiple)
     N = round_up(max(sf.nvars for sf in sfs), pad_multiple)
     kw = {} if gap_tol is None else {"gap_tol": gap_tol}
+    # factor_method="inverse" is the vmapped-mode dense kernel (blocked
+    # Cholesky + explicit triangular inverse): under vmap the per-rhs
+    # serial triangular solves dominate the batched iteration — see
+    # PDASConfig.factor_method.  Callers can force "direct" to compare.
     cfg = PDASConfig(max_iters=max_iters, refine_steps=refine_steps,
-                     mehrotra=mehrotra, **kw)
+                     mehrotra=mehrotra, factor_method=factor_method, **kw)
     # Build everything host-side (as_numpy), stack once, ship ONE array per
     # leaf, and vmap make_pdas over the stacked batch: per-problem eager
     # jnp construction paid a tunnel transfer + dispatch per LP (measured

@@ -43,14 +43,17 @@ def row_boost(lp):
 
 def prepare_normal_backend(lp, engine, d, row_boost, refine_steps,
                            mesh=None, dbound=0.0, krylov_steps=0,
-                           krylov_gate=None):
+                           krylov_gate=None, method="direct"):
     """Factor (A·diag(d))(A·diag(d))ᵀ ONCE on whichever backend the
     operand set and options select; returns (solve_fn, ok) — the
     solve-sparse-recycle split (sparse-cholesky.lisp:524-560) at the
     dispatch seam, so solver loops can run several rhs (e.g. the Mehrotra
     corrector) against one factorization.  ``krylov_gate``: traced
     per-call PCG/Richardson choice on the shared factor
-    (ops.krylov.gated; requires krylov_steps > 0)."""
+    (ops.krylov.gated; requires krylov_steps > 0).  ``method``: dense
+    factor/solve kernel selection (ops.dense.prepare_normal — "inverse"
+    is the vmap-friendly batched variant); only the plain dense backend
+    honors it (the sparse/tiled/mesh engines have their own kernels)."""
     from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
 
     if isinstance(lp, SparseKKTLP):
@@ -72,7 +75,7 @@ def prepare_normal_backend(lp, engine, d, row_boost, refine_steps,
         return dense_ops.prepare_normal(
             lp.A, d, row_boost=row_boost, refine_steps=refine_steps,
             dbound=dbound, krylov_steps=krylov_steps,
-            krylov_gate=krylov_gate,
+            krylov_gate=krylov_gate, method=method,
         )
     return engine.prepare_normal(
         lp.A, d, row_boost=row_boost, refine_steps=refine_steps,

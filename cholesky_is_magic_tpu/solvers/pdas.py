@@ -147,6 +147,17 @@ class PDASConfig:
     # it (complementarity shrinks by ~(1 - gamma(1 - sigma)) per
     # iteration).
     mehrotra_gamma: float = 0.99
+    # Dense factor/solve kernel selection (ops.dense.prepare_normal):
+    # "direct" = lax Cholesky + per-rhs triangular solves; "inverse" =
+    # static-recursive blocked Cholesky + ONE explicit triangular inverse,
+    # after which every solve is two matvecs.  "inverse" is the vmapped/
+    # batched-mode kernel: under vmap the serial per-rhs trisolves are the
+    # dominant batched-iteration cost (measured 3.2x on the (256, 64, 128)
+    # component — benchmarks/profile_batched_prims.py); solve_batch
+    # selects it automatically.  Single-LP solves keep "direct" (one wide
+    # trisolve sweep per solve loses to two narrow ones there).  Only the
+    # plain dense backend reads this; engine/mesh paths ignore it.
+    factor_method: str = "direct"
     # Record per-iteration (gap, pobj, step) into result.extra["trace"] —
     # the TPU rendering of the reference's per-iteration stdout lines
     # (one-pdas-iteration :336-338, :376).
@@ -539,6 +550,7 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
         solve_fn, ok = _prepare_normal_backend(
             lp, engine, s_sel, boost, cfg.refine_steps, mesh,
             cfg.dbound, cfg.krylov_steps, krylov_gate=gate,
+            method=cfg.factor_method,
         )
         y = solve_fn(rhs_sel)
         ty = rmv(y)
@@ -715,10 +727,16 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
         # Best-iterate tracking: the gap of state `st` (pre-step) is `gap`.
         # Gated on primal feasibility — the duality gap of an infeasible
         # iterate is meaningless (pobj is not attained), so an early
-        # infeasible iterate must never beat a feasible one.
+        # infeasible iterate must never beat a feasible one.  Only the
+        # iterate fields (x, y, w, z) are carried: selecting over the whole
+        # PDASState re-materializes lp.A (m*n) every iteration, which at
+        # batched (256, 64, 128) sizes is pure HBM traffic for operands
+        # that never change.
         improved = (gap < best_gap) & (pviol < cfg.primal_feasible_tol)
         best_st = jax.tree.map(
-            lambda b, c: jnp.where(improved, c, b), best_st, st
+            lambda b, c: jnp.where(improved, c, b),
+            best_st,
+            (st.x, st.y, st.w, st.z),
         )
         best_gap = jnp.where(improved, gap, best_gap)
         since_best = jnp.where(improved, 0, since_best + 1)
@@ -777,7 +795,8 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
         (state, jnp.asarray(0, jnp.int32), jnp.asarray(False), init_gap,
          init_gap, jnp.asarray(0, jnp.int32),
          jnp.asarray(Status.RUNNING, jnp.int32),
-         trace0, init_gap, state, jnp.asarray(0, jnp.int32)),
+         trace0, init_gap, (state.x, state.y, state.w, state.z),
+         jnp.asarray(0, jnp.int32)),
     )
     # Return the best-seen iterate: continuing past the working-precision
     # floor makes the LAST iterate worse than the best one.
@@ -787,7 +806,12 @@ def _pdas_jit(state: PDASState, cfg: PDASConfig, engine=None, mesh=None) -> Solv
     # converged one (observed: "optimal" with primal residual 25 on the
     # sparse afiro cold start).
     use_best = best_gap <= gap
-    st = jax.tree.map(lambda b, c: jnp.where(use_best, b, c), best_st, st)
+    bx, by, bw, bz = jax.tree.map(
+        lambda b, c: jnp.where(use_best, b, c),
+        best_st,
+        (st.x, st.y, st.w, st.z),
+    )
+    st = dataclasses.replace(st, x=bx, y=by, w=bw, z=bz)
     exit_bounced = bounced(gap, best_gap)  # on the PRE-min exit gap
     gap = jnp.minimum(best_gap, gap)
     pobj, dobj = _objectives(st, cfg.clamp)

@@ -622,9 +622,15 @@ def _pdas_dd_jit(
                 vals = vals + (st.x.hi, st.x.lo)
             trace = jax.tree.map(lambda a, v: a.at[i].set(v), trace, vals)
         # Feasibility-gated best tracking (see pdas.py: an infeasible
-        # iterate's duality gap is meaningless).
+        # iterate's duality gap is meaningless).  Only (x, y, w, z) are
+        # carried — selecting over the whole state re-materializes the
+        # never-changing lp operands (A among them) every iteration.
         improved = (gap < best_gap) & (pviol < 1e-2)
-        best_st = jax.tree.map(lambda b, c: jnp.where(improved, c, b), best_st, st)
+        best_st = jax.tree.map(
+            lambda b, c: jnp.where(improved, c, b),
+            best_st,
+            (st.x, st.y, st.w, st.z),
+        )
         best_gap = jnp.where(improved, gap, best_gap)
         since_best = jnp.where(improved, 0, since_best + 1)
         status = jnp.where(ok, Status.RUNNING, Status.SINGULAR).astype(jnp.int32)
@@ -668,7 +674,8 @@ def _pdas_dd_jit(
      trace) = jax.lax.while_loop(
         cond,
         body,
-        (state, jnp.asarray(0, jnp.int32), inf, inf, inf, state,
+        (state, jnp.asarray(0, jnp.int32), inf, inf, inf,
+         (state.x, state.y, state.w, state.z),
          jnp.asarray(0, jnp.int32), jnp.asarray(Status.RUNNING, jnp.int32),
          trace0),
     )
@@ -678,7 +685,12 @@ def _pdas_dd_jit(
     # converged one (observed: "optimal" with primal residual 25 on the
     # sparse afiro cold start).
     use_best = best_gap <= gap
-    st = jax.tree.map(lambda b, c: jnp.where(use_best, b, c), best_st, st)
+    bx, by, bw, bz = jax.tree.map(
+        lambda b, c: jnp.where(use_best, b, c),
+        best_st,
+        (st.x, st.y, st.w, st.z),
+    )
+    st = dataclasses.replace(st, x=bx, y=by, w=bw, z=bz)
     exit_bounced = bounced(gap, best_gap)  # on the PRE-min exit gap
     gap = jnp.minimum(best_gap, gap)
     pobj_dd, dobj_dd = _dd_objectives(st, cfg.clamp)

@@ -137,6 +137,61 @@ class TestDense:
         assert bool(ok)
         np.testing.assert_allclose(np.asarray(y, np.float64), y_ref, rtol=2e-4, atol=2e-5)
 
+    def test_inverse_method_matches_direct(self):
+        """method="inverse" (blocked Cholesky + explicit triangular
+        inverse, the vmapped-batch kernel) reaches the same refined
+        accuracy as the per-rhs trisolve path."""
+        rng = np.random.default_rng(8)
+        m, n = 24, 40
+        A64 = rng.normal(size=(m, n))
+        d64 = rng.random(n) + 0.1
+        g64 = rng.normal(size=m)
+        AD = A64 * d64
+        y_ref = np.linalg.solve(AD @ AD.T, g64)
+        args = (jnp.asarray(A64, jnp.float32), jnp.asarray(d64, jnp.float32),
+                jnp.asarray(g64, jnp.float32))
+        y_inv, ok = dense.solve_normal(*args, refine_steps=2, method="inverse")
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(y_inv, np.float64), y_ref,
+                                   rtol=2e-4, atol=2e-5)
+        # Singular detection survives the blocked factorization.
+        z = jnp.zeros((8, 12), jnp.float32)
+        _, ok = dense.solve_normal(z, jnp.ones(12, jnp.float32),
+                                   jnp.ones(8, jnp.float32), method="inverse")
+        assert not bool(ok)
+        # And the dbound retry path composes (singular N, retry succeeds
+        # only if the boost makes it PD — zero diag stays singular, so
+        # drop one column to rank-deficiency instead).
+        A_bad = jnp.asarray(np.vstack([A64[:4], A64[:4]]), jnp.float32)
+        y_b, ok_b = dense.solve_normal(
+            A_bad, jnp.asarray(d64, jnp.float32),
+            jnp.ones(8, jnp.float32), refine_steps=1, dbound=1e-5,
+            method="inverse",
+        )
+        assert bool(ok_b)
+        assert np.all(np.isfinite(np.asarray(y_b)))
+
+    def test_inverse_method_vmaps(self):
+        """The batched use case: vmapped inverse-method solves match
+        per-problem direct solves."""
+        rng = np.random.default_rng(9)
+        B, m, n = 4, 16, 24
+        A = jnp.asarray(rng.normal(size=(B, m, n)), jnp.float32)
+        d = jnp.asarray(rng.random((B, n)) + 0.1, jnp.float32)
+        g = jnp.asarray(rng.normal(size=(B, m)), jnp.float32)
+
+        def one(method):
+            def f(Ai, di, gi):
+                y, ok = dense.solve_normal(Ai, di, gi, refine_steps=2,
+                                           method=method)
+                return y
+
+            return jax.vmap(f)(A, d, g)
+
+        y_inv = np.asarray(one("inverse"), np.float64)
+        y_dir = np.asarray(one("direct"), np.float64)
+        np.testing.assert_allclose(y_inv, y_dir, rtol=5e-4, atol=5e-5)
+
 
 class TestPallasCholesky:
     @pytest.mark.parametrize("n", [128, 256, 384])

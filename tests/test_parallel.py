@@ -46,6 +46,18 @@ class TestBatched:
             assert int(res.status[i]) == Status.OPTIMAL
             assert float(res.objective[i]) == pytest.approx(fun, rel=1e-3, abs=1e-3)
 
+    def test_vmapped_pdas_inverse_kernel_matches_oracle(self):
+        """factor_method="inverse" (the batched-mode dense kernel:
+        blocked Cholesky + explicit triangular inverse) converges to the
+        same optima as the per-rhs trisolve kernel under vmap."""
+        lps, funs = batch_of_lps([0, 2, 4, 6])
+        states = jax.tree.map(lambda *xs: jnp.stack(xs), *[make_pdas(lp) for lp in lps])
+        res = batched_pdas(states, PDASConfig(max_iters=200,
+                                              factor_method="inverse"))
+        for i, fun in enumerate(funs):
+            assert int(res.status[i]) == Status.OPTIMAL
+            assert float(res.objective[i]) == pytest.approx(fun, rel=1e-3, abs=1e-3)
+
     def test_dp_sharded_batch(self):
         assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
         mesh = lp_mesh(dp=8, tp=1)

@@ -99,7 +99,8 @@ class SparseLP:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["E", "ET", "c", "b", "l", "u", "row_mask", "col_mask"],
+    data_fields=["E", "ET", "c", "b", "l", "u", "row_mask", "col_mask",
+                 "EB", "ETB"],
     meta_fields=["m", "n"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -112,6 +113,12 @@ class SparseKKTLP:
     static; the tile engine pads rows internally with boosted gap slots),
     so the masks are all-true and exist only for code shared with the
     padded dense path.
+
+    ``EB``/``ETB``: optional block-ELL renderings (see SparseLP — same
+    serialized-gather story; the IPM loops' A-products, f32 AND
+    double-word, ride these when the pattern admits them).  None when
+    bell.from_coo's byte gate rejects; every consumer falls back to the
+    plain ELL pair.
     """
 
     E: object  # ops.sparse_ops.ELLMatrix, (m, n)
@@ -124,6 +131,8 @@ class SparseKKTLP:
     col_mask: jax.Array  # (n,) bool, all True
     m: int
     n: int
+    EB: object = None  # ops.bell.BellMatrix of A, or None
+    ETB: object = None  # ops.bell.BellMatrix of Aᵀ, or None
 
 
 def to_sparse_lp(sf: StandardForm, *, dtype=jnp.float32, big: float = 1e30) -> SparseLP:

@@ -173,9 +173,19 @@ def ell_kkt_operator(
         solve_fn, ok = prepare_scaled_normal(s)
         return solve_fn(g), ok
 
+    from cholesky_is_magic_tpu.ops import bell
+
+    # Block-ELL products when the operand set carries them (ops.bell —
+    # the per-nonzero ELL forms serialize on TPU; docs/DEVNOTES.md r4).
+    mv = ((lambda v: bell.matvec(lp.EB, v))
+          if getattr(lp, "EB", None) is not None
+          else (lambda v: sparse_ops.matvec(lp.E, v)))
+    rmv = ((lambda v: bell.matvec(lp.ETB, v))
+           if getattr(lp, "ETB", None) is not None
+           else (lambda v: sparse_ops.matvec(lp.ET, v)))
     return KKTOperator(
-        mv=lambda v: sparse_ops.matvec(lp.E, v),
-        rmv=lambda v: sparse_ops.matvec(lp.ET, v),
+        mv=mv,
+        rmv=rmv,
         solve_scaled_normal=solve_scaled_normal,
         prepare_scaled_normal=prepare_scaled_normal,
     )

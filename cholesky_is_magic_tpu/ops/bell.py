@@ -21,7 +21,10 @@ The trade is storage inflation: a tile is stored dense, so patterns
 whose 8-row windows touch many distinct 128-column blocks explode.
 :func:`from_coo` therefore returns ``None`` when the inflated bytes
 exceed ``max_bytes`` or a fraction of the dense footprint — callers keep
-the plain-ELL route as fallback (ingest.device.to_sparse_lp wires this).
+the plain-ELL route as fallback (wired by ingest.device.to_sparse_lp for
+the matrix-free path and solvers.pdas.make_pdas_sparse /
+solvers.affine.make_affine_state_sparse for the IPM loops, whose
+double-word A-products ride :func:`dd_matvec` / :func:`dd_matvec_dd`).
 Banded/staircase LP structure (the at-scale benchmark family, and most
 real Netlib-class patterns after the slack identity block) inflates by
 only ~10-60x over raw nnz while buying back ~1000x in execution model,
@@ -143,3 +146,41 @@ def matvec(B: BellMatrix, x: jax.Array) -> jax.Array:
         precision=jax.lax.Precision.HIGHEST,
     )
     return y.reshape(-1)[: B.n_rows]
+
+
+def _gather_x(B: BellMatrix, x: jax.Array) -> jax.Array:
+    """(nbr, kb, BC) whole-tile gather of x, zero-padded past n_cols."""
+    ncb = -(-B.n_cols // BC)
+    xp = jnp.pad(x, (0, ncb * BC - B.n_cols)).reshape(ncb, BC)
+    return xp[B.bcols]
+
+
+def dd_matvec(B: BellMatrix, x: jax.Array):
+    """A @ x in double-word: the BELL twin of sparse_ops.dd_matvec.
+
+    Error-free per-element tile products (Dekker two_prod on the dense
+    (8, 128) tiles) + compensated tree reductions over the lane and tile
+    axes.  Padded tiles hold exact zeros and stay inert through two_prod;
+    x lanes past n_cols multiply zero block values.  This trades the MXU
+    einsum of :func:`matvec` for VPU elementwise work, but keeps the
+    whole-tile gather — the part whose elementwise (per-nonzero) form
+    serializes on TPU (see module docstring / docs/DEVNOTES.md r4)."""
+    from cholesky_is_magic_tpu.ops import dd as ddm
+
+    xg = _gather_x(B, x)  # (nbr, kb, BC)
+    p = ddm.two_prod(B.blocks, xg[:, :, None, :])  # (nbr, kb, BR, BC)
+    s = ddm.dd_sum(p, axis=-1)  # lanes  -> (nbr, kb, BR)
+    s = ddm.dd_sum(s, axis=1)  # tiles  -> (nbr, BR)
+    return ddm.DD(
+        s.hi.reshape(-1)[: B.n_rows], s.lo.reshape(-1)[: B.n_rows]
+    )
+
+
+def dd_matvec_dd(B: BellMatrix, x):
+    """A @ (x.hi + x.lo) in double-word (x a DD pair): dd product on the
+    hi part + a working-precision product on the (already eps-small) lo
+    part — same composition as sparse_ops.dd_matvec_dd / ops.dd."""
+    from cholesky_is_magic_tpu.ops import dd as ddm
+
+    main = dd_matvec(B, x.hi)
+    return ddm.dd_add_w(main, matvec(B, x.lo))

@@ -167,10 +167,16 @@ def make_affine_state_sparse(
                             dtype=dtype)
     ET = sparse_ops.from_coo(sf.a_cols, sf.a_rows, sf.a_vals, (n, m),
                              dtype=dtype)
+    from cholesky_is_magic_tpu.ops import bell
+
+    EB = bell.from_coo(sf.a_rows, sf.a_cols, sf.a_vals, (m, n), dtype=dtype)
+    ETB = bell.from_coo(sf.a_cols, sf.a_rows, sf.a_vals, (n, m), dtype=dtype)
     big = 1e30
     lp = SparseKKTLP(
         E=E,
         ET=ET,
+        EB=EB,
+        ETB=ETB,
         c=jnp.asarray(sf.c, dtype),
         b=jnp.asarray(sf.b, dtype),
         l=jnp.asarray(np.clip(sf.l, -big, big), dtype),

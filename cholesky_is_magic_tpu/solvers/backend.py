@@ -23,13 +23,21 @@ from cholesky_is_magic_tpu.ops import dense as dense_ops
 
 def mv_rmv(lp):
     """(A@v, Aᵀ@v) for the operand set: dense DeviceLP or the fully
-    sparse SparseKKTLP (ELL products — the cholmod_sdmult analogue)."""
+    sparse SparseKKTLP (the cholmod_sdmult analogue).  Sparse products
+    ride the block-ELL renderings when the operand set carries them
+    (ops.bell — the plain ELL gather/scatter serializes on TPU), falling
+    back to the ELL pair otherwise."""
     from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
 
     if isinstance(lp, SparseKKTLP):
+        from cholesky_is_magic_tpu.ops import bell
         from cholesky_is_magic_tpu.ops import sparse_ops as so
 
-        return (lambda v: so.matvec(lp.E, v), lambda v: so.matvec(lp.ET, v))
+        mv = ((lambda v: bell.matvec(lp.EB, v)) if lp.EB is not None
+              else (lambda v: so.matvec(lp.E, v)))
+        rmv = ((lambda v: bell.matvec(lp.ETB, v)) if lp.ETB is not None
+               else (lambda v: so.matvec(lp.ET, v)))
+        return mv, rmv
     return (lambda v: lp.A @ v, lambda v: lp.A.T @ v)
 
 

@@ -219,10 +219,20 @@ def _ops_for(lp, engine):
                 krylov_steps=cfg.krylov_steps,
             )
 
+        from cholesky_is_magic_tpu.ops import bell
+
+        # Block-ELL dd products when carried (ops.bell; the per-nonzero
+        # ELL gather/scatter serializes on TPU).
+        mv_dd = ((lambda v: bell.dd_matvec_dd(lp.EB, v))
+                 if getattr(lp, "EB", None) is not None
+                 else (lambda v: so.dd_matvec_dd(lp.E, v)))
+        rmv_dd = ((lambda v: bell.dd_matvec_dd(lp.ETB, v))
+                  if getattr(lp, "ETB", None) is not None
+                  else (lambda v: so.dd_matvec_dd(lp.ET, v)))
         return (
             prepare,
-            lambda v: so.dd_matvec_dd(lp.E, v),
-            lambda v: so.dd_matvec_dd(lp.ET, v),
+            mv_dd,
+            rmv_dd,
             jnp.zeros(lp.b.shape, lp.b.dtype),
         )
 

@@ -353,6 +353,13 @@ def make_pdas_sparse(
     engine = engine_for_sparse(A, block=block, snode_align=snode_align, dtype=dtype)
     E = sparse_ops.from_coo(sf.a_rows, sf.a_cols, vals, (m, n), dtype=dtype)
     ET = sparse_ops.from_coo(sf.a_cols, sf.a_rows, vals, (n, m), dtype=dtype)
+    # Block-ELL renderings for the loop's A-products (ops.bell; byte-gated
+    # with the ELL pair as fallback — the plain gather/scatter serializes
+    # on TPU, docs/DEVNOTES.md r4).
+    from cholesky_is_magic_tpu.ops import bell
+
+    EB = bell.from_coo(sf.a_rows, sf.a_cols, vals, (m, n), dtype=dtype)
+    ETB = bell.from_coo(sf.a_cols, sf.a_rows, vals, (n, m), dtype=dtype)
 
     # Clamp/widen + primal/dual init, identical to make_pdas (:75-133),
     # computed host-side in f64 before the dtype cast.
@@ -385,6 +392,8 @@ def make_pdas_sparse(
     lp = SparseKKTLP(
         E=E,
         ET=ET,
+        EB=EB,
+        ETB=ETB,
         c=jnp.asarray(c, dtype),
         b=jnp.asarray(b, dtype),
         l=jnp.asarray(l, dtype),

@@ -185,13 +185,21 @@ def _linops(lp):
     from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
 
     if isinstance(lp, SparseKKTLP):
+        from cholesky_is_magic_tpu.ops import bell
         from cholesky_is_magic_tpu.ops import sparse_ops as so
 
-        return (
-            lambda x_dd: so.dd_matvec_dd(lp.E, x_dd),   # A @ (dd)
-            lambda y_dd: so.dd_matvec_dd(lp.ET, y_dd),  # Aᵀ @ (dd)
-            lambda v: so.dd_matvec(lp.ET, v),           # Aᵀ @ f32 -> dd
-        )
+        # Block-ELL dd products when carried (whole-tile gathers; the
+        # per-nonzero ELL forms serialize on TPU — ops.bell docstring).
+        mv_dd = ((lambda x_dd: bell.dd_matvec_dd(lp.EB, x_dd))
+                 if lp.EB is not None
+                 else (lambda x_dd: so.dd_matvec_dd(lp.E, x_dd)))
+        rmv_dd = ((lambda y_dd: bell.dd_matvec_dd(lp.ETB, y_dd))
+                  if lp.ETB is not None
+                  else (lambda y_dd: so.dd_matvec_dd(lp.ET, y_dd)))
+        rmv_w = ((lambda v: bell.dd_matvec(lp.ETB, v))
+                 if lp.ETB is not None
+                 else (lambda v: so.dd_matvec(lp.ET, v)))
+        return (mv_dd, rmv_dd, rmv_w)
     return (
         lambda x_dd: ddm.dd_matvec_dd(lp.A, x_dd),
         lambda y_dd: ddm.dd_rmatvec_dd(lp.A, y_dd),
@@ -661,7 +669,10 @@ def _pdas_dd_jit(
             & ~bounced(gap, _bg)
         )
 
-    inf = jnp.asarray(np.inf, jnp.float32)
+    # Working dtype follows the operands (f32 + dd on TPU; f64 pairs on
+    # CPU oracles) — a hardcoded f32 here breaks the while_loop carry for
+    # f64 operand sets.
+    inf = jnp.asarray(np.inf, state.x.hi.dtype)
     n = state.x.hi.shape[0]
     trace0 = (
         (jnp.full(cfg.max_iters, np.nan, jnp.float32),) * 3

@@ -67,6 +67,150 @@ def test_empty_and_tiny():
     assert bell.from_coo(np.zeros(0), np.zeros(0), np.zeros(0), (4, 4)) is None
 
 
+class TestDDProducts:
+    """Double-word BELL products: f32 operands must reach ~1e-12 of the
+    f64 truth (the plain f32 product floors at ~1e-6 — discriminating)."""
+
+    def _coo32(self, m=200, n=500, nnz=3000, seed=3):
+        rng = np.random.default_rng(seed)
+        rows = rng.integers(0, m, nnz)
+        cols = rng.integers(0, n, nnz)
+        vals = rng.normal(size=nnz).astype(np.float32)
+        import scipy.sparse as sp
+
+        # The oracle must see the STORED operand: duplicates are summed in
+        # f64 at construction and then rounded to f32 (both ELL and BELL),
+        # so the f64 reference matrix is the f32-rounded sum.
+        A64 = sp.csr_matrix(
+            (vals.astype(np.float64), (rows, cols)), shape=(m, n)
+        ).toarray().astype(np.float32).astype(np.float64)
+        return rows, cols, vals, A64
+
+    def test_dd_matvec_reaches_f64(self):
+        rows, cols, vals, A64 = self._coo32()
+        B = bell.from_coo(rows, cols, vals, A64.shape, dtype=jnp.float32,
+                          max_dense_frac=100.0)
+        rng = np.random.default_rng(4)
+        x32 = rng.normal(size=A64.shape[1]).astype(np.float32)
+        ref = A64 @ x32.astype(np.float64)
+        got = bell.dd_matvec(B, jnp.asarray(x32))
+        out = np.asarray(got.hi, np.float64) + np.asarray(got.lo, np.float64)
+        scale = np.max(np.abs(ref))
+        np.testing.assert_allclose(out, ref, rtol=0, atol=1e-11 * scale)
+        # And the ELL dd product agrees (same composition, different order).
+        E = sparse_ops.from_coo(rows, cols, vals, A64.shape, dtype=jnp.float32)
+        egot = sparse_ops.dd_matvec(E, jnp.asarray(x32))
+        eout = np.asarray(egot.hi, np.float64) + np.asarray(egot.lo, np.float64)
+        np.testing.assert_allclose(out, eout, rtol=0, atol=1e-11 * scale)
+
+    def test_dd_matvec_dd_reaches_f64(self):
+        from cholesky_is_magic_tpu.ops import dd as ddm
+
+        rows, cols, vals, A64 = self._coo32(seed=5)
+        B = bell.from_coo(rows, cols, vals, A64.shape, dtype=jnp.float32,
+                          max_dense_frac=100.0)
+        rng = np.random.default_rng(6)
+        x64 = rng.normal(size=A64.shape[1])
+        hi = x64.astype(np.float32)
+        lo = (x64 - hi.astype(np.float64)).astype(np.float32)
+        x_dd = ddm.DD(jnp.asarray(hi), jnp.asarray(lo))
+        ref = A64 @ (hi.astype(np.float64) + lo.astype(np.float64))
+        got = bell.dd_matvec_dd(B, x_dd)
+        out = np.asarray(got.hi, np.float64) + np.asarray(got.lo, np.float64)
+        np.testing.assert_allclose(out, ref, rtol=0,
+                                   atol=1e-11 * np.max(np.abs(ref)))
+
+
+class TestSparseKKTRouting:
+    """SparseKKTLP carries EB/ETB and every routing seam (backend.mv_rmv,
+    pdas_dd._linops, kkt sparse operator, crossover dd ops) produces the
+    same numbers with and without them."""
+
+    def _kkt_lp(self, with_bell=True):
+        import dataclasses
+
+        from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
+        from cholesky_is_magic_tpu.ops import bell as bops
+
+        rng = np.random.default_rng(7)
+        m, n, nnz = 96, 220, 900
+        rows = rng.integers(0, m, nnz)
+        cols = rng.integers(0, n, nnz)
+        vals = rng.normal(size=nnz)
+        E = sparse_ops.from_coo(rows, cols, vals, (m, n), dtype=jnp.float64)
+        ET = sparse_ops.from_coo(cols, rows, vals, (n, m), dtype=jnp.float64)
+        EB = bops.from_coo(rows, cols, vals, (m, n), dtype=jnp.float64,
+                           max_dense_frac=100.0)
+        ETB = bops.from_coo(cols, rows, vals, (n, m), dtype=jnp.float64,
+                            max_dense_frac=100.0)
+        assert EB is not None and ETB is not None
+        lp = SparseKKTLP(
+            E=E, ET=ET, c=jnp.zeros(n), b=jnp.zeros(m),
+            l=jnp.zeros(n), u=jnp.ones(n),
+            row_mask=jnp.ones(m, bool), col_mask=jnp.ones(n, bool),
+            m=m, n=n,
+            EB=EB if with_bell else None, ETB=ETB if with_bell else None,
+        )
+        return lp
+
+    def test_mv_rmv_routes_match(self):
+        from cholesky_is_magic_tpu.solvers.backend import mv_rmv
+
+        lp_b, lp_e = self._kkt_lp(True), self._kkt_lp(False)
+        rng = np.random.default_rng(8)
+        v = jnp.asarray(rng.normal(size=lp_b.n))
+        y = jnp.asarray(rng.normal(size=lp_b.m))
+        mv_b, rmv_b = mv_rmv(lp_b)
+        mv_e, rmv_e = mv_rmv(lp_e)
+        np.testing.assert_allclose(np.asarray(mv_b(v)), np.asarray(mv_e(v)),
+                                   rtol=1e-13)
+        np.testing.assert_allclose(np.asarray(rmv_b(y)), np.asarray(rmv_e(y)),
+                                   rtol=1e-13)
+
+    def test_dd_linops_routes_match(self):
+        from cholesky_is_magic_tpu.ops import dd as ddm
+        from cholesky_is_magic_tpu.solvers.pdas_dd import _linops
+
+        lp_b, lp_e = self._kkt_lp(True), self._kkt_lp(False)
+        rng = np.random.default_rng(9)
+        x = ddm.dd_from(jnp.asarray(rng.normal(size=lp_b.n)))
+        y = ddm.dd_from(jnp.asarray(rng.normal(size=lp_b.m)))
+        w = jnp.asarray(rng.normal(size=lp_b.m))
+        for fb, fe, arg in zip(_linops(lp_b), _linops(lp_e), (x, y, w)):
+            rb, re = fb(arg), fe(arg)
+            np.testing.assert_allclose(
+                np.asarray(rb.hi, np.float64) + np.asarray(rb.lo, np.float64),
+                np.asarray(re.hi, np.float64) + np.asarray(re.lo, np.float64),
+                rtol=1e-13, atol=1e-13,
+            )
+
+    def test_pdas_dd_sparse_carries_bell_at_scale(self):
+        """make_pdas_dd_sparse builds EB/ETB on the staircase family at a
+        size where the byte gate admits them, and the solve runs through
+        the BELL products to the same optimum as the ELL route."""
+        import dataclasses
+
+        from cholesky_is_magic_tpu.solvers import PDASConfig
+        from cholesky_is_magic_tpu.solvers.pdas_dd import (
+            make_pdas_dd_sparse,
+            pdas_dd,
+        )
+
+        sf = _staircase_sf(512)
+        st, eng = make_pdas_dd_sparse(sf, block=128, dtype=jnp.float32)
+        assert st.lp.EB is not None and st.lp.ETB is not None
+        cfg = PDASConfig(max_iters=60, gap_tol=1e-9, refine_steps=1)
+        r_bell = pdas_dd(st, cfg, engine=eng)
+        lp_ell = dataclasses.replace(st.lp, EB=None, ETB=None)
+        r_ell = pdas_dd(dataclasses.replace(st, lp=lp_ell), cfg, engine=eng)
+        assert int(r_bell.status) == int(r_ell.status)
+        # f32 operands + dd products: the two routings differ only in
+        # summation order (~1e-13 per product); the converged objectives
+        # agree to the f32 operand floor (docs/DEVNOTES.md).
+        np.testing.assert_allclose(float(r_bell.objective),
+                                   float(r_ell.objective), rtol=2e-6)
+
+
 def _staircase_sf(m=512):
     import os
     import sys

@@ -53,6 +53,10 @@ def main(argv=None) -> int:
                     help="polish the final iterate to a certified "
                          "vertex-exact solution (one extra factorization; "
                          "pdas/pdas_dd)")
+    ap.add_argument("--entry-repair-tol", type=float, default=0.0,
+                    help="pdas_dd: min-norm-repair the finisher entry "
+                         "toward Ax=b when its relative infeasibility "
+                         "exceeds this (recommended 1e-6 at scale; 0 off)")
     ap.add_argument("--pad", type=int, default=128, help="padding multiple")
     ap.add_argument("--report", action="store_true", help="print the symbolic factorization report")
     ap.add_argument("--trace", action="store_true",
@@ -111,6 +115,7 @@ def main(argv=None) -> int:
         krylov_gate_gap=args.krylov_gate_gap,
         mehrotra=args.mehrotra,
         crossover=args.crossover,
+        entry_repair_tol=args.entry_repair_tol,
         record_trace=args.trace,
         presolve=args.presolve,
     )

@@ -254,6 +254,7 @@ def solve(
     warm_blend: float = 0.0,
     mehrotra: bool = False,
     crossover: bool = False,
+    entry_repair_tol: float = 0.0,
 ) -> SolveReport:
     """Solve an LP end-to-end with any solver family.
 
@@ -280,6 +281,14 @@ def solve(
     the shared factorization per iteration, roughly HALF the iterations
     to the same gap — the perf mode; the default keeps the
     reference-faithful plain affine step.
+
+    ``entry_repair_tol`` > 0 (pdas_dd): min-norm-repair the finisher's
+    ENTRY iterate toward Ax = b when its relative primal infeasibility
+    exceeds the threshold (PDASConfig.entry_repair_tol) — the
+    Newton-only finisher's precision floor tracks the entry residual,
+    which at-scale phase-1 exits leave start-chaotic
+    (docs/DEVNOTES.md "knife edge").  Recommended 1e-6 for at-scale
+    sparse flows; default off.
 
     ``crossover=True`` (pdas/pdas_dd) polishes the final iterate to a
     vertex-exact solution (solvers.crossover — a capability extension
@@ -455,7 +464,7 @@ def solve(
             max_iters=max_iters, gap_tol=1e-9 if gap_tol is None else gap_tol,
             refine_steps=max(refine_steps, 2), krylov_steps=krylov_steps,
             krylov_gate_gap=krylov_gate_gap, record_trace=record_trace,
-            mehrotra=mehrotra,
+            mehrotra=mehrotra, entry_repair_tol=entry_repair_tol,
         )
         if sparse:
             from cholesky_is_magic_tpu.ops import dd as ddm

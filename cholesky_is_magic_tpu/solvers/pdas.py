@@ -187,6 +187,20 @@ class PDASConfig:
     # spends re-confirming it).
     bounce_exit_ratio: float = 0.0
     bounce_exit_floor: float = 1e-5
+    # Entry min-norm repair (pdas_dd only): when > 0 and the ENTRY
+    # iterate's relative primal infeasibility max|Ax-b|/(1+max|b|)
+    # exceeds this, run ONE damped min-norm LS correction toward Ax = b
+    # (the reference's repair iteration, affine-scaling.lisp:226-243 /
+    # primal-dual-affine-scaling.lisp:268-288, identity column weights)
+    # before the Newton loop.  Rationale (docs/DEVNOTES.md "knife
+    # edge"): pdas_dd is Newton-only and its precision floor tracks the
+    # entry residual — at m=32768 a generic phase-1 exit lands at
+    # resid ~2.5e-2 and floors the finisher at 1.16e-5, where a lucky
+    # 1.0e-3 exit reaches 1.9e-7; the repair removes the luck.  Costs
+    # one identity-weighted factorization + entry_repair_refines
+    # refinement solves.  0 disables (default).
+    entry_repair_tol: float = 0.0
+    entry_repair_refines: int = 2
 
 
 @partial(

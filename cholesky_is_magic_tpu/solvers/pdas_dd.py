@@ -207,6 +207,127 @@ def _linops(lp):
     )
 
 
+def _make_op(lp, cfg: PDASConfig, engine, mesh, gate):
+    """KKT-operator dispatch on the operand set (shared by the Newton
+    loop and the entry repair): fully sparse ELL engine, mesh-sharded
+    dense, plain dense with true-residual refinement, or engine-refined
+    dense.  ``gate`` is the optional gap-gated Krylov switch (a tracer
+    inside the loop; None = ungated)."""
+    from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
+
+    boost = (~lp.row_mask).astype(jnp.float32)
+    if isinstance(lp, SparseKKTLP):
+        from cholesky_is_magic_tpu.kkt.newton import ell_kkt_operator
+
+        # mesh composes with the fully sparse engine: every
+        # factorization's assembly + Schur waves shard over 'tp'.
+        return ell_kkt_operator(
+            lp, engine, row_boost=boost, refine_steps=cfg.refine_steps,
+            dbound=cfg.dbound, krylov_steps=cfg.krylov_steps, mesh=mesh,
+            krylov_gate=gate,
+        )
+    if mesh is not None:
+        from cholesky_is_magic_tpu.parallel.sharded import sharded_kkt_operator
+
+        return sharded_kkt_operator(
+            mesh, lp.A, row_boost=boost, refine_steps=cfg.refine_steps,
+            dbound=cfg.dbound, krylov_steps=cfg.krylov_steps,
+            krylov_gate=gate,
+        )
+    if engine is None:
+        # true_residual: refine against the UNASSEMBLED operator in
+        # double-word — corrects the f32 rounding of assembling N,
+        # which otherwise floors the direction accuracy near 1e-7.
+        return dense_kkt_operator(
+            lp.A, row_boost=boost, refine_steps=cfg.refine_steps,
+            true_residual=True, dbound=cfg.dbound,
+            krylov_steps=cfg.krylov_steps, krylov_gate=gate,
+        )
+    from cholesky_is_magic_tpu.kkt.newton import sparse_kkt_operator
+
+    # Engine refinement against the unassembled operator — the
+    # sparse-path rendering of true_residual above, required for
+    # the direction accuracy the dd iterates need near gap 1e-8.
+    return sparse_kkt_operator(
+        lp.A, engine, row_boost=boost, refine_steps=cfg.refine_steps,
+        dbound=cfg.dbound, krylov_steps=cfg.krylov_steps,
+        krylov_gate=gate,
+    )
+
+
+def _entry_repair(state: PDASDDState, cfg: PDASConfig, engine, mesh):
+    """Min-norm LS correction of the entry iterate toward Ax = b in the
+    DIKIN metric (see PDASConfig.entry_repair_tol; the reference's
+    repair iteration, affine-scaling.lisp:226-243 /
+    primal-dual-affine-scaling.lisp:268-288, whose correction is
+    D²Aᵀ(AD²Aᵀ)⁻¹r with D the capped slack scaling — pdas.py:713 is the
+    f32 in-loop twin).  The slack weighting makes corrections shrink
+    automatically near bounds, so the full step rarely threatens the
+    strict interior the ratio tests rely on; a per-coordinate clip
+    (every slack keeps >= 10% of its pre-repair value) guards the
+    residue.  (An identity-weighted min-norm repair — crossover's
+    entry variant, where interiority is irrelevant — measured 3-5x
+    here vs the Dikin form's collapse: its diffuse correction lands on
+    near-bound coordinates and gets clipped away.)  All in double-word
+    with cfg.entry_repair_refines refinement passes against the exact
+    weighted operator on the f32 factor.  Keeps the repair only where
+    it reduced the relative ∞-norm infeasibility on a non-singular
+    factor.
+
+    Returns (state, pviol_before, pviol_after)."""
+    from cholesky_is_magic_tpu.solvers.affine import _slack
+
+    lp = state.lp
+    mask = lp.col_mask
+    mv_dd, rmv_dd, _ = _linops(lp)
+    zero = jnp.zeros_like(state.x.hi)
+    dd0 = ddm.DD(zero, zero)
+    sl_dd, su_dd, *_rest, primal_dd, _dual = _dd_violation(state)
+    r0 = ddm.dd_neg(primal_dd)  # b - Ax
+    bscale = 1.0 + jnp.max(jnp.abs(lp.b))
+    pv0 = jnp.max(jnp.abs(r0.to_working())) / bscale
+
+    def repair(x: DD):
+        op = _make_op(lp, cfg, engine, mesh, None)
+        boost = (~lp.row_mask).astype(jnp.float32)
+        s = _slack(lp.l, x.hi, lp.u, cfg.repair_slack_cap, mask)
+        s = jnp.where(mask, s, 0.0)  # padding inert in N and in dx
+        solve_fn, ok = op.prepare_scaled_normal(s)
+        w2 = ddm.DD(s * s, jnp.zeros_like(s))
+
+        def apply_dd(v: DD) -> DD:
+            t = ddm.dd_mul(w2, rmv_dd(v))
+            return ddm.dd_add_w(mv_dd(t), boost * v.to_working())
+
+        dy = ddm.dd_from(solve_fn(r0.to_working()))
+        for _ in range(cfg.entry_repair_refines):
+            rr = ddm.dd_sub(r0, apply_dd(dy))
+            dy = ddm.dd_add(dy, ddm.dd_from(solve_fn(rr.to_working())))
+        dx = ddm.dd_mul(w2, rmv_dd(dy))
+        x1 = ddm.dd_add(x, dx)
+        # Per-coordinate interior clip: keep >= 10% of each pre-repair
+        # slack.  f32 clip values are fine — a clamped coordinate only
+        # needs interiority, not dd accuracy.
+        lo = x.hi - 0.9 * sl_dd.to_working()
+        hi = x.hi + 0.9 * su_dd.to_working()
+        below = mask & (x1.hi < lo)
+        above = mask & (x1.hi > hi)
+        x1 = DD(
+            jnp.where(below, lo, jnp.where(above, hi, x1.hi)),
+            jnp.where(below | above, 0.0, x1.lo),
+        )
+        r1 = ddm.dd_sub(ddm.dd_from(lp.b), mv_dd(x1))
+        pv1 = jnp.max(jnp.abs(r1.to_working())) / bscale
+        use = ok & (pv1 < pv0)
+        x_out = DD(jnp.where(use, x1.hi, x.hi), jnp.where(use, x1.lo, x.lo))
+        return x_out, jnp.where(use, pv1, pv0)
+
+    x_new, pv1 = jax.lax.cond(
+        pv0 > cfg.entry_repair_tol, repair, lambda x: (x, pv0), state.x
+    )
+    return dataclasses.replace(state, x=x_new), pv0, pv1
+
+
 def _dd_violation(st: PDASDDState):
     """The PDAS violation vector (:135-150) evaluated in double-word.
 
@@ -298,9 +419,12 @@ def pdas_dd(
     engine=None,
     mesh=None,
 ) -> SolveResult:
-    """Tight-gap driver: plain Newton steps (no repair/recenter paths —
-    use solvers.pdas to get feasible/centered first if needed, or rely on
-    the standard init), best-iterate tracking, precision-floor exit.
+    """Tight-gap driver: plain Newton steps (no in-loop repair/recenter
+    paths — use solvers.pdas to get feasible/centered first if needed,
+    or rely on the standard init), best-iterate tracking,
+    precision-floor exit.  ``config.entry_repair_tol`` optionally
+    min-norm-repairs the ENTRY iterate toward Ax = b before the loop
+    (the floor tracks the entry residual — PDASConfig docstring).
 
     ``mesh`` runs every factorization sharded over the mesh's 'tp' axis:
     dense operands column-shard through parallel.sharded_kkt_operator;
@@ -318,6 +442,15 @@ def _pdas_dd_jit(
     state: PDASDDState, cfg: PDASConfig, engine=None, mesh=None
 ) -> SolveResult:
     lp = state.lp
+
+    # Entry min-norm repair (PDASConfig.entry_repair_tol): Newton-only
+    # loops inherit their precision floor from the entry's primal
+    # infeasibility (docs/DEVNOTES.md "knife edge") — repair it first.
+    repair_info = {}
+    if cfg.entry_repair_tol > 0.0:
+        state, pv0, pv1 = _entry_repair(state, cfg, engine, mesh)
+        repair_info = {"entry_repair": {"pviol_before": pv0,
+                                        "pviol_after": pv1}}
 
     from cholesky_is_magic_tpu.kkt.newton import FILTER_THRESHOLD
 
@@ -545,53 +678,13 @@ def _pdas_dd_jit(
         )
         gap = jnp.abs(gap_dd.to_working()) / denom
 
-        boost = (~lp.row_mask).astype(jnp.float32)
-        from cholesky_is_magic_tpu.ingest.device import SparseKKTLP
-
         # Gap-gated Krylov escalation (PDASConfig.krylov_gate_gap): below
         # the gate this iteration's solves run PCG, above it the cheap
         # Richardson path — one lax.cond per solve on the shared factor.
         gate = None
         if cfg.krylov_steps > 0 and cfg.krylov_gate_gap > 0.0:
             gate = gap < cfg.krylov_gate_gap
-        if isinstance(lp, SparseKKTLP):
-            from cholesky_is_magic_tpu.kkt.newton import ell_kkt_operator
-
-            # mesh composes with the fully sparse engine: every
-            # factorization's assembly + Schur waves shard over 'tp'.
-            op = ell_kkt_operator(
-                lp, engine, row_boost=boost, refine_steps=cfg.refine_steps,
-                dbound=cfg.dbound, krylov_steps=cfg.krylov_steps, mesh=mesh,
-                krylov_gate=gate,
-            )
-        elif mesh is not None:
-            from cholesky_is_magic_tpu.parallel.sharded import sharded_kkt_operator
-
-            op = sharded_kkt_operator(
-                mesh, lp.A, row_boost=boost, refine_steps=cfg.refine_steps,
-                dbound=cfg.dbound, krylov_steps=cfg.krylov_steps,
-                krylov_gate=gate,
-            )
-        elif engine is None:
-            # true_residual: refine against the UNASSEMBLED operator in
-            # double-word — corrects the f32 rounding of assembling N,
-            # which otherwise floors the direction accuracy near 1e-7.
-            op = dense_kkt_operator(
-                lp.A, row_boost=boost, refine_steps=cfg.refine_steps,
-                true_residual=True, dbound=cfg.dbound,
-                krylov_steps=cfg.krylov_steps, krylov_gate=gate,
-            )
-        else:
-            from cholesky_is_magic_tpu.kkt.newton import sparse_kkt_operator
-
-            # Engine refinement against the unassembled operator — the
-            # sparse-path rendering of true_residual above, required for
-            # the direction accuracy the dd iterates need near gap 1e-8.
-            op = sparse_kkt_operator(
-                lp.A, engine, row_boost=boost, refine_steps=cfg.refine_steps,
-                dbound=cfg.dbound, krylov_steps=cfg.krylov_steps,
-                krylov_gate=gate,
-            )
+        op = _make_op(lp, cfg, engine, mesh, gate)
         dw_dd, dx_dd, dy_dd, dz_dd, ok = kkt_dd(
             st, sl_dd, su_dd, sl, su, wu, zl, primal_dd, dual_dd, op, gap
         )
@@ -727,6 +820,7 @@ def _pdas_dd_jit(
         residual_norm=jnp.linalg.norm(primal),
         extra={
             "gap": gap,
+            **repair_info,
             "dual_objective": dobj_dd.to_working(),
             "x_lo": st.x.lo,
             "y": st.y.to_working(),

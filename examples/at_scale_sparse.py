@@ -19,12 +19,15 @@ Cheaper still: with Mehrotra steps the plain Richardson-2 finisher's
 best-iterate DIPS to 8.6e-8 before bouncing (its *stable* floor is
 still ~2e-6 — the f32 Richardson wall, docs/DEVNOTES.md), and the
 bounce exit captures the dip: gap 8.6e-8 in 13 iters / 1.23 s, i.e.
-**1.7 s total with no Krylov at all**.  At m=32768 the wall is real:
-Richardson dips only to 1.4e-6; phase 1 in 16 iters / 0.92 s, PCG-8 +
-bounce finisher gap 1.9e-7 in 10 iters / 6.7 s, 7.6 s total (was
-14.9 s; the r2 plain+Krylov grind reached 4.8e-9 in 67 iters / 23.9 s
-— set mehrotra=False, bounce_exit_ratio=0 in cfg2 to trade iterations
-for the last 1.5 decades).  Context (two-K-difference timings, README
+**1.7 s total with no Krylov at all**.  At m=32768 the phase-2 floor
+is ENTRY-dependent: phase 1's exit residual is a knife edge (jittered
+starts land at ~2.5e-2; the r3-published 1.9e-7 floor rode a lucky
+1.0e-3 exit — docs/DEVNOTES.md "knife edge"), so cfg2/cfg15 enable
+`entry_repair_tol`: one min-norm LS repair of the entry toward Ax=b
+(the reference's repair iteration, affine-scaling.lisp:226-243) makes
+the finisher floor start-independent.  (The r2 plain+Krylov grind
+reached 4.8e-9 in 67 iters / 23.9 s — set mehrotra=False,
+bounce_exit_ratio=0 in cfg2 to trade iterations for the last decades.)  Context (two-K-difference timings, README
 "Benchmarks"): the per-iteration factor+solve at m=16384 is 14.0 ms.
 A NARROW-banded staircase is the host's best case — splu does it in
 25 ms (only 1.8x) — but the TPU time is nearly structure-flat while
@@ -167,9 +170,12 @@ def main(m: int = 16384):
     # re-confirming it (docs/DEVNOTES.md r3 "endgame oscillation").
     # Drop krylov_steps to 0 at m<=16384 for the 1.23 s / gap ~9e-8
     # operating point (module docstring).
+    # entry_repair_tol: the phase-2 floor tracks the ENTRY residual and
+    # phase 1's exit residual is a knife edge at m=32768 (module
+    # docstring) — one min-norm repair makes the floor start-independent.
     cfg2 = PDASConfig(max_iters=100, gap_tol=1e-9, refine_steps=2,
                       krylov_steps=8, mehrotra=True, stall_exit_iters=12,
-                      bounce_exit_ratio=25.0)
+                      bounce_exit_ratio=25.0, entry_repair_tol=1e-6)
     r = pdas_dd(st2, cfg2, engine=eng)
     float(r.extra["gap"])
     t0 = time.time()
@@ -202,7 +208,7 @@ def main(m: int = 16384):
     )
 
     cfg15 = PDASConfig(max_iters=6, gap_tol=1e-12, refine_steps=2,
-                       mehrotra=True)
+                       mehrotra=True, entry_repair_tol=1e-6)
     r15 = pdas_dd(st2, cfg15, engine=eng)
     float(r15.extra["gap"])
     t0 = time.time()

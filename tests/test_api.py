@@ -34,6 +34,18 @@ class TestSolve:
         assert rep.summary["gap"] < 1e-8
         assert rep.objective == pytest.approx(-7.0, abs=1e-6)
 
+    def test_pdas_dd_entry_repair_passthrough(self):
+        """entry_repair_tol reaches PDASConfig (the pre-step reports its
+        pviol pair) without disturbing the solve."""
+        rep = cim.solve(cim.read_mps_file(SIMPLE), "pdas_dd",
+                        pad_multiple=16, max_iters=120,
+                        entry_repair_tol=1e-6)
+        info = rep.result.extra.get("entry_repair")
+        assert info is not None
+        assert float(info["pviol_after"]) <= float(info["pviol_before"])
+        assert rep.summary["gap"] < 1e-8
+        assert rep.objective == pytest.approx(-7.0, abs=1e-6)
+
     @pytest.mark.slow
     def test_sparse_pipeline_afiro(self):
         rep = cim.solve(AFIRO, "pdas_dd", sparse=True, block=16,

@@ -289,3 +289,106 @@ class TestWarmBlend:
                      warm=rep, mehrotra=True, pad_multiple=16)
         assert rep2.summary["gap"] < 1e-7
         assert rep2.summary["iterations"] <= 8
+
+
+class TestEntryRepair:
+    """Entry min-norm repair (PDASConfig.entry_repair_tol): pdas_dd is
+    Newton-only, so its precision floor tracks the ENTRY iterate's
+    primal infeasibility (docs/DEVNOTES.md "knife edge" — at m=32768 a
+    generic phase-1 exit floors the finisher two decades above a lucky
+    one).  One damped min-norm LS correction toward Ax = b (the
+    reference's repair iteration, affine-scaling.lisp:226-243) makes
+    the floor start-independent."""
+
+    def _entry(self, seed=0, pert=1e-3):
+        import dataclasses
+
+        lp32, fun = f32_lp(seed)
+        p1 = pdas(make_pdas(lp32), PDASConfig(max_iters=300, refine_steps=2))
+        st = make_pdas_dd(lp32, warm=p1)
+        if pert:
+            # Diffuse, interior-preserving corruption: spread over every
+            # real column, clipped to keep half of each slack (the
+            # m=32768 knife-edge signature is diffuse row infeasibility
+            # on a still-interior iterate).
+            rng = np.random.default_rng(seed + 11)
+            dx = pert * rng.standard_normal(st.x.hi.shape)
+            x = np.asarray(st.x.hi, np.float64)
+            l, u = np.asarray(lp32.l, np.float64), np.asarray(lp32.u, np.float64)
+            x1 = np.clip(x + dx, x - 0.5 * (x - l), x + 0.5 * (u - x))
+            x1 = np.where(np.asarray(lp32.col_mask), x1, x)
+            st = dataclasses.replace(
+                st, x=ddm.dd_from(jnp.asarray(x1, jnp.float32))
+            )
+        return lp32, fun, st
+
+    def test_repair_collapses_entry_infeasibility(self):
+        lp32, fun, st = self._entry()
+        cfg = PDASConfig(max_iters=200, gap_tol=1e-8, refine_steps=2,
+                         mehrotra=True, entry_repair_tol=1e-6)
+        r = pdas_dd(st, cfg)
+        info = r.extra["entry_repair"]
+        pv0, pv1 = float(info["pviol_before"]), float(info["pviol_after"])
+        assert pv0 > 1e-5, pv0  # the corruption registered
+        assert pv1 < 0.1 * pv0, (pv0, pv1)  # the repair moved it
+        assert float(r.extra["gap"]) < 1e-6
+        assert float(r.objective) == pytest.approx(fun, rel=1e-4, abs=1e-4)
+
+    def test_repair_at_least_as_tight_as_without(self):
+        lp32, fun, st = self._entry(seed=2)
+        base = PDASConfig(max_iters=60, gap_tol=1e-10, refine_steps=2,
+                          mehrotra=True)
+        import dataclasses
+
+        with_rep = dataclasses.replace(base, entry_repair_tol=1e-6)
+        g_plain = float(pdas_dd(st, base).extra["gap"])
+        g_rep = float(pdas_dd(st, with_rep).extra["gap"])
+        assert g_rep <= 10 * g_plain, (g_rep, g_plain)
+
+    def test_clean_entry_not_perturbed(self):
+        """On an entry below the gate the lax.cond must not fire: the
+        reported pviols match and the solve converges as usual.  (A
+        clean m=32-scale phase-1 exit sits at rel pviol ~1e-4, so the
+        gate goes above that; the production 1e-6 default-off gate is
+        for at-scale flows whose failure signature is 1e-3-class.)"""
+        lp32, fun, st = self._entry(seed=4, pert=0.0)
+        cfg = PDASConfig(max_iters=200, gap_tol=1e-8, refine_steps=2,
+                         mehrotra=True, entry_repair_tol=1e-2)
+        r = pdas_dd(st, cfg)
+        info = r.extra["entry_repair"]
+        assert float(info["pviol_before"]) == float(info["pviol_after"])
+        assert float(r.extra["gap"]) < 1e-7
+
+    def test_sparse_engine_route(self):
+        """The repair rides the fully sparse ELL/BELL operand set +
+        engine factorization (the operand set the m=32768 flow uses)."""
+        import dataclasses
+
+        from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse
+        from cholesky_is_magic_tpu.solvers.pdas_dd import PDASDDState
+        from cholesky_is_magic_tpu.utils.testing import constructed_optimum_lp
+
+        sf, info = constructed_optimum_lp(m=64, seed=3)
+        st0, eng = make_pdas_sparse(sf, block=16)
+        p1 = pdas(st0, PDASConfig(max_iters=300, refine_steps=2), engine=eng)
+        rng = np.random.default_rng(5)
+        x = np.asarray(p1.x, np.float64)
+        l = np.asarray(st0.lp.l, np.float64)
+        u = np.asarray(st0.lp.u, np.float64)
+        dx = 1e-3 * rng.standard_normal(x.shape)
+        x1 = np.clip(x + dx, x - 0.5 * (x - l), x + 0.5 * (u - x))
+        x1 = np.where(np.asarray(st0.lp.col_mask), x1, x)
+        st = PDASDDState(
+            x=ddm.dd_from(jnp.asarray(x1, jnp.float32)),
+            y=ddm.dd_from(p1.extra["y"]),
+            w=ddm.dd_from(p1.extra["w"]),
+            z=ddm.dd_from(p1.extra["z"]),
+            lp=st0.lp,
+        )
+        cfg = PDASConfig(max_iters=200, gap_tol=1e-8, refine_steps=2,
+                         mehrotra=True, entry_repair_tol=1e-6)
+        r = pdas_dd(st, cfg, engine=eng)
+        pv = r.extra["entry_repair"]
+        assert float(pv["pviol_after"]) < 0.1 * float(pv["pviol_before"]), (
+            float(pv["pviol_before"]), float(pv["pviol_after"]))
+        assert float(r.extra["gap"]) < 1e-6

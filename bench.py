@@ -438,9 +438,12 @@ def twophase_row(detail: dict, m: int = None) -> None:
                       z=to_dd(z), lp=st.lp)
     # The 1.7-s operating point (README): Mehrotra + plain Richardson-2
     # with the bounce exit capturing the transient dip below 1e-7.
+    # entry_repair_tol: the finisher floor tracks the entry residual and
+    # phase-1 exits are start-chaotic at scale (DEVNOTES "knife edge");
+    # the repair makes the benched floor reproducible, not lucky.
     cfg2 = PDASConfig(max_iters=100, gap_tol=1e-9, refine_steps=2,
                       mehrotra=True, stall_exit_iters=12,
-                      bounce_exit_ratio=25.0)
+                      bounce_exit_ratio=25.0, entry_repair_tol=1e-6)
     r = pdas_dd(st2, cfg2, engine=eng)
     float(r.extra["gap"])
     t0 = time.time()

@@ -183,8 +183,12 @@ def main(m: int = 16384):
     g2 = float(r.extra["gap"])
     t2 = time.time() - t0
     obj = float(r.objective)
+    er = r.extra.get("entry_repair")
+    er_s = ("" if er is None else
+            f" entry_repair {float(er['pviol_before']):.1e}->"
+            f"{float(er['pviol_after']):.1e}")
     print(f"phase 2 (sparse dd): {r.status_name} gap {g2:.2e} "
-          f"iters {int(r.iterations)} warm {t2 * 1e3:.0f} ms")
+          f"iters {int(r.iterations)} warm {t2 * 1e3:.0f} ms{er_s}")
     print(f"objective {obj:.4f} vs HiGHS {ref.fun:.4f} "
           f"(rel err {abs(obj - ref.fun) / abs(ref.fun):.2e})")
     print(f"total warm solve: {(t1 + t2) * 1e3:.0f} ms")

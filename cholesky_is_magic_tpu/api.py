@@ -196,6 +196,15 @@ def solve_batch(
             dual_objective=float(one.extra["dual_objective"]),
             gap=float(one.extra["gap"]), iterations=int(one.iterations),
             residual=float(one.residual_norm),
+            # Surface the dense-kernel choice: "inverse" trades ~one digit
+            # of raw solve accuracy at high kappa(N) for vmapped speed
+            # (recovered by refine_steps) — make regressions on
+            # ill-conditioned batches attributable (ADVICE r4).
+            factor_method=factor_method,
+            gap_bound=_feasibility_gap_bound(
+                sf, one.x, one.extra["y"], float(one.extra["gap"]),
+                float(one.objective),
+            ),
         )
         solution = extract_solution(sf, one.x)
         # Row duals in the original row space (see solve()'s _duals).
@@ -211,6 +220,84 @@ def solve_batch(
             summary=summary, result=one, sf=sf, solution=solution,
         ))
     return reports
+
+
+def _feasibility_gap_bound(sf, x, y, gap, pobj) -> float:
+    """Feasibility-adjusted optimality bound for a pdas-family iterate.
+
+    The pdas stop criterion is the relative duality gap (gap < 1e-4,
+    primal-dual-affine-scaling.lisp:394) — but the REPORTED gap
+    pobj - dobj prices neither residual: an iterate with Ax != b and a
+    dual-infeasible (y, w, z) can report a tiny gap while c'x sits far
+    from the optimum (afiro pdas: "optimal, gap 4.3e-5" with true
+    objective error 4.4e-3; the reported dobj -462.687 is ABOVE the true
+    optimum -464.753, so the dual iterate certifies nothing).  The
+    reference prints the raw violation norms every iteration
+    (primal-dual-affine-scaling.lisp:336-338); this is the same honesty
+    in one comparable number, via the Lagrangian dual bound at the
+    returned y.  For any ŷ (the user-space dual s·y, see solve()._duals)
+    and rd = c - A'ŷ,
+
+        p*  >=  L(ŷ) = b'ŷ + Σ_j min(rd_j·l_j, rd_j·u_j)
+
+    (weak duality over the box: the best dual completion (w, z) of ŷ is
+    priced exactly), so c'x - p* <= pobj - L — an upper bound that needs
+    NO near-feasibility assumption on either iterate.  Two honest
+    caveats, both documented in the returned number:
+
+    - a coordinate whose rd_j points at an INFINITE bound has
+      inf_x rd_j·x_j = -inf (no finite certificate exists from this
+      dual); those coordinates are priced at the iterate's own x_j —
+      the first-order term — instead of collapsing the bound to inf
+      (afiro pdas: 16 such coords at |rd| ~7e-3; the bound still covers
+      the true error 6x over);
+    - pobj - L is one-sided (c'x can UNDERSHOOT p* through primal
+      infeasibility), so the ||ŷ||_inf·||Ax-b||_1 feasibility term is
+      added to cover that direction to first order.
+
+    Evaluated host-side in FULL f64 on the ingest's exact triplets —
+    strictly tighter than a device dd evaluation of the same bound.
+    Returned RELATIVE (denominator 1 + |pobj|), comparable to and never
+    below ``summary["gap"]``; tests pin bound >= true relative objective
+    error on afiro for both the loose pdas stop and the tight pdas_dd
+    flow (tests/test_api.py).
+    """
+    import numpy as np
+
+    x = np.asarray(x, np.float64)[: sf.nvars]
+    y = np.asarray(y, np.float64)[: sf.ncons]
+    norm = np.zeros(sf.ncons)
+    np.maximum.at(norm, sf.a_rows, np.abs(sf.a_vals))
+    s = np.where(norm < 1e-6, 1.0, 1.0 / np.where(norm == 0, 1.0, norm))
+    yhat = y * s
+    c = np.asarray(sf.c, np.float64)
+    b = np.asarray(sf.b, np.float64)
+    vals = np.asarray(sf.a_vals, np.float64)
+    l = np.asarray(sf.l, np.float64)
+    u = np.asarray(sf.u, np.float64)
+    rd = c.copy()
+    np.add.at(rd, sf.a_cols, -vals * yhat[sf.a_rows])
+    r = -b.copy()
+    np.add.at(r, sf.a_rows, vals * x[sf.a_cols])
+
+    def _side(bnd):
+        # rd_j * bnd_j with 0 * inf := 0 and the sign of rd deciding
+        # +/-inf on the infinite sides.
+        fin = np.isfinite(bnd)
+        out = np.where(fin, rd * np.where(fin, bnd, 0.0), 0.0)
+        inf_side = np.where((rd > 0) == (bnd > 0), np.inf, -np.inf)
+        return np.where(fin, out, np.where(rd == 0.0, 0.0, inf_side))
+
+    contrib = np.minimum(_side(l), _side(u))
+    # rd pointing at an infinite bound: price at the iterate (see above).
+    contrib = np.where(np.isfinite(contrib), contrib, rd * x)
+    lagrangian = float(b @ yhat + contrib.sum())
+    pobj64 = float(c @ x)
+    feas = float(np.max(np.abs(yhat), initial=0.0) * np.sum(np.abs(r)))
+    denom = 1.0 + abs(pobj64)
+    return max(
+        (max(pobj64 - lagrangian, 0.0) + feas) / denom, float(gap)
+    )
 
 
 def _to_standard_form(problem, rescale: bool):
@@ -651,6 +738,12 @@ def solve(
         solution = extract_solution(sf, res.x)
     if solver in ("pdas", "pdas_dd") and "y" in res.extra:
         solution["y"], solution["reduced_costs"] = _duals()
+        # Rigorous feasibility-adjusted certificate next to the raw gap
+        # (reduced space when presolve ran — same space as gap itself).
+        summary["gap_bound"] = _feasibility_gap_bound(
+            sf_solve, res.x, res.extra["y"], summary["gap"],
+            summary["objective"],
+        )
     return SolveReport(
         solver=solver,
         status=summary.get("status", "?"),

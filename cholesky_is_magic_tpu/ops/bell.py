@@ -99,13 +99,23 @@ def from_coo(
     rows = np.asarray(rows)
     cols = np.asarray(cols)
     vals = np.asarray(vals, dtype=np.float64)
+    # Sum duplicates at the TRIPLET level (f64, nnz-sized) so `blocks`
+    # can be allocated directly in the target dtype: staging the whole
+    # tile array in f64 doubled peak host memory vs the max_bytes gate
+    # (up to ~512 MB per operand at the 256 MB gate; ADVICE r4).
+    key = rows.astype(np.int64) * n + cols.astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    key_sorted = key[order]
+    uniq_key, start = np.unique(key_sorted, return_index=True)
+    vals = np.add.reduceat(vals[order], start)
+    rows = (uniq_key // n).astype(np.int64)
+    cols = (uniq_key % n).astype(np.int64)
     nbr = -(-m // BR)
     brow = rows // BR
     bcol = cols // BC
     # Distinct tiles per block-row -> kb.
-    tile_ids = brow.astype(np.int64) * ((n // BC) + 2) + bcol
-    order = np.argsort(tile_ids, kind="stable")
-    uniq, first = np.unique(tile_ids[order], return_index=True)
+    tile_ids = brow * ((n // BC) + 2) + bcol
+    uniq = np.unique(tile_ids)
     tiles_per_brow = np.bincount((uniq // ((n // BC) + 2)).astype(np.int64),
                                  minlength=nbr)
     kb = max(int(tiles_per_brow.max()), 1)
@@ -113,7 +123,7 @@ def from_coo(
     bytes_bell = nbr * kb * BR * BC * itemsize
     if bytes_bell > max_bytes or bytes_bell > max_dense_frac * m * n * itemsize:
         return None
-    blocks = np.zeros((nbr, kb, BR, BC), dtype=np.float64)
+    blocks = np.zeros((nbr, kb, BR, BC), dtype=jnp.dtype(dtype))
     bcols = np.zeros((nbr, kb), dtype=np.int32)
     # Slot index of each tile within its block-row (tiles are sorted by
     # (brow, bcol) in `uniq`).
@@ -126,7 +136,8 @@ def from_coo(
     for t, b_r, b_c in zip(uniq.tolist(), br_of_tile.tolist(), bc_of_tile.tolist()):
         bcols[b_r, tile_slot[t]] = b_c
     slot = np.array([tile_slot[t] for t in tile_ids.tolist()], dtype=np.int64)
-    np.add.at(blocks, (brow, slot, rows % BR, cols % BC), vals)
+    # Triplets are unique post-dedup: plain assignment, no add needed.
+    blocks[brow, slot, rows % BR, cols % BC] = vals.astype(jnp.dtype(dtype))
     return BellMatrix(
         blocks=jnp.asarray(blocks, dtype=dtype),
         bcols=jnp.asarray(bcols),

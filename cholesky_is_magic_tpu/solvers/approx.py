@@ -84,6 +84,13 @@ class ApproxProblem:
     + sum_k comp_sign_k (v[comp_a_k] - comp_a0_k)(v[comp_b_k] - comp_b0_k)
     (+ constant z0)."""
 
+    # INVARIANT: QB/QTB, when present, must be block-ELL renderings of
+    # the SAME operator as Q — _qmv/_qrmv prefer them and never consult
+    # Q, so a mismatched (Q, QB) pair yields silently wrong products.
+    # The only constructor that passes them (_make_alm_subproblem_ell)
+    # checks the logical shapes; a pytree __post_init__ would break
+    # unflattening under transforms.  Internal call sites are
+    # equivalence-tested (tests/test_bell.py).
     Q: jax.Array  # (P, N) padded dense, or an ELLMatrix
     QB: object  # ops.bell.BellMatrix of Q, or None (dense path / gated out)
     QTB: object  # ops.bell.BellMatrix of Qᵀ, or None
@@ -157,6 +164,12 @@ def make_alm_subproblem(lp, lam: jax.Array, mu) -> ApproxProblem:
 
 def _make_alm_subproblem_ell(lp: SparseLP, lam: jax.Array, mu) -> ApproxProblem:
     E = lp.E
+    # Shape check for the (Q, QB/QTB) consistency invariant on
+    # ApproxProblem — static shapes, so this is jit-trace-safe.
+    if lp.EB is not None:
+        assert lp.EB.shape == (lp.m, lp.n), (lp.EB.shape, lp.m, lp.n)
+    if lp.ETB is not None:
+        assert lp.ETB.shape == (lp.n, lp.m), (lp.ETB.shape, lp.n, lp.m)
     dtype = E.values.dtype
     mu = jnp.asarray(mu, dtype=dtype)
     s = jnp.full((lp.m,), jnp.sqrt(mu), dtype=dtype)

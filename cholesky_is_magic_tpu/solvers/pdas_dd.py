@@ -280,8 +280,6 @@ def _entry_repair(state: PDASDDState, cfg: PDASConfig, engine, mesh):
     lp = state.lp
     mask = lp.col_mask
     mv_dd, rmv_dd, _ = _linops(lp)
-    zero = jnp.zeros_like(state.x.hi)
-    dd0 = ddm.DD(zero, zero)
     sl_dd, su_dd, *_rest, primal_dd, _dual = _dd_violation(state)
     r0 = ddm.dd_neg(primal_dd)  # b - Ax
     bscale = 1.0 + jnp.max(jnp.abs(lp.b))

@@ -46,6 +46,24 @@ class TestSolve:
         assert rep.summary["gap"] < 1e-8
         assert rep.objective == pytest.approx(-7.0, abs=1e-6)
 
+    def test_gap_bound_covers_true_error_afiro(self):
+        """The feasibility-adjusted certificate (summary["gap_bound"],
+        api._feasibility_gap_bound): pdas can stop "optimal" at gap<1e-4
+        while primal infeasibility leaves the objective ~1e-3 off the
+        published optimum — the bound must cover that true error, and
+        must NOT cry wolf on the tight pdas_dd flow."""
+        opt = -464.75314285714285  # afiro published optimum
+        rep = cim.solve(AFIRO, "pdas", max_iters=200)
+        bound = rep.summary["gap_bound"]
+        true_rel = abs(rep.objective - opt) / (1.0 + abs(opt))
+        assert bound >= rep.summary["gap"]
+        assert bound >= true_rel * 0.99  # the hole the bound closes
+        # Tight flow: bound stays consistent with an actually-tight solve.
+        rep2 = cim.solve(AFIRO, "pdas_dd", max_iters=200)
+        true_rel2 = abs(rep2.objective - opt) / (1.0 + abs(opt))
+        assert rep2.summary["gap_bound"] >= true_rel2 * 0.99
+        assert rep2.summary["gap_bound"] < 1e-5
+
     @pytest.mark.slow
     def test_sparse_pipeline_afiro(self):
         rep = cim.solve(AFIRO, "pdas_dd", sparse=True, block=16,

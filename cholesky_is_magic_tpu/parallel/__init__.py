@@ -27,6 +27,8 @@ from cholesky_is_magic_tpu.parallel.batched import (
     batched_pdas_slabbed,
     batched_affine,
     batched_normal_solves,
+    batched_pdas_dd,
+    stack_sparse_states,
 )
 from cholesky_is_magic_tpu.parallel.sharded import (
     shard_lp_columns,
@@ -43,6 +45,8 @@ __all__ = [
     "batched_pdas_slabbed",
     "batched_affine",
     "batched_normal_solves",
+    "batched_pdas_dd",
+    "stack_sparse_states",
     "shard_lp_columns",
     "sharded_solve_normal",
     "sharded_prepare_normal",

@@ -39,14 +39,71 @@ def stack_device_lps(lps: Sequence[DeviceLP]) -> DeviceLP:
 
 
 @highest_precision
-@partial(jax.jit, static_argnames=("cfg",))
-def _batched_pdas_jit(states: PDASState, cfg: PDASConfig) -> SolveResult:
-    return jax.vmap(lambda s: _pdas_jit(s, cfg))(states)
+@partial(jax.jit, static_argnames=("cfg", "engine"))
+def _batched_pdas_jit(
+    states: PDASState, cfg: PDASConfig, engine=None
+) -> SolveResult:
+    return jax.vmap(lambda s: _pdas_jit(s, cfg, engine))(states)
 
 
-def batched_pdas(states: PDASState, config: Optional[PDASConfig] = None) -> SolveResult:
-    """vmap of the full PDAS while_loop over a batched PDASState."""
-    return _batched_pdas_jit(states, config or PDASConfig())
+def batched_pdas(
+    states: PDASState, config: Optional[PDASConfig] = None, engine=None
+) -> SolveResult:
+    """vmap of the full PDAS while_loop over a batched PDASState.
+
+    ``engine`` (a sparse.tiled.TiledCholesky shared by every lane) runs
+    the batch through the FULLY SPARSE at-scale pipeline: one symbolic
+    analysis + one static pair/panel schedule, vmapped over per-lane
+    scale vectors and iterates — the composition of the framework's two
+    headline modes (at-scale sparse + dp batching).  The schedule arrays
+    are closure constants, so XLA batches the panel-wave einsums over
+    lanes with no per-lane dispatch; build the stacked state with
+    :func:`stack_sparse_states`.
+
+    CONTRACT: every lane must share the engine's constraint matrix A —
+    not just its pattern — because the ELL assembly schedule bakes the
+    pair weights A[p,k]·A[q,k] into the engine (tiled.build_ell_assembly
+    ``asm_w``).  Lanes may differ in b, c, l, u, and iterates: the
+    scenario-sweep / re-solve-fleet mode (examples/warm_resolve.py).  A
+    mismatched A is a silent wrong answer, same contract as engine
+    re-use in `pdas(..., engine=...)`.
+    """
+    return _batched_pdas_jit(states, config or PDASConfig(), engine)
+
+
+def stack_sparse_states(states: Sequence) -> object:
+    """Stack same-pattern sparse PDAS/dd states into one batched pytree.
+
+    Counterpart of :func:`stack_device_lps` for SparseKKTLP-backed states
+    (make_pdas_sparse): data leaves (ELL/BELL values, c, b, l, u,
+    iterates) gain a leading batch axis; static meta (shapes, ELL widths)
+    must already agree — guaranteed when every state came from the same
+    sparsity pattern, asserted here via the pytree structure.
+    """
+    import jax.tree_util as jtu
+
+    treedefs = {jtu.tree_structure(s) for s in states}
+    assert len(treedefs) == 1, "states must share pattern/meta to stack"
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+@highest_precision
+@partial(jax.jit, static_argnames=("cfg", "engine"))
+def _batched_pdas_dd_jit(states, cfg: PDASConfig, engine=None) -> SolveResult:
+    from cholesky_is_magic_tpu.solvers.pdas_dd import _pdas_dd_jit
+
+    return jax.vmap(lambda s: _pdas_dd_jit(s, cfg, engine))(states)
+
+
+def batched_pdas_dd(
+    states, config: Optional[PDASConfig] = None, engine=None
+) -> SolveResult:
+    """vmap of the double-word finisher over a batched PDASDDState —
+    the tight-gap half of the batched two-phase at-scale flow (see
+    :func:`batched_pdas`).  ``config.entry_repair_tol`` composes: the
+    min-norm entry repair is a lax.cond pre-step inside the jitted loop
+    (solvers.pdas_dd._entry_repair), so each lane repairs independently."""
+    return _batched_pdas_dd_jit(states, config or PDASConfig(), engine)
 
 
 @highest_precision

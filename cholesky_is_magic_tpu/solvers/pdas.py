@@ -340,6 +340,7 @@ def make_pdas_sparse(
     config: Optional[PDASConfig] = None,
     dtype=None,
     snode_align: bool = True,
+    engine=None,
 ):
     """StandardForm -> (PDASState over a fully sparse SparseKKTLP, engine).
 
@@ -350,6 +351,17 @@ def make_pdas_sparse(
     engine_for_sparse) — no dense (m, n) operand is ever materialized.
     Pass the returned engine to pdas(..., engine=...) /
     pdas_dd(..., engine=...).
+
+    ``engine``: reuse an engine built by a previous make_pdas_sparse call
+    on an LP with the SAME constraint matrix A (the analyze-once contract,
+    affine-scaling.lisp:271 cholmod_analyze recycling) — skips the
+    symbolic analysis and pair-schedule build entirely.  Same A, not just
+    same pattern: the engine's ELL assembly schedule bakes the pair
+    weights A[p,k]·A[q,k] (tiled.build_ell_assembly ``asm_w``), so only
+    b, c, l, u may vary across reuses — the scenario-sweep / batch flow
+    (parallel.stack_sparse_states + batched_pdas(engine=...)) builds one
+    engine and N states through it.  A mismatch is NOT detected here
+    (same contract as pdas(..., engine=...)).
     """
     import scipy.sparse as sp
 
@@ -363,8 +375,11 @@ def make_pdas_sparse(
     cfg = config or PDASConfig()
     m, n = sf.ncons, sf.nvars
     vals, b = scale_constraints(sf.a_rows, sf.a_vals, sf.b)
-    A = sp.csc_matrix((vals, (sf.a_rows, sf.a_cols)), shape=(m, n))
-    engine = engine_for_sparse(A, block=block, snode_align=snode_align, dtype=dtype)
+    if engine is None:
+        A = sp.csc_matrix((vals, (sf.a_rows, sf.a_cols)), shape=(m, n))
+        engine = engine_for_sparse(
+            A, block=block, snode_align=snode_align, dtype=dtype
+        )
     E = sparse_ops.from_coo(sf.a_rows, sf.a_cols, vals, (m, n), dtype=dtype)
     ET = sparse_ops.from_coo(sf.a_cols, sf.a_rows, vals, (n, m), dtype=dtype)
     # Block-ELL renderings for the loop's A-products (ops.bell; byte-gated

@@ -299,3 +299,100 @@ class TestSlabbedBatching:
         # Converged lanes stopped within a slab granule of their own
         # iteration count, far below max_iters.
         assert int(np.max(r2.iterations)) <= 48, r2.iterations
+
+
+class TestBatchedSparseEngine:
+    """The batched at-scale composition: ONE tile engine (one symbolic
+    analysis, one pair schedule), a stacked batch of same-A LPs differing
+    in (b, c), the fully sparse pdas/pdas_dd loops vmapped over lanes —
+    parallel.batched_pdas(engine=...) / batched_pdas_dd(engine=...).
+
+    The contract under test: the engine's assembly schedule bakes A's
+    pair weights, so lanes share A; everything else batches."""
+
+    @staticmethod
+    def family(k=3, seed=11):
+        """k same-A LPs with per-lane (b, c): the re-solve fleet shape."""
+        import dataclasses as dc
+
+        base = random_lp(seed, n_ub=24, n_eq=6, n=32, bounded=True)
+        lanes, funs = [], []
+        for i in range(k):
+            rng = np.random.default_rng(1000 + i)
+            x0 = base.l + (base.u - base.l) * (0.2 + 0.6 * rng.random(32))
+            lane = dc.replace(
+                base,
+                b_ub=base.A_ub @ x0 + 0.05 + rng.random(base.A_ub.shape[0]),
+                b_eq=base.A_eq @ x0,
+                c=rng.normal(size=32),
+            )
+            _, fun, _ = scipy_reference_solution(lane)
+            lanes.append(cim.to_standard_form(read_mps_string(write_mps(lane))))
+            funs.append(fun)
+        return lanes, funs
+
+    def test_batched_sparse_pdas_matches_per_lane(self):
+        from cholesky_is_magic_tpu.parallel import stack_sparse_states
+        from cholesky_is_magic_tpu.solvers import pdas
+        from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse
+
+        sfs, funs = self.family()
+        cfg = PDASConfig(max_iters=200, refine_steps=2)
+        st0, eng = make_pdas_sparse(sfs[0], block=16)
+        states = [st0] + [
+            make_pdas_sparse(sf, block=16, engine=eng)[0] for sf in sfs[1:]
+        ]
+        res = batched_pdas(stack_sparse_states(states), cfg, engine=eng)
+        for i, fun in enumerate(funs):
+            assert int(res.status[i]) == Status.OPTIMAL
+            assert float(res.objective[i]) == pytest.approx(
+                fun, rel=1e-3, abs=1e-3
+            )
+            single = pdas(states[i], cfg, engine=eng)
+            assert float(res.objective[i]) == pytest.approx(
+                float(single.objective), rel=1e-5, abs=1e-5
+            )
+
+    def test_batched_sparse_two_phase_tight_gap(self):
+        """Full batched two-phase: vmapped sparse pdas to feasibility,
+        mu-recentered warm duals per lane, vmapped dd finisher to 1e-7+."""
+        from cholesky_is_magic_tpu.ops import dd as ddm
+        from cholesky_is_magic_tpu.parallel import (
+            batched_pdas_dd,
+            stack_sparse_states,
+        )
+        from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse
+        from cholesky_is_magic_tpu.solvers.pdas_dd import (
+            PDASDDState,
+            mu_recentered_duals,
+        )
+
+        sfs, funs = self.family()
+        st0, eng = make_pdas_sparse(sfs[0], block=16)
+        states = [st0] + [
+            make_pdas_sparse(sf, block=16, engine=eng)[0] for sf in sfs[1:]
+        ]
+        stacked = stack_sparse_states(states)
+        p1 = batched_pdas(stacked, PDASConfig(max_iters=200, refine_steps=2),
+                          engine=eng)
+        to_dd = lambda v: ddm.dd_from(jnp.asarray(v, jnp.float32))
+        dd_states = []
+        for i, st in enumerate(states):
+            w, z = mu_recentered_duals(
+                p1.x[i], st.lp.l, st.lp.u, p1.extra["w"][i], p1.extra["z"][i],
+                st.lp.col_mask,
+            )
+            dd_states.append(PDASDDState(
+                x=to_dd(p1.x[i]), y=to_dd(p1.extra["y"][i]), w=to_dd(w),
+                z=to_dd(z), lp=st.lp,
+            ))
+        res = batched_pdas_dd(
+            stack_sparse_states(dd_states),
+            PDASConfig(max_iters=200, gap_tol=1e-9, refine_steps=2),
+            engine=eng,
+        )
+        for i, fun in enumerate(funs):
+            assert float(res.extra["gap"][i]) < 1e-7
+            assert float(res.objective[i]) == pytest.approx(
+                fun, rel=1e-4, abs=1e-4
+            )

@@ -69,6 +69,11 @@ REPS = 2 if SMOKE else 5
 # passes per f32 product, so the achievable f32 ceiling is 197/6.
 PEAK_BF16_TFLOPS = 197.0
 F32_HIGHEST_PEAK_TFLOPS = PEAK_BF16_TFLOPS / 6.0
+# HBM roofline reference (v5e): ~819 GB/s peak.  The sparse IPM iteration
+# is gather/scatter-bound, not FLOP-bound (pct_f32peak ~0.0003 answers a
+# question nobody asked) — the honest axis for those rows is modeled bytes
+# moved / s vs this peak, with a bound tag saying WHICH wall owns the row.
+HBM_PEAK_GBS = 819.0
 
 METRIC = (
     "factor+solve ms per IPM iteration "
@@ -146,6 +151,49 @@ def _tiled_iter_flops(eng, N: int) -> float:
 def _sparse_iter_flops(eng) -> float:
     # pair-schedule assembly (1 mult + 1 add per pair), factor, solves.
     return 2.0 * eng.n_pairs + 2.0 * eng.plan.flops + 12.0 * eng.plan.nnz_L
+
+
+def _sparse_iter_bytes(eng, refine_steps: int = 1) -> float:
+    """Modeled LOWER-BOUND bytes/iteration for solve_normal_ell (f32).
+
+    assembly: per pair, gather two scaled values + two int32 coordinates
+    and scatter-add into an N tile (16 B); N tile writes; factor: >= one
+    read + one write of every L tile element per panel wave (2 passes is
+    the floor — waves re-read the resident panel); solves: two triangular
+    passes over nnz_L per solve, (1 + refine) solves + the residual SpMV
+    (4 B x 2 x nnz_A ~ n_pairs-scale, folded into the pair term).  Real
+    traffic is strictly higher (wave re-reads, padding, index streams),
+    so achieved-GB/s computed from this model UNDERSTATES the truth —
+    safe for a "nowhere near bandwidth-bound" claim, never inflating it.
+    """
+    b = eng.plan.block
+    itm = 4.0
+    asm = 16.0 * eng.n_pairs + itm * eng.NT * b * b
+    factor = 2.0 * itm * eng.plan.nnz_L
+    solves = 2.0 * itm * eng.plan.nnz_L * 2.0 * (1.0 + refine_steps)
+    return asm + factor + solves
+
+
+def _gbs(detail: dict, key: str, bytes_per_iter: float) -> None:
+    """Attach modeled GB/s + a bound tag (which wall owns the row)."""
+    ms = detail.get(key)
+    if not ms:
+        return
+    gbs = bytes_per_iter / (ms * 1e-3) / 1e9
+    detail[f"{key}_gbs"] = float(f"{gbs:.4g}")
+    pct_hbm = 100.0 * gbs / HBM_PEAK_GBS
+    detail[f"{key}_pct_hbm"] = float(f"{pct_hbm:.3g}")
+    pct_mxu = detail.get(f"{key}_pct_f32peak", 0.0)
+    if pct_hbm >= 40.0:
+        tag = "bandwidth-bound"
+    elif pct_mxu >= 40.0:
+        tag = "compute-bound"
+    else:
+        # Neither roofline is near: the wall is serialization — the
+        # panel-wave dependency chain + gather/scatter dispatch (see
+        # docs/DEVNOTES.md "Sparse-row roofline" for the wall breakdown).
+        tag = "latency/serialization-bound"
+    detail[f"{key}_bound"] = tag
 
 
 def two_k_ms(step, d0, g0, k_base: int = K, reps: int = REPS) -> float:
@@ -370,6 +418,7 @@ def atscale_rows(detail: dict) -> None:
             d0, g0, k_base=16, reps=3,
         ), 4)
         _mfu(detail, key, _sparse_iter_flops(eng))
+        _gbs(detail, key, _sparse_iter_bytes(eng, refine_steps=1))
         detail[f"host_splu_m{m}"] = round(_host_splu_iter_ms(sf), 4)
         log(f"[bench] at-scale m={m}: {detail[key]} ms/iter "
             f"(host splu {detail[f'host_splu_m{m}']})")
@@ -454,6 +503,154 @@ def twophase_row(detail: dict, m: int = None) -> None:
     detail[f"twophase_m{m}_gap"] = float(f"{g2:.3g}")
     detail[f"twophase_m{m}_iters"] = int(p1.iterations) + int(r.iterations)
     log(f"[bench] two-phase m={m}: {t1 + t2:.2f} s total, gap {g2:.2e}")
+
+
+def twophase32k_row(detail: dict) -> None:
+    """m=32768: the scale where the phase-2 floor is entry-chaotic.
+
+    Measured configuration (examples/at_scale_sparse.py, on-chip r5): the
+    6-iteration entry-repaired Mehrotra finisher ("phase 1.5") BEATS the
+    full 16-iteration stall-exit finisher here — gap 1.19e-6 in ~1.1 s
+    warm vs 1.1e-5 in ~10.8 s — because the endgame oscillates and the
+    best-iterate dip lands inside the first 6 iterations.  Also records
+    the crossover certification attempt: at this scale it does NOT
+    certify (primal floors at ~2.9e-4; the classified basis is ~82
+    columns short of rank and every OMP completion is dual-rejected —
+    docs/DEVNOTES.md "m=32768 crossover", the on-chip-pinned negative
+    result).  max_repairs=6 shows the stable floor (reached by pass 2)
+    without burning the full repair budget in the bench deadline.
+    """
+    m = 512 if SMOKE else 32768
+    import jax.numpy as jnp
+
+    from cholesky_is_magic_tpu.ops import dd as ddm
+    from cholesky_is_magic_tpu.solvers import PDASConfig, pdas
+    from cholesky_is_magic_tpu.solvers.crossover import (
+        CrossoverConfig,
+        crossover,
+    )
+    from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse
+    from cholesky_is_magic_tpu.solvers.pdas_dd import (
+        PDASDDState,
+        mu_recentered_duals,
+        pdas_dd,
+    )
+
+    log(f"[bench] two-phase m={m}: building (analysis ~10 s) ...")
+    sf = _atscale_sf(m)
+    st, eng = make_pdas_sparse(sf, block=128)
+    cfg1 = PDASConfig(max_iters=100, refine_steps=1, mehrotra=True)
+    p1 = pdas(st, cfg1, engine=eng)
+    float(p1.extra["gap"])  # compile + run
+    t0 = time.time()
+    p1 = pdas(st, cfg1, engine=eng)
+    float(p1.extra["gap"])
+    t1 = time.time() - t0
+    w, z = mu_recentered_duals(
+        p1.x, st.lp.l, st.lp.u, p1.extra["w"], p1.extra["z"], st.lp.col_mask
+    )
+    to_dd = lambda v: ddm.dd_from(jnp.asarray(v, jnp.float32))
+    st2 = PDASDDState(x=to_dd(p1.x), y=to_dd(p1.extra["y"]), w=to_dd(w),
+                      z=to_dd(z), lp=st.lp)
+    cfg15 = PDASConfig(max_iters=6, gap_tol=1e-12, refine_steps=2,
+                       mehrotra=True, entry_repair_tol=1e-6)
+    r = pdas_dd(st2, cfg15, engine=eng)
+    float(r.extra["gap"])
+    t0 = time.time()
+    r = pdas_dd(st2, cfg15, engine=eng)
+    g2 = float(r.extra["gap"])
+    t2 = time.time() - t0
+    detail[f"twophase_m{m}_total_s"] = round(t1 + t2, 3)
+    detail[f"twophase_m{m}_gap"] = float(f"{g2:.3g}")
+    detail[f"twophase_m{m}_iters"] = int(p1.iterations) + int(r.iterations)
+    er = r.extra.get("entry_repair")
+    if er is not None:
+        detail[f"twophase_m{m}_entry_repair"] = (
+            f"{float(er['pviol_before']):.1e}->{float(er['pviol_after']):.1e}"
+        )
+    log(f"[bench] two-phase m={m}: {t1 + t2:.2f} s total, gap {g2:.2e}")
+
+    log(f"[bench] crossover m={m}: certification attempt ...")
+    out = crossover(r, st.lp, engine=eng,
+                    config=CrossoverConfig(max_repairs=6))
+    cert = out.extra["crossover"]
+    detail[f"crossover_m{m}_certified"] = bool(cert["certified"])
+    detail[f"crossover_m{m}_gap"] = float(f"{float(cert['gap']):.3g}")
+    detail[f"crossover_m{m}_primal_rel"] = float(
+        f"{float(cert['primal_rel']):.3g}")
+    detail[f"crossover_m{m}_dual_rel"] = float(
+        f"{float(cert['dual_rel']):.3g}")
+    log(f"[bench] crossover m={m}: certified={cert['certified']} "
+        f"primal {float(cert['primal_rel']):.2e}")
+
+
+def batched_atscale_row(detail: dict) -> None:
+    """The composition row: the panel-wave sparse engine VMAPPED over a
+    batch of same-A LPs (per-lane b, c — the re-solve-fleet shape,
+    examples/warm_resolve.py) vs solving them one at a time.  One
+    symbolic analysis + one static schedule serve every lane; per lane
+    the chip is >99.9% FLOP-idle, so lanes should stack nearly free
+    until the gather/scatter walls saturate (VERDICT r4 item 3)."""
+    m = 256 if SMOKE else 8192
+    lanes = 8
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from cholesky_is_magic_tpu.parallel import (
+        batched_pdas,
+        stack_sparse_states,
+    )
+    from cholesky_is_magic_tpu.solvers import PDASConfig, pdas
+    from cholesky_is_magic_tpu.solvers.pdas import make_pdas_sparse
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "examples"))
+    import at_scale_sparse as demo
+
+    log(f"[bench] batched at-scale m={m} x {lanes} lanes: building ...")
+    A_ub, b_ub, A_eq, b_eq, c, l, u = demo.build_lp(m)
+    rng = np.random.default_rng(7)
+    sfs = []
+    for i in range(lanes):
+        # Same A; per-lane feasible b (through an interior x0) and c.
+        lo = np.where(np.isfinite(l), l, -1.0)
+        hi = np.where(np.isfinite(u), u, lo + 2.0)
+        x0 = lo + (hi - lo) * (0.2 + 0.6 * rng.random(len(c)))
+        sfs.append(demo.to_standard_form(
+            A_ub, A_ub @ x0 + 0.1 + rng.random(A_ub.shape[0]),
+            A_eq, A_eq @ x0, rng.normal(size=len(c)), l, u,
+        ))
+    st0, eng = make_pdas_sparse(sfs[0], block=128)
+    states = [st0] + [
+        make_pdas_sparse(sf, block=128, engine=eng)[0] for sf in sfs[1:]
+    ]
+    cfg = PDASConfig(max_iters=60, refine_steps=1, mehrotra=True)
+    # One-at-a-time baseline: single-lane jit, run each lane (warm).
+    r0 = pdas(states[0], cfg, engine=eng)
+    float(r0.extra["gap"])  # compile
+    t0 = time.time()
+    n_opt_single = 0
+    for s in states:
+        r = pdas(s, cfg, engine=eng)
+        n_opt_single += int(int(r.status) == 1)
+    t_single = time.time() - t0
+    stacked = stack_sparse_states(states)
+    res = batched_pdas(stacked, cfg, engine=eng)
+    float(res.objective[0])  # compile
+    t0 = time.time()
+    res = batched_pdas(stacked, cfg, engine=eng)
+    n_opt = int(np.sum(np.asarray(res.status) == 1))
+    t_batch = time.time() - t0
+    detail[f"batched_atscale_m{m}_lanes"] = lanes
+    detail[f"batched_atscale_m{m}_single_s"] = round(t_single, 3)
+    detail[f"batched_atscale_m{m}_batch_s"] = round(t_batch, 3)
+    detail[f"batched_atscale_m{m}_speedup"] = round(t_single / t_batch, 2)
+    detail[f"batched_atscale_m{m}_optimal"] = f"{n_opt}/{lanes}"
+    log(f"[bench] batched at-scale m={m}: {lanes} lanes "
+        f"{t_batch:.2f} s batched vs {t_single:.2f} s serial "
+        f"({t_single / t_batch:.1f}x, {n_opt}/{lanes} optimal, "
+        f"serial {n_opt_single}/{lanes})")
 
 
 def batched_rows(detail: dict, n_lps: int = None) -> None:
@@ -558,7 +755,9 @@ def child_main() -> None:
     for name, section in (("at-scale", atscale_rows),
                           ("batched", batched_rows),
                           ("alm", alm_row),
-                          ("two-phase", twophase_row)):
+                          ("two-phase", twophase_row),
+                          ("two-phase-32k", twophase32k_row),
+                          ("batched-at-scale", batched_atscale_row)):
         try:
             log(f"[bench] section: {name} ...")
             section(detail)

@@ -135,8 +135,17 @@ class SparseKKTLP:
     ETB: object = None  # ops.bell.BellMatrix of Aᵀ, or None
 
 
-def to_sparse_lp(sf: StandardForm, *, dtype=jnp.float32, big: float = 1e30) -> SparseLP:
-    """StandardForm -> ELL-backed sparse operands (no padding)."""
+def to_sparse_lp(sf: StandardForm, *, dtype=jnp.float32, big: float = 1e30,
+                 bell_max_bytes: int = 256 * 1024 * 1024,
+                 bell_max_dense_frac: float = 1.0) -> SparseLP:
+    """StandardForm -> ELL-backed sparse operands (no padding).
+
+    ``bell_max_bytes`` / ``bell_max_dense_frac`` forward to the
+    ops.bell.from_coo storage gates for the EB/ETB renderings — raise
+    ``bell_max_dense_frac`` for small LPs whose blocked footprint is
+    marginally above the dense bytes (the gate is a per-operand crossover
+    heuristic, and consumers like ALMConfig.dd_gradient REQUIRE the
+    block-ELL forms)."""
     from cholesky_is_magic_tpu.ops import sparse_ops
 
     from cholesky_is_magic_tpu.ops import bell
@@ -145,10 +154,12 @@ def to_sparse_lp(sf: StandardForm, *, dtype=jnp.float32, big: float = 1e30) -> S
         sf.a_rows, sf.a_cols, sf.a_vals, (sf.ncons, sf.nvars), dtype=dtype
     )
     EB = bell.from_coo(
-        sf.a_rows, sf.a_cols, sf.a_vals, (sf.ncons, sf.nvars), dtype=dtype
+        sf.a_rows, sf.a_cols, sf.a_vals, (sf.ncons, sf.nvars), dtype=dtype,
+        max_bytes=bell_max_bytes, max_dense_frac=bell_max_dense_frac,
     )
     ETB = bell.from_coo(
-        sf.a_cols, sf.a_rows, sf.a_vals, (sf.nvars, sf.ncons), dtype=dtype
+        sf.a_cols, sf.a_rows, sf.a_vals, (sf.nvars, sf.ncons), dtype=dtype,
+        max_bytes=bell_max_bytes, max_dense_frac=bell_max_dense_frac,
     )
     return SparseLP(
         E=E,

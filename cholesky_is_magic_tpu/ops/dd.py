@@ -145,6 +145,17 @@ def dd_less(x: DD, y: DD) -> jax.Array:
     return (x.hi < y.hi) | ((x.hi == y.hi) & (x.lo < y.lo))
 
 
+def dd_clip(x: DD, l: jax.Array, u: jax.Array) -> DD:
+    """clip(x, l, u) with working-precision bounds: exact DD(l, 0)/DD(u, 0)
+    at the clamps, lexicographic compares so a value an eps below the bound
+    (hi == l, lo < 0) still clamps.  The double-word box projection used by
+    the dd APPROX inner loop (solvers.approx._approx_dd)."""
+    zl = jnp.zeros_like(l)
+    below = dd_less(x, DD(l, zl))
+    above = dd_less(DD(u, zl), x)
+    return dd_where(below, DD(l, zl), dd_where(above, DD(u, zl), x))
+
+
 def dd_min(x: DD, axis: int = -1) -> DD:
     """Minimum of a double-word array along ``axis`` (pairwise tree with
     lexicographic compares; +inf-padded to a power of two)."""

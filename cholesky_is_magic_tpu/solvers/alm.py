@@ -34,7 +34,9 @@ from cholesky_is_magic_tpu.ingest.device import DeviceLP
 from cholesky_is_magic_tpu.ingest.standard_form import StandardForm
 from cholesky_is_magic_tpu.solvers.approx import (
     approx,
+    _approx_dd,
     _approx_jit,
+    _dd_ops,
     dual_value,
     make_alm_subproblem,
     project_box,
@@ -64,6 +66,21 @@ class ALMConfig:
     # :533-536, :465).  Allocates max_outer floats per series; size
     # max_outer accordingly when tracing.
     record_trace: bool = False
+    # Run the inner APPROX loop in double-word precision (dd iterates +
+    # dd gradients over the block-ELL operands — approx._approx_dd).  The
+    # escape from the f32 wall: on f32 operands the projected gradient
+    # floors at ~1e-2-1e-3 (cancellation in r = Ax-b and g, updates below
+    # ulp(z)), so the reference's 1e-5/1e-5 outer stop
+    # (alm-approx.lisp:556-558) is unreachable; in dd it is.  ~3-5x the
+    # f32 inner-iteration cost — warm-start it from a stalled f32 run,
+    # keeping the MULTIPLIERS but RESETTING mu to a moderate value
+    # (~100): the f32 phase inflates mu toward mu_max because its
+    # precision floor fakes "no improvement" to the growth rule, and an
+    # accelerated first-order inner method at mu~1e7 needs ~L/k^2
+    # iterations per digit (measured: pg floors at 1.3e-2 inheriting mu,
+    # converges at mu=100 — tests/test_solvers.py::TestALMDD).
+    # examples/alm_e2e_verdict.py shows the two-phase protocol.
+    dd_gradient: bool = False
 
 
 @partial(
@@ -129,6 +146,10 @@ class ALMResult(NamedTuple):
     # Per-outer-step series (violation, mu, pg, value) when
     # ALMConfig.record_trace; empty arrays otherwise.
     trace: Optional[dict] = None
+    # Final penalty parameter — lets a caller warm-restart the outer loop
+    # (make_alm(lp, mu=float(res.mu), multipliers=res.multipliers)) for
+    # wall-clock-budgeted runs (examples/alm_e2e_verdict.py).
+    mu: Optional[jax.Array] = None
 
 
 def _iteration2(state: ALMState, x, precision, has_x, cfg: ALMConfig):
@@ -162,6 +183,44 @@ def _iteration2(state: ALMState, x, precision, has_x, cfg: ALMConfig):
     return new_state, res, viol, value
 
 
+def _iteration2_dd(state: ALMState, x_dd, precision, has_x, cfg: ALMConfig):
+    """alm-iteration2 with the double-word inner driver (approx._approx_dd):
+    identical multiplier/mu/omega updates, but the violation is measured
+    from the dd residual (in f32 it would floor at the cancellation the dd
+    gradient exists to remove) and the iterate stays dd across outer steps."""
+    from cholesky_is_magic_tpu.ops import dd as ddm
+
+    prob = make_alm_subproblem(state.lp, state.multipliers, state.mu)
+    # ||A x - b|| at the incoming iterate, dd-measured.
+    mv, _ = _dd_ops(state.lp)
+    r0 = ddm.dd_add_w(mv(x_dd), -prob.q)
+    viol0 = jnp.linalg.norm(r0.hi + r0.lo)
+    z, pg, iters, r_z = _approx_dd(
+        state.lp, prob, state.multipliers, state.mu, x_dd, precision,
+        cfg.inner_iters,
+    )
+    viol = jnp.where(prob.s != 0, r_z.hi + r_z.lo, 0.0)
+    viol2 = jnp.linalg.norm(viol)
+    value = dual_value(prob, z.hi + z.lo)
+    tiny = jnp.asarray(jnp.finfo(viol0.dtype).tiny, viol0.dtype)
+    improvement = viol2 / jnp.maximum(viol0, tiny)
+    lam = jnp.clip(
+        state.multipliers + state.mu * viol, state.mult_l, state.mult_u
+    )
+    growth = jnp.where(
+        has_x, jnp.maximum(1.0, jnp.minimum(2.0 * improvement, 2.0)), 1.0
+    )
+    mu = jnp.minimum(state.mu * growth, cfg.mu_max)
+    new_state = dataclasses.replace(
+        state,
+        multipliers=lam,
+        mu=mu,
+        nu=mu ** -0.1,
+        omega=jnp.maximum(1.0 / mu, cfg.omega_floor),
+    )
+    return new_state, z, pg, iters, viol, value
+
+
 def alm(
     state: ALMState,
     x0: Optional[jax.Array] = None,
@@ -174,27 +233,37 @@ def alm(
     n_cols = state.lp.c.shape[0]
     dtype = state.multipliers.dtype
     x_init = x0 if x0 is not None else jnp.zeros(n_cols, dtype)
+    if cfg.dd_gradient:
+        _dd_ops(state.lp)  # raise early (host-side) if operands unsuitable
     return _alm_jit(state, x_init, cfg)
 
 
 @highest_precision
 @partial(jax.jit, static_argnames=("cfg",))
 def _alm_jit(state: ALMState, x_init, cfg: ALMConfig) -> ALMResult:
+    from cholesky_is_magic_tpu.ops import dd as ddm
+
     dtype = x_init.dtype
     inf = jnp.asarray(np.inf, dtype)
+    dd = cfg.dd_gradient  # static: picks the carry pytree shape at trace time
 
     def body(carry):
         st, x, accuracy, i, _v, _pg, _val, inner, trace = carry
         precision = jnp.minimum(accuracy, st.omega)
-        st2, res, viol, value = _iteration2(st, x, precision, i > 0, cfg)
+        if dd:
+            st2, x2, pg, iters, viol, value = _iteration2_dd(
+                st, x, precision, i > 0, cfg)
+        else:
+            st2, res, viol, value = _iteration2(st, x, precision, i > 0, cfg)
+            x2, pg, iters = res.x, res.pg, res.iterations
         v = jnp.max(jnp.abs(viol))
         accuracy = jnp.minimum(accuracy, jnp.maximum(cfg.violation_tol, v))
         accuracy = jnp.where(v < cfg.violation_tol, cfg.violation_tol, accuracy)
         if cfg.record_trace:
-            vals = (v, st.mu, res.pg, value)
+            vals = (v, st.mu, pg, value)
             trace = jax.tree.map(lambda a, t: a.at[i].set(t), trace, vals)
-        return (st2, res.x, accuracy, i + 1, v, res.pg, value,
-                inner + res.iterations, trace)
+        return (st2, x2, accuracy, i + 1, v, pg, value,
+                inner + iters, trace)
 
     def cond(carry):
         _st, _x, _acc, i, v, pg, _val, _inner, _trace = carry
@@ -205,14 +274,15 @@ def _alm_jit(state: ALMState, x_init, cfg: ALMConfig) -> ALMResult:
         if cfg.record_trace
         else (jnp.zeros(0, dtype),) * 4
     )
+    x0 = ddm.dd_from(x_init) if dd else x_init
     st, x, _acc, iters, v, pg, value, inner, trace = jax.lax.while_loop(
         cond,
         body,
-        (state, x_init, inf, jnp.asarray(0, jnp.int32), inf, inf, inf,
+        (state, x0, inf, jnp.asarray(0, jnp.int32), inf, inf, inf,
          jnp.asarray(0, jnp.int32), trace0),
     )
     return ALMResult(
-        x=x,
+        x=(x.hi + x.lo) if dd else x,
         multipliers=st.multipliers,
         violation=v,
         pg=pg,
@@ -223,6 +293,7 @@ def _alm_jit(state: ALMState, x_init, cfg: ALMConfig) -> ALMResult:
             "violation": trace[0], "mu": trace[1], "pg": trace[2],
             "value": trace[3],
         },
+        mu=st.mu,
     )
 
 
@@ -331,7 +402,7 @@ def _aalm_jit(state: ALMState, x_init, cfg: ALMConfig) -> ALMResult:
     )
     return ALMResult(
         x=x, multipliers=st.multipliers, violation=v, pg=pg, value=value,
-        outer_iterations=iters, inner_iterations=inner,
+        outer_iterations=iters, inner_iterations=inner, mu=st.mu,
     )
 
 
@@ -405,4 +476,5 @@ def adcd(
         value=dual_value(prob, x),
         outer_iterations=jnp.asarray(outer, jnp.int32),
         inner_iterations=jnp.asarray(0, jnp.int32),
+        mu=state.mu,
     )

@@ -460,3 +460,115 @@ def _approx_jit(prob: ApproxProblem, x_init, accuracy, max_iters: int) -> Approx
         (x_init, x_init, one, jnp.asarray(0, jnp.int32), inf, inf, jnp.asarray(False)),
     )
     return ApproxResult(x=z, pg=pg, iterations=iters, value=value)
+
+
+# ---------------------------------------------------------------------------
+# Double-word inner driver: the f32 ALM wall is a PRECISION wall (measured:
+# host f64 of the same algorithm reaches viol+pg < 1e-5 where f32 floors at
+# pg ~1e-2 — examples/alm_e2e_verdict.py).  The cancellation lives in
+# r = Ax - b (O(1) operands, ~1e-7 result) and in g = mu·Aᵀr + c + Aᵀλ
+# (large terms summing to ~1e-5), and the iterate updates near convergence
+# are below ulp(z).  So this driver carries x, z AND the gradient pipeline
+# in double-word (ops.dd), riding the block-ELL dd products
+# (ops.bell.dd_matvec_dd) — the TPU rendering of the reference's f64 inner
+# loop (approx, alm-approx.lisp:307-346), reached via ALMConfig.dd_gradient.
+# ---------------------------------------------------------------------------
+
+
+def _dd_ops(lp):
+    """(matvec_dd, rmatvec_dd) for a SparseLP (block-ELL required — the
+    plain-ELL dd scatter serializes on TPU) or a dense DeviceLP."""
+    from cholesky_is_magic_tpu.ops import dd as ddm
+
+    if isinstance(lp, SparseLP):
+        if lp.EB is None or lp.ETB is None:
+            raise ValueError(
+                "ALMConfig.dd_gradient needs block-ELL operands (SparseLP"
+                ".EB/ETB); this pattern was gated out by ops.bell.from_coo"
+                " — raise max_bytes in to_sparse_lp or use the dense path."
+            )
+        return (lambda v: bell_ops.dd_matvec_dd(lp.EB, v),
+                lambda t: bell_ops.dd_matvec_dd(lp.ETB, t))
+    return (lambda v: ddm.dd_matvec_dd(lp.A, v),
+            lambda t: ddm.dd_rmatvec_dd(lp.A, t))
+
+
+def _approx_dd(lp, prob: ApproxProblem, lam, mu, x0, accuracy,
+               max_iters: int):
+    """Accelerated APPROX in double-word: same iteration as _approx_jit
+    (0.95-damped prox, theta schedule, adaptive restart, stop at
+    ||proj grad|| < accuracy after 10 iters) with dd iterates and an
+    exactly-fused gradient  g = Aᵀ(mu·r + λ) + c,  r = Ax - b  (the λ
+    fold-in costs nothing: same two products per evaluation as the f32
+    path's precomputed c_lin).  f32 heads are returned where callers want
+    working precision; |lo| <= ulp(hi)/2 so hi IS the rounded value.
+
+    Returns (z: DD, pg, iterations, r_z: DD) with r_z the double-word
+    primal residual at z — the outer loop's violation measurement, which
+    in f32 would floor at the very cancellation this driver removes.
+    """
+    from cholesky_is_magic_tpu.ops import dd as ddm
+
+    mv, rmv = _dd_ops(lp)
+    b, c = prob.q, lp.c
+    l, u = prob.l, prob.u
+    nu = prob.nu
+    mu = jnp.asarray(mu, l.dtype)
+
+    def grad(v):
+        r = ddm.dd_add_w(mv(v), -b)
+        t = ddm.dd_add_w(ddm.dd_scale(r, mu), lam)
+        g = ddm.dd_add_w(rmv(t), c)
+        return g, r
+
+    def prox(z, theta, g):
+        step = theta * nu
+        inv = 0.95 / jnp.where(step == 0, 1.0, step)
+        best = ddm.dd_sub(z, ddm.dd_scale(g, inv))
+        proxed = ddm.dd_clip(best, l, u)
+        zero = jnp.zeros_like(l)
+        degenerate = ddm.dd_where(
+            g.hi < 0, ddm.DD(u, zero),
+            ddm.dd_where((g.hi == 0) & (g.lo == 0), z, ddm.DD(l, zero)))
+        return ddm.dd_where(step == 0, degenerate, proxed)
+
+    def dd_axpy(a, x, s, y):
+        # a*x + s*y for f32 scalars a, s and DD vectors x, y.
+        return ddm.dd_add(ddm.dd_scale(x, a), ddm.dd_scale(y, s))
+
+    def body(carry):
+        x, z, theta, i, _pg, _done = carry
+        y = dd_axpy(1.0 - theta, x, theta, z)
+        gy, _ = grad(y)
+        zp = prox(z, theta, gy)
+        dz = ddm.dd_sub(zp, z)
+        x_new = ddm.dd_add(y, ddm.dd_scale(dz, theta))
+        theta_new = 0.5 * (
+            jnp.sqrt((theta * theta + 4.0) * theta * theta) - theta * theta
+        )
+        g, _ = grad(zp)
+        # Restart test <g, zp - z> with the eps^2 cross terms kept.
+        dot = (jnp.dot(g.hi, dz.hi)
+               + jnp.dot(g.hi, dz.lo) + jnp.dot(g.lo, dz.hi))
+        restart = dot > 0
+        x_next = ddm.dd_where(restart, z, x_new)
+        z_next = ddm.dd_where(restart, z, zp)
+        theta_next = jnp.where(restart, 1.0, theta_new)
+        proj = ddm.dd_sub(z_next, ddm.dd_clip(ddm.dd_sub(z_next, g), l, u))
+        pg = jnp.linalg.norm(proj.hi + proj.lo)
+        done = (i > 10) & (pg < accuracy)
+        return x_next, z_next, theta_next, i + 1, pg, done
+
+    def cond(carry):
+        _x, _z, _theta, i, _pg, done = carry
+        return ~done & (i < max_iters)
+
+    one = jnp.asarray(1.0, l.dtype)
+    inf = jnp.asarray(np.inf, l.dtype)
+    x0 = ddm.dd_clip(x0, l, u)
+    _x, z, _theta, iters, pg, _done = jax.lax.while_loop(
+        cond, body,
+        (x0, x0, one, jnp.asarray(0, jnp.int32), inf, jnp.asarray(False)),
+    )
+    r_z = ddm.dd_add_w(mv(z), -b)
+    return z, pg, iters, r_z

@@ -1,0 +1,265 @@
+"""ALM end-to-end at-scale verdict: equal-wall-budget TPU f32 vs host f64.
+
+VERDICT r4 item 5: the block-ELL inner-kernel win (0.27 ms vs host 1.8 ms
+per accelerated APPROX iteration at m=16384) is real, but nobody had shown
+the OUTER loop's convergence story at scale.  This script runs the full
+ALM (alm-iteration2 outer + accelerated APPROX inner — the reference's
+production driver, alm-approx.lisp:493-561) under a fixed wall-clock
+budget, twice with matched constants:
+
+  (a) TPU, f32, block-ELL operands  (solvers.alm.alm, chunked outer loop
+      so the budget can be enforced between jitted chunks);
+  (b) host, f64, scipy CSR          (the same iteration math in numpy —
+      what the reference's Lisp compiles to, at full double precision).
+
+Reported per run: the violation/pg trajectory against wall time, the
+first crossing of each violation threshold (1e-3/1e-4/1e-5 — the
+reference's outer stop is inf-norm violation < 1e-5 AND pg < 1e-5,
+alm-approx.lisp:556-558), and the best violation within budget.  The
+comparison answers the question the inner-kernel number can't: is the
+at-scale ALM wall a PRECISION wall (f64 converges where f32 floors — then
+dd-gradient escalation is the fix) or an ITERATION wall (f64 tracks the
+same trajectory, just ~6x slower per iteration — then the TPU wins
+time-to-any-reachable-tolerance and the 1e-5 target is a first-order-
+method limit at this scale, not a TPU limit)?
+
+Patterns: the staircase LP (examples/at_scale_sparse.build_lp) and a
+wider-coupling variant (same nnz/row, 8x column window).
+
+Run:  python -u examples/alm_e2e_verdict.py [m] [budget_s]
+      (host-only: ALM_E2E_SKIP_TPU=1; skip host: ALM_E2E_SKIP_HOST=1)
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from at_scale_sparse import build_lp, to_standard_form  # noqa: E402
+
+THRESHOLDS = (1e-3, 1e-4, 1e-5)
+
+
+def _crossings(times, viols):
+    """First wall-time at which each violation threshold is crossed."""
+    out = {}
+    for th in THRESHOLDS:
+        hit = [t for t, v in zip(times, viols) if v < th]
+        out[f"t_viol<{th:g}"] = round(min(hit), 1) if hit else None
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host twin: the same alm-iteration2 + accelerated APPROX math in f64.
+# ---------------------------------------------------------------------------
+
+def host_alm(sf, budget_s: float, inner_iters: int = 20_000,
+             violation_tol: float = 1e-5, pg_tol: float = 1e-5,
+             omega_floor: float = 1e-6, mu_max: float = 1e7,
+             max_outer: int = 10_000) -> dict:
+    """f64 scipy-CSR rendering of solvers.alm._alm_jit: identical mu
+    growth (2x improvement-ratio clip), multiplier sign clamps, accuracy
+    tightening schedule, 0.95-damped prox, adaptive restart."""
+    import scipy.sparse as sp
+
+    from cholesky_is_magic_tpu.ingest.standard_form import StandardForm
+
+    A = sp.csr_matrix((sf.a_vals, (sf.a_rows, sf.a_cols)),
+                      shape=(sf.ncons, sf.nvars))
+    AT = A.T.tocsr()
+    A2T = A.copy()
+    A2T.data = A2T.data ** 2
+    A2T = A2T.T.tocsr()
+    beta = np.diff(A.indptr).astype(np.float64)
+    a2t_beta = A2T @ beta  # nu = mu * a2t_beta
+    b, c = sf.b.astype(np.float64), sf.c.astype(np.float64)
+    l = np.clip(sf.l, -1e30, 1e30)
+    u = np.clip(sf.u, -1e30, 1e30)
+    mult_l = np.where(sf.row_type == StandardForm.ROW_LE, 0.0, -1e30)
+    mult_u = np.where(sf.row_type == StandardForm.ROW_GE, 0.0, 1e30)
+
+    lam = np.zeros(sf.ncons)
+    mu, accuracy = 10.0, np.inf
+    x = np.clip(np.zeros(sf.nvars), l, u)
+    times, viols, pgs, inner_total = [], [], [], 0
+    t0 = time.time()
+    pg = np.inf
+    for outer in range(max_outer):
+        omega = max(1.0 / mu, omega_floor) if outer else 1.0 / mu
+        precision = min(accuracy, omega)
+        c_lin = c + AT @ lam
+        nu = mu * a2t_beta
+        viol0 = np.linalg.norm(A @ x - b)
+
+        def grad(v):
+            return mu * (AT @ (A @ v - b)) + c_lin
+
+        z = np.clip(x, l, u)
+        xx, theta = z.copy(), 1.0
+        pg = np.inf
+        it = 0
+        for it in range(1, inner_iters + 1):
+            y = (1.0 - theta) * xx + theta * z
+            gy = grad(y)
+            step = theta * nu
+            zp = np.clip(z - 0.95 * gy / np.where(step == 0, 1.0, step), l, u)
+            x_new = y + theta * (zp - z)
+            theta_new = 0.5 * (np.sqrt((theta**2 + 4.0) * theta**2) - theta**2)
+            g = grad(zp)
+            if g @ (zp - z) > 0:
+                xx, theta = z.copy(), 1.0  # adaptive restart (:321-324)
+            else:
+                xx, z, theta = x_new, zp, theta_new
+            pg = np.linalg.norm(z - np.clip(z - g, l, u))
+            if it > 10 and pg < precision:
+                break
+            if it % 200 == 0 and time.time() - t0 > budget_s:
+                break
+        inner_total += it
+        x = z
+        viol = A @ x - b
+        v = float(np.max(np.abs(viol)))
+        v2 = np.linalg.norm(viol)
+        improvement = v2 / max(viol0, np.finfo(np.float64).tiny)
+        lam = np.clip(lam + mu * viol, mult_l, mult_u)
+        if outer > 0:
+            mu = min(mu * max(1.0, min(2.0 * improvement, 2.0)), mu_max)
+        accuracy = min(accuracy, max(violation_tol, v))
+        if v < violation_tol:
+            accuracy = violation_tol
+        times.append(time.time() - t0)
+        viols.append(v)
+        pgs.append(float(pg))
+        if (v < violation_tol and pg < pg_tol) or times[-1] > budget_s:
+            break
+    return {
+        "backend": "host f64 (scipy CSR)",
+        "outer": len(times), "inner": inner_total,
+        "best_violation": float(f"{min(viols):.3g}"),
+        "final_pg": float(f"{pgs[-1]:.3g}"),
+        "wall_s": round(times[-1], 1),
+        "converged": bool(viols[-1] < violation_tol and pgs[-1] < pg_tol),
+        **_crossings(times, viols),
+        "times": [round(t, 1) for t in times],
+        "viols": [float(f"{v:.3g}") for v in viols],
+    }
+
+
+# ---------------------------------------------------------------------------
+# TPU run: chunked jitted outer loop so the wall budget binds between chunks.
+# ---------------------------------------------------------------------------
+
+def tpu_alm(sf, budget_s: float, inner_iters: int = 20_000,
+            violation_tol: float = 1e-5, pg_tol: float = 1e-5,
+            omega_floor: float = 1e-6, chunk: int = 4,
+            max_outer: int = 10_000, dd_escalate: bool = True,
+            f32_frac: float = 0.5) -> dict:
+    """Two-phase budgeted run: f32 chunks until convergence / stall /
+    ``f32_frac`` of the budget, then double-word chunks
+    (ALMConfig.dd_gradient — the f32 pg wall is mu·||A||²·ulp(z)-shaped,
+    so only dd iterates can satisfy the reference's 1e-5 outer stop) for
+    the remainder.  Both phases share one wall clock."""
+    import jax.numpy as jnp
+
+    from cholesky_is_magic_tpu.ingest.device import to_sparse_lp
+    from cholesky_is_magic_tpu.solvers import alm, make_alm
+    from cholesky_is_magic_tpu.solvers.alm import ALMConfig
+
+    lp = to_sparse_lp(sf, dtype=jnp.float32)
+    cfg_f32 = ALMConfig(max_outer=chunk, inner_iters=inner_iters,
+                        violation_tol=violation_tol, pg_tol=pg_tol,
+                        omega_floor=omega_floor, record_trace=True)
+    cfg_dd = dataclasses.replace(cfg_f32, dd_gradient=True,
+                                 omega_floor=min(omega_floor, 1e-7))
+
+    def run_chunk(cfg, mu, lam, x0):
+        st = make_alm(lp, mu=mu, multipliers=lam)
+        # Restore the omega floor a fresh make_alm would lose at large mu
+        # (alm._iteration2 maintains it across outer steps).
+        st = dataclasses.replace(
+            st, omega=jnp.maximum(st.omega, jnp.asarray(cfg.omega_floor,
+                                                        st.omega.dtype)))
+        return alm(st, x0=x0, config=cfg)
+
+    lam0 = jnp.zeros((lp.m,), jnp.float32)
+    x00 = jnp.zeros((lp.n,), jnp.float32)
+    for cfg in (cfg_f32, cfg_dd) if dd_escalate else (cfg_f32,):
+        float(run_chunk(cfg, 10.0, lam0, x00).violation)  # compile (cached)
+
+    times, viols, pgs, phases = [], [], [], []
+    mu, lam, x = 10.0, lam0, x00
+    inner_total, outer_total, value = 0, 0, np.nan
+    phase = "f32"
+    t0 = time.time()
+    while outer_total < max_outer:
+        cfg = cfg_dd if phase == "dd" else cfg_f32
+        res = run_chunk(cfg, mu, lam, x)
+        k = int(res.outer_iterations)
+        now = time.time() - t0
+        # Per-step walls inside a chunk aren't observable from the host;
+        # stamp each step with the chunk-end time (conservative).
+        times += [now] * k
+        viols += [float(v) for v in np.asarray(res.trace["violation"][:k])]
+        pgs += [float(p) for p in np.asarray(res.trace["pg"][:k])]
+        phases += [phase] * k
+        inner_total += int(res.inner_iterations)
+        outer_total += k
+        mu, lam, x = float(res.mu), res.multipliers, res.x
+        value = float(res.value)
+        v, pg = float(res.violation), float(res.pg)
+        if (v < violation_tol and pg < pg_tol) or now > budget_s or k == 0:
+            break
+        if phase == "f32" and dd_escalate:
+            # Escalate on stall (pg improved <20% over the chunk) or at
+            # the f32 share of the budget.  On escalation, RESET mu: the
+            # f32 phase inflates mu toward mu_max because its precision
+            # floor fakes "no improvement" to the growth rule, and at
+            # mu~1e7 the accelerated inner method needs ~L/k^2 iterations
+            # per digit — measured pg floor 1.3e-2 with inherited mu vs
+            # full convergence with mu=100 (tests/test_solvers.py::
+            # TestALMDD).  The multipliers carry the progress; mu only
+            # needs to be large enough for the dd phase's own schedule.
+            stalled = (len(pgs) > 2 * chunk
+                       and pgs[-1] > 0.8 * pgs[-1 - chunk])
+            if stalled or now > f32_frac * budget_s:
+                phase = "dd"
+                mu = min(mu, 100.0)
+    return {
+        "backend": "tpu f32+dd (block-ELL)" if "dd" in phases
+        else "tpu f32 (block-ELL)",
+        "outer": outer_total, "inner": inner_total,
+        "dd_outer": int(sum(p == "dd" for p in phases)),
+        "best_violation": float(f"{min(viols):.3g}"),
+        "final_pg": float(f"{pgs[-1]:.3g}"),
+        "value": float(f"{value:.6g}"),
+        "wall_s": round(times[-1], 1),
+        "converged": bool(viols[-1] < violation_tol and pgs[-1] < pg_tol),
+        **_crossings(times, viols),
+        "times": [round(t, 1) for t in times],
+        "viols": [float(f"{v:.3g}") for v in viols],
+        "pgs": [float(f"{v:.3g}") for v in pgs],
+    }
+
+
+def main(m: int = 16384, budget_s: float = 300.0):
+    for label, kwargs in (("staircase", {}),
+                          ("wide-coupling x8", {"width_mult": 8})):
+        sf = to_standard_form(*build_lp(m, **kwargs))
+        print(f"\n=== {label}: m={sf.ncons} n={sf.nvars} "
+              f"nnz={len(sf.a_vals)} budget={budget_s:.0f}s ===")
+        if not os.environ.get("ALM_E2E_SKIP_TPU"):
+            r = tpu_alm(sf, budget_s)
+            print(json.dumps(r))
+        if not os.environ.get("ALM_E2E_SKIP_HOST"):
+            r = host_alm(sf, budget_s)
+            print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 16384,
+         float(sys.argv[2]) if len(sys.argv) > 2 else 300.0)

@@ -50,8 +50,14 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def build_lp(m: int, seed: int = 0):
-    """Feasible staircase LP at (m, 2m) with ~6 nnz/row + slack identity."""
+def build_lp(m: int, seed: int = 0, width_mult: int = 1):
+    """Feasible staircase LP at (m, 2m) with ~6 nnz/row + slack identity.
+
+    ``width_mult > 1`` widens each row's column WINDOW by that factor while
+    keeping the nnz/row draw unchanged — same density, longer-range
+    coupling (slower information propagation for first-order methods,
+    denser AAᵀ for the IPM path).  Used by examples/alm_e2e_verdict.py as
+    the "wider-coupling pattern" (VERDICT r4 item 5)."""
     import scipy.sparse as sp
 
     rng = np.random.default_rng(seed)
@@ -61,12 +67,13 @@ def build_lp(m: int, seed: int = 0):
 
     def staircase(rows):
         width = max(6, n // max(rows, 1) + 4)
+        window = min(n, width * max(int(width_mult), 1))
         ri, ci, vi = [], [], []
         for i in range(rows):
-            start = int(i * max(n - width, 1) / max(rows, 1))
+            start = int(i * max(n - window, 1) / max(rows, 1))
             k = rng.integers(3, width)
             cols = np.clip(
-                start + rng.choice(width, size=min(k, width), replace=False),
+                start + rng.choice(window, size=min(k, window), replace=False),
                 0, n - 1,
             )
             ri += [i] * len(cols)

@@ -68,6 +68,20 @@ class TestDoubleWord:
         p = ddm.dd_dot(a, b)
         assert np.isfinite(float(p.hi))
 
+    def test_dd_clip_lexicographic(self):
+        # A value an eps BELOW the bound (hi == l, lo < 0) must clamp to
+        # exactly (l, 0); interior values pass through untouched.
+        l = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+        u = jnp.asarray([1.0, 1.0, 1.0], jnp.float32)
+        eps = np.float32(1e-12)
+        x = ddm.DD(jnp.asarray([0.0, 0.5, 1.0], jnp.float32),
+                   jnp.asarray([-eps, eps, eps], jnp.float32))
+        out = ddm.dd_clip(x, l, u)
+        np.testing.assert_array_equal(
+            np.asarray(out.hi), np.asarray([0.0, 0.5, 1.0], np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(out.lo), np.asarray([0.0, eps, 0.0], np.float32))
+
 
 class TestDense:
     @pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])

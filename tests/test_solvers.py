@@ -221,6 +221,72 @@ class TestALM:
         assert int(res.outer_iterations) <= 100
 
 
+class TestALMDD:
+    """ALMConfig.dd_gradient — the double-word inner APPROX driver
+    (approx._approx_dd).  The f32 ALM wall is a PRECISION wall: host f64
+    of the same algorithm reaches the reference's viol/pg < 1e-5 outer
+    stop (alm-approx.lisp:556-558) where f32 floors at pg ~1e-2
+    (examples/alm_e2e_verdict.py); the dd driver must restore that
+    capability on f32 operands."""
+
+    def _sparse_f32(self, seed=7, frac=8.0):
+        from cholesky_is_magic_tpu.ingest.device import to_sparse_lp
+
+        ineq = random_lp(seed, n_ub=24, n_eq=8, n=48, density=0.3)
+        status, fun, _ = scipy_reference_solution(ineq)
+        assert status == 0
+        sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+        return to_sparse_lp(sf, dtype=jnp.float32,
+                            bell_max_dense_frac=frac), fun
+
+    def test_dd_reaches_reference_tolerances_sparse(self):
+        # Two-phase protocol: f32 to its floor, dd finisher warm-started
+        # from the f32 multipliers/iterate — the production escalation.
+        # mu is RESET (not inherited): the f32 phase inflates mu toward
+        # mu_max because its precision floor fakes "no improvement" to
+        # the growth rule, and at mu~1e7 the accelerated inner method
+        # needs ~L/k^2 ~ 1e8/1e8 iterations per digit (measured: pg
+        # floors at 1.3e-2 with inherited mu; converges in 5 outer /
+        # 9e3 inner with mu=100).  The multipliers carry the progress.
+        lp, fun = self._sparse_f32()
+        assert lp.EB is not None and lp.ETB is not None
+        cfgA = ALMConfig(max_outer=30, inner_iters=10_000,
+                         violation_tol=1e-5, pg_tol=1e-5, omega_floor=1e-6)
+        resA = alm(make_alm(lp), config=cfgA)
+        cfgB = dataclasses.replace(cfgA, dd_gradient=True,
+                                   omega_floor=1e-7, max_outer=30)
+        stB = make_alm(lp, mu=100.0, multipliers=resA.multipliers)
+        resB = alm(stB, x0=resA.x, config=cfgB)
+        assert float(resB.violation) < 1e-5
+        assert float(resB.pg) < 1e-5
+        assert float(resB.value) == pytest.approx(fun, rel=1e-3, abs=1e-3)
+        # The dd finisher must not be a no-op: it lands at or below the
+        # f32 phase's floor on both outer-stop quantities.
+        assert float(resB.pg) <= float(resA.pg) + 1e-12
+
+    def test_dd_gradient_dense_path(self):
+        # Cold-start dd over a padded dense DeviceLP (exercises the
+        # ops.dd dense dd_matvec_dd / dd_rmatvec_dd route).
+        lp, fun = random_device_lp(2, dtype=jnp.float32)
+        cfg = ALMConfig(max_outer=40, inner_iters=10_000,
+                        violation_tol=1e-5, pg_tol=1e-5, omega_floor=1e-7,
+                        dd_gradient=True)
+        res = alm(make_alm(lp), config=cfg)
+        assert float(res.violation) < 1e-5
+        assert float(res.pg) < 1e-5
+        assert float(res.value) == pytest.approx(fun, rel=1e-3, abs=1e-3)
+
+    def test_dd_gradient_requires_bell_operands(self):
+        from cholesky_is_magic_tpu.ingest.device import to_sparse_lp
+
+        ineq = random_lp(3, n_ub=24, n_eq=8, n=48, density=0.3)
+        sf = cim.to_standard_form(read_mps_string(write_mps(ineq)))
+        lp = to_sparse_lp(sf, dtype=jnp.float32, bell_max_dense_frac=0.0)
+        assert lp.EB is None
+        with pytest.raises(ValueError, match="block-ELL"):
+            alm(make_alm(lp), config=ALMConfig(dd_gradient=True))
+
+
 class TestApproxSelfdual:
     def test_selfdual_solves_lp(self):
         lp = fixture_lp()

@@ -408,13 +408,23 @@ def atscale_rows(detail: dict) -> None:
                                 (sf.ncons, sf.nvars))
         ET = sparse_ops.from_coo(sf.a_cols, sf.a_rows, sf.a_vals,
                                  (sf.nvars, sf.ncons))
+        # Block-ELL forms for the refine products (r5: the plain-ELL dd
+        # SpMVs owned ~28% of the iteration; solver paths route via
+        # SparseKKTLP.EB/ETB so the bench row must too).
+        from cholesky_is_magic_tpu.ops import bell
+
+        EB = bell.from_coo(sf.a_rows, sf.a_cols, sf.a_vals,
+                           (sf.ncons, sf.nvars))
+        ETB = bell.from_coo(sf.a_cols, sf.a_rows, sf.a_vals,
+                            (sf.nvars, sf.ncons))
         rng = np.random.default_rng(0)
         d0 = jnp.asarray(rng.random(sf.nvars) + 0.5, jnp.float32)
         g0 = jnp.asarray(rng.normal(size=sf.ncons), jnp.float32)
         # Smaller K at scale: 14 ms/iter x 2K=32 keeps each fetch ~0.5 s.
         key = f"tpu_sparse_m{m}"
         detail[key] = round(two_k_ms(
-            lambda d, g: eng.solve_normal_ell(E, ET, d, g, refine_steps=1),
+            lambda d, g: eng.solve_normal_ell(E, ET, d, g, refine_steps=1,
+                                              EB=EB, ETB=ETB),
             d0, g0, k_base=16, reps=3,
         ), 4)
         _mfu(detail, key, _sparse_iter_flops(eng))

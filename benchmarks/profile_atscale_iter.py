@@ -51,6 +51,12 @@ def stages(m: int) -> dict:
                             (sf.ncons, sf.nvars))
     ET = sparse_ops.from_coo(sf.a_cols, sf.a_rows, sf.a_vals,
                              (sf.nvars, sf.ncons))
+    from cholesky_is_magic_tpu.ops import bell
+
+    EB = bell.from_coo(sf.a_rows, sf.a_cols, sf.a_vals,
+                       (sf.ncons, sf.nvars))
+    ETB = bell.from_coo(sf.a_cols, sf.a_rows, sf.a_vals,
+                        (sf.nvars, sf.ncons))
     build_s = time.time() - t0
     rng = np.random.default_rng(0)
     d0 = jnp.asarray(rng.random(sf.nvars) + 0.5, jnp.float32)
@@ -76,10 +82,16 @@ def stages(m: int) -> dict:
         y, ok = eng.solve_normal_ell(E, ET, d, g, refine_steps=1)
         return y, ok
 
+    def s_full_bell(d, g):
+        y, ok = eng.solve_normal_ell(E, ET, d, g, refine_steps=1,
+                                     EB=EB, ETB=ETB)
+        return y, ok
+
     kb = 16 if m >= 8192 else 32
     out = {"m": mloc, "B_panels": eng.B, "build_s": round(build_s, 1)}
     for name, step in (("A_assemble", s_assemble), ("B_factor", s_factor),
-                       ("C_solve", s_solve), ("D_full_refine1", s_full)):
+                       ("C_solve", s_solve), ("D_full_refine1", s_full),
+                       ("D2_full_refine1_bell", s_full_bell)):
         ms = two_k_ms(step, d0, g0, k_base=kb, reps=3)
         out[name] = round(ms, 3)
         print(f"  {name:16s} {ms:8.3f} ms/iter", flush=True)

@@ -53,15 +53,18 @@ def lane_scaling(m: int) -> dict:
     out = {"m": sf.ncons, "B_panels": eng.B}
     kb = 16 if m >= 8192 else 32
     for lanes in (1, 2, 4, 8):
-        d0 = jnp.asarray(rng.random((lanes, sf.nvars)) + 0.5, jnp.float32)
-        g0 = jnp.asarray(rng.normal(size=(lanes, sf.ncons)), jnp.float32)
+        # Flat (lanes*dim) carries: bench.two_k_ms chains scalars off
+        # y[0] and adds 1e-6*y to g, so step must return y with g's
+        # (flat) shape.
+        d0 = jnp.asarray(rng.random(lanes * sf.nvars) + 0.5, jnp.float32)
+        g0 = jnp.asarray(rng.normal(size=lanes * sf.ncons), jnp.float32)
 
-        def step(d, g):
+        def step(d, g, lanes=lanes):
             y, ok = jax.vmap(
                 lambda dd, gg: eng.solve_normal_ell(E, ET, dd, gg,
                                                     refine_steps=1)
-            )(d, g)
-            return y, jnp.all(ok)
+            )(d.reshape(lanes, sf.nvars), g.reshape(lanes, sf.ncons))
+            return y.reshape(-1), jnp.all(ok)
 
         ms = two_k_ms(step, d0, g0, k_base=kb, reps=3)
         out[f"lanes{lanes}_ms"] = round(ms, 3)

@@ -167,6 +167,7 @@ def ell_kkt_operator(
             refine_steps=refine_steps, dbound=dbound,
             krylov_steps=krylov_steps, mesh=mesh,
             krylov_gate=krylov_gate,
+            EB=getattr(lp, "EB", None), ETB=getattr(lp, "ETB", None),
         )
 
     def solve_scaled_normal(s, g):

@@ -146,8 +146,30 @@ def batched_pdas_slabbed(
     report MAX_ITERS); ``record_trace`` is unsupported (trace buffers
     would need splicing).
 
-    Measured (v5e, 256 mixed-difficulty LPs incl. 32 max_iters
-    stragglers): 525 -> 1215 solves/s (see benchmarks).
+    Compaction is DEVICE-SIDE (r5): only the per-lane statuses cross the
+    tunnel between slabs (~1 KB); lane selection, state re-stacking, and
+    finished-result accumulation are jnp gathers on device, and results
+    are fetched ONCE at the end.  The first version round-tripped the
+    full state pytree — LP operands included — through the host every
+    slab: ~16 MB per slab each way at the 256-lane (64,128) class, which
+    at the ~40 MB/s tunnel cost more than the entire plain solve and is
+    why slabbed MEASURED 3-4x slower than plain on the short-tail bench
+    mix (and why its throughput tracked tunnel load: 195 driver vs 356
+    local, VERDICT r4).
+
+    Honest scoping (r5, measured): on dense vmapped pdas, NO realistic
+    mix has a tail long enough for compaction to pay — Mehrotra
+    compresses iteration counts to near-uniform (measured over the bench
+    hetero mix incl. its "straggler" class: 11-14 cold, 6-12 on a
+    warm-fleet re-solve with 2 heavily-drifted lanes, 18-34 with plain
+    steps; max/mean <= 1.6 in every case), so the width reduction never
+    overcomes even small per-slab overheads.  The knob is kept for
+    adversarial batches (caller-supplied members that burn the whole
+    ``max_iters`` budget, e.g. infeasible or beyond-tolerance instances
+    with the stall exit disabled) where the monolithic loop would drag
+    every lane to max_iters; the device-side rewrite makes it roughly
+    cost-neutral rather than a multiple-x loss when the tail fails to
+    materialize.
     """
     cfg = config or PDASConfig()
     assert not (cfg.record_trace or cfg.record_iterates), (
@@ -158,10 +180,9 @@ def batched_pdas_slabbed(
     import numpy as np
 
     B = states.x.shape[0]
-    host = jax.device_get(states)
     active = np.arange(B)
-    cur = host
-    done: dict[int, object] = {}
+    cur = jax.tree.map(jnp.asarray, states)  # one H2D, like plain path
+    done_parts: list[tuple[np.ndarray, object]] = []
     iters_spent = np.zeros(B, np.int64)
     budget = cfg.max_iters
     from cholesky_is_magic_tpu.solvers.result import Status
@@ -188,33 +209,44 @@ def batched_pdas_slabbed(
             bucket = max(bucket, dp_n)
             bucket = ((bucket + dp_n - 1) // dp_n) * dp_n
         pad = bucket - active.size
-        sel = np.concatenate([np.arange(active.size), np.zeros(pad, np.int64)])
-        dev = jax.tree.map(lambda a: jnp.asarray(a[sel]), cur)
+        sel = jnp.asarray(np.concatenate(
+            [np.arange(active.size), np.zeros(pad, np.int64)]))
+        dev = jax.tree.map(lambda a: a[sel], cur)  # device gather
         if mesh is not None:
             dev = shard_batched_pdas(dev, mesh)
-        res = jax.device_get(batched_pdas(dev, slab_cfg))
-        status = np.asarray(res.status)[: active.size]
-        iters_spent[active] += np.asarray(res.iterations)[: active.size]
+        res = batched_pdas(dev, slab_cfg)  # stays on device
+        # The ONLY per-slab fetch: statuses + iteration counts (~KB).
+        status, res_iters = jax.device_get((res.status, res.iterations))
+        status = np.asarray(status)[: active.size]
+        iters_spent[active] += np.asarray(res_iters)[: active.size]
         budget -= k
         # MAX_ITERS lanes continue; every other status is terminal.
         still = np.flatnonzero(status == Status.MAX_ITERS)
         fin = np.flatnonzero(status != Status.MAX_ITERS)
         if budget <= 0:
             fin, still = np.arange(active.size), np.zeros(0, np.int64)
-        for i in fin:
-            done[int(active[i])] = jax.tree.map(lambda a: a[i], res)
+        if fin.size:
+            fin_d = jnp.asarray(fin)
+            done_parts.append(
+                (active[fin], jax.tree.map(lambda a: a[fin_d], res)))
         if still.size == 0:
             break
+        still_d = jnp.asarray(still)
         cur = dataclasses.replace(
-            jax.tree.map(lambda a: a[: active.size][still], cur),
-            x=np.asarray(res.x)[still],
-            y=np.asarray(res.extra["y"])[still],
-            w=np.asarray(res.extra["w"])[still],
-            z=np.asarray(res.extra["z"])[still],
+            jax.tree.map(lambda a: a[still_d], dev),
+            x=res.x[still_d],
+            y=res.extra["y"][still_d],
+            w=res.extra["w"][still_d],
+            z=res.extra["z"][still_d],
         )
         active = active[still]
 
-    # Re-stack in original order.
+    # ONE result fetch for the whole run, then host-side reorder.
+    host_parts = jax.device_get(done_parts)
+    done: dict[int, object] = {}
+    for idx, part in host_parts:
+        for j, orig in enumerate(np.asarray(idx)):
+            done[int(orig)] = jax.tree.map(lambda a: a[j], part)
     ordered = [done[i] for i in range(B)]
     out = jax.tree.map(lambda *xs: np.stack(xs), *ordered)
     return dataclasses.replace(

@@ -70,6 +70,7 @@ def prepare_normal_backend(lp, engine, d, row_boost, refine_steps,
             refine_steps=refine_steps, dbound=dbound,
             krylov_steps=krylov_steps, mesh=mesh,
             krylov_gate=krylov_gate,
+            EB=getattr(lp, "EB", None), ETB=getattr(lp, "ETB", None),
         )
     if mesh is not None:
         from cholesky_is_magic_tpu.parallel.sharded import sharded_prepare_normal

@@ -217,6 +217,7 @@ def _ops_for(lp, engine):
                 lp.E, lp.ET, d, lp.m,
                 refine_steps=cfg.refine_steps, dbound=cfg.dbound,
                 krylov_steps=cfg.krylov_steps,
+                EB=getattr(lp, "EB", None), ETB=getattr(lp, "ETB", None),
             )
 
         from cholesky_is_magic_tpu.ops import bell

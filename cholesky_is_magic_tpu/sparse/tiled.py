@@ -707,7 +707,7 @@ class TiledCholesky:
 
     def prepare_normal_ell(self, E, ET, d, m, row_boost=None, refine_steps=0,
                            dbound: float = 0.0, krylov_steps: int = 0,
-                           mesh=None, krylov_gate=None):
+                           mesh=None, krylov_gate=None, EB=None, ETB=None):
         """Factor-once / solve-many for the fully sparse path: pair-schedule
         assembly + planned tile factorization; each solve_fn(g) adds ELL
         double-word refinement.  ``E``/``ET`` are the ELLMatrix forms of A
@@ -721,6 +721,14 @@ class TiledCholesky:
         when the gate is True, else the ``refine_steps`` Richardson path,
         on the same factor (ops.krylov.gated) — solver loops gate on the
         duality gap so early iterations skip the PCG cost.
+
+        ``EB``/``ETB`` (ops.bell.BellMatrix forms of A and Aᵀ, both or
+        neither): route the Richardson refinement's double-word residual
+        products over block-ELL instead of the per-nonzero ELL forms.
+        The plain-ELL dd SpMVs serialize on TPU and owned ~3.8 ms of the
+        4.6 ms refine share at m=16384 (28% of the whole 13.6 ms
+        iteration — benchmarks/profile_atscale_iter.py r5); the BELL
+        pair runs at HBM bandwidth.
 
         ``mesh`` runs the assembly pair slabs and the panel-wave SYRK
         batches sharded over the mesh's 'tp' axis with psums on the
@@ -749,12 +757,21 @@ class TiledCholesky:
             yp = self.solve(L, invd, rp)
             return jnp.zeros_like(yp).at[self.pperm].set(yp)[:m]
 
+        use_bell = EB is not None and ETB is not None
+        if use_bell:
+            from cholesky_is_magic_tpu.ops import bell as bell_ops
+
         def richardson_fn(g):
             y = raw_solve(g)
             for _ in range(refine_steps):
-                t = sparse_ops.dd_matvec(ET, y)  # Aᵀ y
-                u = ddm.dd_mul(t, d2)  # d² ∘ Aᵀ y
-                v = sparse_ops.dd_matvec_dd(E, u)  # A (d² Aᵀ y)
+                if use_bell:
+                    t = bell_ops.dd_matvec(ETB, y)  # Aᵀ y
+                    u = ddm.dd_mul(t, d2)  # d² ∘ Aᵀ y
+                    v = bell_ops.dd_matvec_dd(EB, u)  # A (d² Aᵀ y)
+                else:
+                    t = sparse_ops.dd_matvec(ET, y)  # Aᵀ y
+                    u = ddm.dd_mul(t, d2)  # d² ∘ Aᵀ y
+                    v = sparse_ops.dd_matvec_dd(E, u)  # A (d² Aᵀ y)
                 v = ddm.dd_add_w(v, boost * y)
                 r = ddm.dd_add_w(ddm.dd_neg(v), g).to_working()
                 y = y + raw_solve(r)
@@ -780,13 +797,13 @@ class TiledCholesky:
 
     def solve_normal_ell(self, E, ET, d, g, row_boost=None, refine_steps=0,
                          dbound: float = 0.0, krylov_steps: int = 0,
-                         mesh=None):
+                         mesh=None, EB=None, ETB=None):
         """(A·D)(A·D)ᵀ y = g entirely from sparse operands (see
         prepare_normal_ell)."""
         solve_fn, ok = self.prepare_normal_ell(
             E, ET, d, g.shape[0], row_boost=row_boost,
             refine_steps=refine_steps, dbound=dbound,
-            krylov_steps=krylov_steps, mesh=mesh,
+            krylov_steps=krylov_steps, mesh=mesh, EB=EB, ETB=ETB,
         )
         return solve_fn(g), ok
 

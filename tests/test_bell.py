@@ -279,3 +279,43 @@ def test_alm_solves_with_bell_operands():
     res = alm(make_alm(lp), config=cfg)
     obj = float(jnp.dot(lp.c, res.x))
     assert abs(obj - ref.fun) / abs(ref.fun) < 1e-4
+
+
+def test_engine_refine_bell_matches_ell():
+    """The tile engine's Richardson refinement with BELL operands
+    (prepare_normal_ell EB=/ETB=, r5) matches the plain-ELL route and
+    solves the scaled normal equations to f32-refined accuracy.  The
+    BELL route is what the solver paths use (backend/kkt pass
+    SparseKKTLP.EB/ETB through); the plain-ELL dd SpMVs it replaces
+    owned ~28% of the at-scale iteration (profile_atscale_iter r5)."""
+    from cholesky_is_magic_tpu.ops import bell as bops
+    from cholesky_is_magic_tpu.sparse.tiled import engine_for_sparse
+
+    sf = _staircase_sf(256)
+    A = sp.csc_matrix((sf.a_vals, (sf.a_rows, sf.a_cols)),
+                      shape=(sf.ncons, sf.nvars))
+    eng = engine_for_sparse(A, block=128)
+    E = sparse_ops.from_coo(sf.a_rows, sf.a_cols, sf.a_vals,
+                            (sf.ncons, sf.nvars), dtype=jnp.float32)
+    ET = sparse_ops.from_coo(sf.a_cols, sf.a_rows, sf.a_vals,
+                             (sf.nvars, sf.ncons), dtype=jnp.float32)
+    EB = bops.from_coo(sf.a_rows, sf.a_cols, sf.a_vals,
+                       (sf.ncons, sf.nvars), max_dense_frac=100.0)
+    ETB = bops.from_coo(sf.a_cols, sf.a_rows, sf.a_vals,
+                        (sf.nvars, sf.ncons), max_dense_frac=100.0)
+    assert EB is not None and ETB is not None
+    rng = np.random.default_rng(3)
+    d = jnp.asarray(rng.random(sf.nvars) + 0.5, jnp.float32)
+    g = jnp.asarray(rng.normal(size=sf.ncons), jnp.float32)
+    y0, ok0 = eng.solve_normal_ell(E, ET, d, g, refine_steps=2)
+    y1, ok1 = eng.solve_normal_ell(E, ET, d, g, refine_steps=2,
+                                   EB=EB, ETB=ETB)
+    assert bool(ok0) and bool(ok1)
+    scale = float(jnp.max(jnp.abs(y0)))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=0, atol=1e-5 * scale)
+    # True residual of the BELL-refined solve.
+    AD = A.multiply(np.asarray(d)[None, :])
+    N = (AD @ AD.T).toarray()
+    r = np.asarray(g, np.float64) - N @ np.asarray(y1, np.float64)
+    assert np.linalg.norm(r) < 1e-5 * np.linalg.norm(np.asarray(g))

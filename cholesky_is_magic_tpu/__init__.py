@@ -50,6 +50,14 @@ def solve_batch(problems, **kwargs):
     return _solve_batch(problems, **kwargs)
 
 
+def embed_batch(problems, **kwargs):
+    """Embed LPs into one device-resident padded batch for repeated
+    :func:`solve_batch` calls (lazy re-export of :func:`api.embed_batch`)."""
+    from cholesky_is_magic_tpu.api import embed_batch as _embed_batch
+
+    return _embed_batch(problems, **kwargs)
+
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -61,4 +69,5 @@ __all__ = [
     "rescale_sf",
     "solve",
     "solve_batch",
+    "embed_batch",
 ]

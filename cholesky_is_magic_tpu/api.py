@@ -44,6 +44,55 @@ class SolveReport:
     solution: dict  # extract_solution(sf, result.x): x, slacks, objective
 
 
+@dataclasses.dataclass
+class BatchEmbed:
+    """A device-resident embedded LP batch: build once, solve many.
+
+    ``embed_batch(problems)`` pays the host embed (to_device_lp x B) and
+    the one stacked host->device transfer ONCE; every subsequent
+    ``solve_batch(embed, ...)`` call skips both phases and goes straight
+    to the vmapped solve.  This is the serving-loop shape (re-solve the
+    same fleet against new iterates/configs — examples/warm_resolve.py):
+    benchmarks/profile_hetero.py measures what fraction of the
+    end-to-end hetero wall the embed+ship phases own.
+    """
+
+    sfs: list  # the StandardForms, for postsolve
+    stacked_lp: Any  # stacked DeviceLP pytree (one device array per leaf)
+    pad_multiple: int
+    dtype: Any
+
+
+def embed_batch(problems, *, pad_multiple: int = 64, dtype=None,
+                rescale: bool = False) -> BatchEmbed:
+    """Embed heterogeneous LPs into one padded device-resident batch
+    (the build+ship phases of :func:`solve_batch`, factored out so the
+    cost amortizes across repeated solves)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cholesky_is_magic_tpu.ingest import to_device_lp
+    from cholesky_is_magic_tpu.ingest.device import round_up
+
+    if dtype is None:
+        dtype = jnp.float32
+    sfs = [_to_standard_form(p, rescale) for p in problems]
+    if not sfs:
+        return BatchEmbed([], None, pad_multiple, dtype)
+    M = round_up(max(sf.ncons for sf in sfs), pad_multiple)
+    N = round_up(max(sf.nvars for sf in sfs), pad_multiple)
+    lps = [
+        dataclasses.replace(
+            to_device_lp(sf, dtype=dtype, shape=(M, N), as_numpy=True),
+            m=M, n=N,
+        )
+        for sf in sfs
+    ]
+    stacked_lp = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *lps)
+    return BatchEmbed(sfs, stacked_lp, pad_multiple, dtype)
+
+
 def solve_batch(
     problems,
     *,
@@ -93,6 +142,11 @@ def solve_batch(
     iteration cost (PDASConfig.factor_method has the measurements).
     Pass "direct" to get the single-LP kernel for comparison.
 
+    ``problems`` may also be a :class:`BatchEmbed` from
+    :func:`embed_batch`: the host embed and the stacked host->device
+    transfer are then skipped entirely (paid once at embed time) — the
+    serving-loop shape for repeated solves over the same fleet.
+
     pdas only: the other families either need per-problem symbolic
     analysis (sparse engines) or consume true-count metadata that cannot
     vary across a stacked batch (affine/approx) — solve() covers those
@@ -102,20 +156,29 @@ def solve_batch(
     import jax.numpy as jnp
     import numpy as np
 
-    from cholesky_is_magic_tpu.ingest import to_device_lp
-    from cholesky_is_magic_tpu.ingest.device import round_up
-    from cholesky_is_magic_tpu.ingest.standard_form import extract_solution
     from cholesky_is_magic_tpu.parallel import batched_pdas, shard_batched_pdas
     from cholesky_is_magic_tpu.solvers import PDASConfig, make_pdas
-    from cholesky_is_magic_tpu.solvers.result import Status
 
     if dtype is None:
         dtype = jnp.float32
-    sfs = [_to_standard_form(p, rescale) for p in problems]
+    if isinstance(problems, BatchEmbed):
+        # Pre-embedded batch: the host build + stacked transfer were paid
+        # once in embed_batch; pad_multiple/dtype/rescale args are
+        # ignored in favor of the handle's.
+        sfs, stacked_lp = problems.sfs, problems.stacked_lp
+        dtype = problems.dtype
+    else:
+        # Build everything host-side (as_numpy), stack once, ship ONE
+        # array per leaf: per-problem eager jnp construction paid a
+        # tunnel transfer + dispatch per LP (measured ~3 s of a 7.5 s
+        # warm 256-LP batch).  Metadata must be identical across the
+        # batch to stack the pytrees; the pdas loop never reads it
+        # (masks carry the true structure).
+        emb = embed_batch(problems, pad_multiple=pad_multiple, dtype=dtype,
+                          rescale=rescale)
+        sfs, stacked_lp = emb.sfs, emb.stacked_lp
     if not sfs:
         return []
-    M = round_up(max(sf.ncons for sf in sfs), pad_multiple)
-    N = round_up(max(sf.nvars for sf in sfs), pad_multiple)
     kw = {} if gap_tol is None else {"gap_tol": gap_tol}
     # factor_method="inverse" is the vmapped-mode dense kernel (blocked
     # Cholesky + explicit triangular inverse): under vmap the per-rhs
@@ -123,20 +186,6 @@ def solve_batch(
     # PDASConfig.factor_method.  Callers can force "direct" to compare.
     cfg = PDASConfig(max_iters=max_iters, refine_steps=refine_steps,
                      mehrotra=mehrotra, factor_method=factor_method, **kw)
-    # Build everything host-side (as_numpy), stack once, ship ONE array per
-    # leaf, and vmap make_pdas over the stacked batch: per-problem eager
-    # jnp construction paid a tunnel transfer + dispatch per LP (measured
-    # ~3 s of a 7.5 s warm 256-LP batch).  Metadata must be identical
-    # across the batch to stack the pytrees; the pdas loop never reads it
-    # (masks carry the true structure).
-    lps = [
-        dataclasses.replace(
-            to_device_lp(sf, dtype=dtype, shape=(M, N), as_numpy=True),
-            m=M, n=N,
-        )
-        for sf in sfs
-    ]
-    stacked_lp = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *lps)
     batched = jax.vmap(lambda lp: make_pdas(lp, cfg))(stacked_lp)
     if warm is not None:
         from cholesky_is_magic_tpu.solvers.affine import _into_interior
@@ -186,6 +235,19 @@ def solve_batch(
     # ~25 ms tunnel round trip each — measured 50 s of fetches for a
     # 256-LP batch vs 0.07 s for this device_get.
     res = jax.device_get(res)
+    return _postsolve_batch_reports(sfs, res, factor_method)
+
+
+def _postsolve_batch_reports(sfs, res, factor_method: str) -> list:
+    """Slice a host-fetched batched SolveResult into per-problem
+    SolveReports (summary, solution split, duals) — the postsolve phase
+    of solve_batch, separated so benchmarks/profile_hetero.py can time
+    it as a pipeline stage."""
+    import jax
+    import numpy as np
+
+    from cholesky_is_magic_tpu.ingest.standard_form import extract_solution
+    from cholesky_is_magic_tpu.solvers.result import Status
 
     reports = []
     for i, sf in enumerate(sfs):

@@ -183,6 +183,35 @@ class TestSolve:
         with pytest.raises(ValueError, match="padded box|reports"):
             cim.solve_batch(sfs, pad_multiple=32, max_iters=50, warm=cold)
 
+    def test_solve_batch_embed_cache(self):
+        """A pre-embedded batch (api.embed_batch) solves identically to
+        the direct problem-list path — the embed handle only skips the
+        host build + stacked transfer, never changes operands."""
+        from cholesky_is_magic_tpu.api import embed_batch
+        from cholesky_is_magic_tpu.ingest.mps import read_mps_string
+        from cholesky_is_magic_tpu.utils.testing import random_lp, write_mps
+
+        sfs = []
+        for seed in range(4):
+            ineq = random_lp(80 + seed, n_ub=8, n_eq=2, n=12)
+            sfs.append(cim.to_standard_form(read_mps_string(write_mps(ineq))))
+        direct = cim.solve_batch(sfs, pad_multiple=16, max_iters=200)
+        emb = embed_batch(sfs, pad_multiple=16)
+        cached = cim.solve_batch(emb, max_iters=200)
+        recached = cim.solve_batch(emb, max_iters=200)  # handle reusable
+        assert all(r.status == "optimal" for r in cached)
+        for a, b, c in zip(direct, cached, recached):
+            # Bit-identical path: same embedded operands, same program.
+            assert a.objective == b.objective == c.objective, (
+                a.summary, b.summary)
+            assert a.summary["iterations"] == b.summary["iterations"]
+        # embed_batch composes with warm restarts (the serving loop).
+        warm = cim.solve_batch(emb, max_iters=200, warm=cached,
+                               warm_push=1e-3)
+        assert all(r.status == "optimal" for r in warm)
+        assert (sum(r.summary["iterations"] for r in warm)
+                < sum(r.summary["iterations"] for r in cached))
+
     @pytest.mark.slow
     def test_warm_resolve_through_api(self):
         """The serving flow at the front door: warm=prev report skips

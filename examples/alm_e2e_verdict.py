@@ -135,6 +135,9 @@ def host_alm(sf, budget_s: float, inner_iters: int = 20_000,
         times.append(time.time() - t0)
         viols.append(v)
         pgs.append(float(pg))
+        if outer % 20 == 0:
+            print(f"host: outer={outer} viol={v:.2e} pg={pg:.2e} "
+                  f"t={times[-1]:.0f}s", flush=True)
         if (v < violation_tol and pg < pg_tol) or times[-1] > budget_s:
             break
     return {
@@ -171,10 +174,23 @@ def tpu_alm(sf, budget_s: float, inner_iters: int = 20_000,
     from cholesky_is_magic_tpu.solvers.alm import ALMConfig
 
     lp = to_sparse_lp(sf, dtype=jnp.float32)
-    cfg_f32 = ALMConfig(max_outer=chunk, inner_iters=inner_iters,
+    cfg_f32 = ALMConfig(max_outer=chunk,
+                        inner_iters=min(inner_iters, 12_000),
                         violation_tol=violation_tol, pg_tol=pg_tol,
                         omega_floor=omega_floor, record_trace=True)
-    cfg_dd = dataclasses.replace(cfg_f32, dd_gradient=True,
+    # dd chunks: TWO outer steps with a bounded inner budget per dispatch.
+    # (a) A 4-outer x 20k-inner dd chunk is a single ~80 s device program,
+    # and this pool KILLS long dispatches (observed twice on-chip: the
+    # first timed dd chunk dies with "TPU worker process crashed", while
+    # 10 s-class f32 chunks and the short dd warm-up run fine) — 2 x 4k
+    # keeps each dispatch ~10 s.  (b) max_outer must be >= 2: _alm_jit's
+    # mu growth is gated on has_x = (i > 0), so a 1-outer chunk NEVER
+    # grows mu and the run pins omega = 1/mu — measured on-chip: 1018
+    # one-outer dd chunks all exiting at pg ~ 1/mu = 1e-2, viol frozen at
+    # 2.2e-5.  The host-side growth fallback below covers the remaining
+    # chunk-boundary loss (each chunk's FIRST outer is still growth-free).
+    cfg_dd = dataclasses.replace(cfg_f32, dd_gradient=True, max_outer=2,
+                                 inner_iters=min(inner_iters, 4_000),
                                  omega_floor=min(omega_floor, 1e-7))
 
     def run_chunk(cfg, mu, lam, x0):
@@ -186,20 +202,32 @@ def tpu_alm(sf, budget_s: float, inner_iters: int = 20_000,
                                                         st.omega.dtype)))
         return alm(st, x0=x0, config=cfg)
 
+    print("tpu: operands on device; compiling + warm-up chunks ...",
+          flush=True)
     lam0 = jnp.zeros((lp.m,), jnp.float32)
     x00 = jnp.zeros((lp.n,), jnp.float32)
     for cfg in (cfg_f32, cfg_dd) if dd_escalate else (cfg_f32,):
+        t0 = time.time()
         float(run_chunk(cfg, 10.0, lam0, x00).violation)  # compile (cached)
+        print(f"tpu: warm-up ({'dd' if cfg.dd_gradient else 'f32'}) "
+              f"{time.time() - t0:.0f}s", flush=True)
 
     times, viols, pgs, phases = [], [], [], []
     mu, lam, x = 10.0, lam0, x00
     inner_total, outer_total, value = 0, 0, np.nan
     phase = "f32"
+    crashed = False
     t0 = time.time()
     while outer_total < max_outer:
         cfg = cfg_dd if phase == "dd" else cfg_f32
-        res = run_chunk(cfg, mu, lam, x)
-        k = int(res.outer_iterations)
+        try:
+            res = run_chunk(cfg, mu, lam, x)
+            k = int(res.outer_iterations)  # first fetch: forces execution
+        except Exception as e:  # TPU worker crash mid-run: keep partials
+            print(f"tpu: chunk failed ({type(e).__name__}); "
+                  "returning best-so-far", flush=True)
+            crashed = True
+            break
         now = time.time() - t0
         # Per-step walls inside a chunk aren't observable from the host;
         # stamp each step with the chunk-end time (conservative).
@@ -209,9 +237,20 @@ def tpu_alm(sf, budget_s: float, inner_iters: int = 20_000,
         phases += [phase] * k
         inner_total += int(res.inner_iterations)
         outer_total += k
+        mu_in = mu
         mu, lam, x = float(res.mu), res.multipliers, res.x
         value = float(res.value)
         v, pg = float(res.violation), float(res.pg)
+        if (phase == "dd" and mu == mu_in and len(viols) > k
+                and v > 0.8 * viols[-1 - k]):
+            # Host-side LANCELOT growth across chunk boundaries: the
+            # in-jit rule skips each chunk's first outer (has_x gate),
+            # so a chunk that neither grew mu nor improved the violation
+            # >=20% gets the reference's poor-improvement doubling here
+            # (alm-approx.lisp:522-529 semantics).
+            mu = min(mu * 2.0, 1e6)
+        print(f"tpu: {phase} outer={outer_total} viol={v:.2e} "
+              f"pg={pg:.2e} mu={mu:.3g} t={now:.0f}s", flush=True)
         if (v < violation_tol and pg < pg_tol) or now > budget_s or k == 0:
             break
         if phase == "f32" and dd_escalate:
@@ -229,9 +268,13 @@ def tpu_alm(sf, budget_s: float, inner_iters: int = 20_000,
             if stalled or now > f32_frac * budget_s:
                 phase = "dd"
                 mu = min(mu, 100.0)
+    if not times:
+        return {"backend": "tpu (crashed before first chunk)",
+                "worker_crash": True}
     return {
         "backend": "tpu f32+dd (block-ELL)" if "dd" in phases
         else "tpu f32 (block-ELL)",
+        "worker_crash": crashed,
         "outer": outer_total, "inner": inner_total,
         "dd_outer": int(sum(p == "dd" for p in phases)),
         "best_violation": float(f"{min(viols):.3g}"),
@@ -247,8 +290,11 @@ def tpu_alm(sf, budget_s: float, inner_iters: int = 20_000,
 
 
 def main(m: int = 16384, budget_s: float = 300.0):
+    only = os.environ.get("ALM_E2E_PATTERNS", "")
     for label, kwargs in (("staircase", {}),
                           ("wide-coupling x8", {"width_mult": 8})):
+        if only and only not in label:
+            continue
         sf = to_standard_form(*build_lp(m, **kwargs))
         print(f"\n=== {label}: m={sf.ncons} n={sf.nvars} "
               f"nnz={len(sf.a_vals)} budget={budget_s:.0f}s ===")

@@ -289,6 +289,155 @@ def tpu_alm(sf, budget_s: float, inner_iters: int = 20_000,
     }
 
 
+def tpu_alm2(sf, budget_s: float, inner_iters: int = 20_000,
+             violation_tol: float = 1e-5, pg_tol: float = 1e-5,
+             omega_floor: float = 1e-6, chunk: int = 4,
+             max_outer: int = 10_000, f32_frac: float = 0.2,
+             inner_chunk: int = 4_000) -> dict:
+    """Host-outer / device-inner rendering: EXACTLY host_alm's outer loop
+    (same mu schedule, accuracy tightening, multiplier clamps) with the
+    dd inner solver run on-device in dispatch-bounded chunks.
+
+    Why this exists: tpu_alm's fully-jitted chunks hit two walls at once
+    — the pool kills ~80 s dispatches, and capping the inner budget per
+    outer step to stay under that truncates the accelerated subproblem
+    solves (measured: viol converges to 1.2e-8 but pg floors at 9.3e-3,
+    /tmp r5 runs).  Chaining _approx_dd from its own z is
+    iteration-exact continuation apart from the theta/restart reset at
+    chunk seams (the same reset the adaptive-restart rule performs), so
+    the host outer loop can give each subproblem the reference's full
+    inner budget (up to 1e6 in alm-approx.lisp:503; 20k here, matching
+    host_alm) in ~5 s dispatches.  An f32 chunked head start (cheap
+    inner iterations) runs the violation down to ~1e-3-class first."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from cholesky_is_magic_tpu.ingest.device import to_sparse_lp
+    from cholesky_is_magic_tpu.ops import dd as ddm
+    from cholesky_is_magic_tpu.solvers import alm, make_alm
+    from cholesky_is_magic_tpu.solvers.alm import (
+        ALMConfig,
+        make_alm_subproblem,
+    )
+    from cholesky_is_magic_tpu.solvers.approx import _approx_dd
+    from cholesky_is_magic_tpu.utils.precision import highest_precision
+
+    lp = to_sparse_lp(sf, dtype=jnp.float32)
+
+    @highest_precision
+    @jax.jit
+    def polish(lp_, prob, lam_, mu_, x_dd, acc, iters):
+        z, pg, it, r_z = _approx_dd(lp_, prob, lam_, mu_, x_dd, acc, iters)
+        viol = jnp.where(prob.s != 0, r_z.hi + r_z.lo, 0.0)
+        return (z, pg, it, viol, jnp.max(jnp.abs(viol)),
+                jnp.linalg.norm(viol))
+
+    # --- f32 head start (chunked, as in tpu_alm). ---
+    cfg_f32 = ALMConfig(max_outer=chunk,
+                        inner_iters=min(inner_iters, 12_000),
+                        violation_tol=violation_tol, pg_tol=pg_tol,
+                        omega_floor=omega_floor, record_trace=True)
+
+    def run_chunk(mu, lam, x0):
+        st = make_alm(lp, mu=mu, multipliers=lam)
+        st = dataclasses.replace(
+            st, omega=jnp.maximum(st.omega, jnp.asarray(cfg_f32.omega_floor,
+                                                        st.omega.dtype)))
+        return alm(st, x0=x0, config=cfg_f32)
+
+    print("tpu2: operands on device; compiling + warm-up ...", flush=True)
+    lam0 = jnp.zeros((lp.m,), jnp.float32)
+    x00 = jnp.zeros((lp.n,), jnp.float32)
+    t0c = time.time()
+    float(run_chunk(10.0, lam0, x00).violation)
+    st0 = make_alm(lp, mu=10.0)
+    prob0 = make_alm_subproblem(lp, lam0, jnp.asarray(100.0, jnp.float32))
+    _ = polish(lp, prob0, lam0, 100.0, ddm.dd_from(x00), 1e-5, inner_chunk)
+    float(_[1])
+    print(f"tpu2: warm-up {time.time() - t0c:.0f}s", flush=True)
+
+    times, viols, pgs, phases = [], [], [], []
+    mu, lam, x = 10.0, lam0, x00
+    inner_total, outer_total = 0, 0
+    t0 = time.time()
+    while True:
+        res = run_chunk(mu, lam, x)
+        k = int(res.outer_iterations)
+        now = time.time() - t0
+        times += [now] * k
+        viols += [float(v) for v in np.asarray(res.trace["violation"][:k])]
+        pgs += [float(p) for p in np.asarray(res.trace["pg"][:k])]
+        phases += ["f32"] * k
+        inner_total += int(res.inner_iterations)
+        outer_total += k
+        mu, lam, x = float(res.mu), res.multipliers, res.x
+        v, pg = float(res.violation), float(res.pg)
+        print(f"tpu2: f32 outer={outer_total} viol={v:.2e} pg={pg:.2e} "
+              f"t={now:.0f}s", flush=True)
+        stalled = (len(pgs) > 2 * chunk and pgs[-1] > 0.8 * pgs[-1 - chunk])
+        if k == 0 or stalled or now > f32_frac * budget_s:
+            break
+
+    # --- host outer loop, dd inner chunks (host_alm semantics). ---
+    ml, mub = st0.mult_l, st0.mult_u
+    mu = min(mu, 100.0)  # same reset rationale as tpu_alm (f32-inflated mu)
+    x_dd = ddm.dd_from(jnp.asarray(x))
+    accuracy, v2_prev = np.inf, None
+    tiny = float(np.finfo(np.float64).tiny)
+    v, pg = np.inf, np.inf
+    for outer in range(max_outer):
+        omega = max(1.0 / mu, omega_floor) if outer else 1.0 / mu
+        precision = min(accuracy, omega)
+        prob = make_alm_subproblem(lp, lam, jnp.asarray(mu, jnp.float32))
+        it_outer = 0
+        while it_outer < inner_iters:
+            z, pg_a, it, viol, v_a, v2_a = polish(
+                lp, prob, lam, mu, x_dd, precision, inner_chunk)
+            x_dd = z
+            it_chunk = int(it)  # fetch: forces execution
+            it_outer += it_chunk
+            pg = float(pg_a)
+            if pg < precision or it_chunk < inner_chunk:
+                break
+            if time.time() - t0 > budget_s:
+                break
+        inner_total += it_outer
+        outer_total += 1
+        v, v2 = float(v_a), float(v2_a)
+        improvement = v2 / max(v2_prev, tiny) if v2_prev is not None else 1.0
+        lam = jnp.clip(lam + mu * viol, ml, mub)
+        if outer > 0:
+            mu = min(mu * max(1.0, min(2.0 * improvement, 2.0)), 1e7)
+        v2_prev = v2
+        accuracy = min(accuracy, max(violation_tol, v))
+        if v < violation_tol:
+            accuracy = violation_tol
+        now = time.time() - t0
+        times.append(now)
+        viols.append(v)
+        pgs.append(pg)
+        phases.append("dd")
+        print(f"tpu2: dd outer={outer_total} viol={v:.2e} pg={pg:.2e} "
+              f"mu={mu:.3g} inner={it_outer} t={now:.0f}s", flush=True)
+        if (v < violation_tol and pg < pg_tol) or now > budget_s:
+            break
+    return {
+        "backend": "tpu f32+dd host-outer (block-ELL)",
+        "outer": outer_total, "inner": inner_total,
+        "dd_outer": int(sum(p == "dd" for p in phases)),
+        "best_violation": float(f"{min(viols):.3g}"),
+        "final_pg": float(f"{pgs[-1]:.3g}"),
+        "wall_s": round(times[-1], 1),
+        "converged": bool(viols[-1] < violation_tol and pgs[-1] < pg_tol),
+        **_crossings(times, viols),
+        "times": [round(t, 1) for t in times],
+        "viols": [float(f"{v:.3g}") for v in viols],
+        "pgs": [float(f"{v:.3g}") for v in pgs],
+    }
+
+
 def main(m: int = 16384, budget_s: float = 300.0):
     only = os.environ.get("ALM_E2E_PATTERNS", "")
     for label, kwargs in (("staircase", {}),
@@ -299,7 +448,8 @@ def main(m: int = 16384, budget_s: float = 300.0):
         print(f"\n=== {label}: m={sf.ncons} n={sf.nvars} "
               f"nnz={len(sf.a_vals)} budget={budget_s:.0f}s ===")
         if not os.environ.get("ALM_E2E_SKIP_TPU"):
-            r = tpu_alm(sf, budget_s)
+            fn = tpu_alm if os.environ.get("ALM_E2E_FULLY_JITTED") else tpu_alm2
+            r = fn(sf, budget_s)
             print(json.dumps(r))
         if not os.environ.get("ALM_E2E_SKIP_HOST"):
             r = host_alm(sf, budget_s)

@@ -722,6 +722,24 @@ def batched_rows(detail: dict, n_lps: int = None) -> None:
         log(f"[bench] batched hetero {tag}: {n_lps / wall:.0f} solves/s "
             f"({n_opt}/{n_lps} optimal)")
 
+    # Serving-loop shape: the fleet embedded ONCE (api.embed_batch), then
+    # re-solved — skips the per-call host build + stacked host->device
+    # ship, ~2/3 of the plain wall (r5 floor decomposition,
+    # benchmarks/profile_hetero.py; the device solve itself is ~40 ms
+    # for the whole batch).
+    from cholesky_is_magic_tpu.api import embed_batch
+
+    emb = embed_batch(problems)
+    cim.solve_batch(emb, max_iters=60, mehrotra=True)  # warm path
+    t0 = time.time()
+    reps = cim.solve_batch(emb, max_iters=60, mehrotra=True)
+    wall = time.time() - t0
+    n_opt = sum(1 for r in reps if r.status == "optimal")
+    detail["batched_hetero_embedded_solves_per_s"] = round(n_lps / wall, 1)
+    detail["batched_hetero_embedded_optimal"] = f"{n_opt}/{n_lps}"
+    log(f"[bench] batched hetero embedded: {n_lps / wall:.0f} solves/s "
+        f"({n_opt}/{n_lps} optimal)")
+
 
 # ---------------------------------------------------------------------------
 # The three program modes

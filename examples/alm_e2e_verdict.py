@@ -27,7 +27,16 @@ Patterns: the staircase LP (examples/at_scale_sparse.build_lp) and a
 wider-coupling variant (same nnz/row, 8x column window).
 
 Run:  python -u examples/alm_e2e_verdict.py [m] [budget_s]
-      (host-only: ALM_E2E_SKIP_TPU=1; skip host: ALM_E2E_SKIP_HOST=1)
+      (host-only: ALM_E2E_SKIP_TPU=1; skip host: ALM_E2E_SKIP_HOST=1;
+       one pattern: ALM_E2E_PATTERNS=staircase; the fully-jitted chunked
+       driver instead of the host-outer one: ALM_E2E_FULLY_JITTED=1)
+
+Measured r5 verdict (m=16384, both patterns, raw runs in
+benchmarks/ALM_E2E_r05.json; analysis in docs/DEVNOTES.md "ALM at-scale
+e2e verdict"): TPU reaches every violation threshold ~1.5-2x sooner
+than host f64 and floors 6-16x deeper (1.2e-8); neither backend
+satisfies the pg<1e-5 dual stop in 300 s — pinned via tpu_alm2 as the
+accelerated tau=n method's dual-side rate at scale, not precision.
 """
 
 import dataclasses
